@@ -1,0 +1,89 @@
+"""Batching, splitting, and skew control — batch processor analog (P1-P4).
+
+The reference re-batches streams by item count + timeout
+(processor/batchprocessor/batch_processor.go:39-41,114-162) and splits
+oversized batches (splitlogs.go:22-76). In Spark the batch boundary is a
+partition / output file, so:
+
+- ``batch_repartition``: explicit ``repartition(n, xxhash64(key))`` — the
+  north_rule's "explicit repartitioning on url-hash". Hashing the *url*
+  (unique per row) instead of the host spreads Zipf-skewed hosts evenly
+  across partitions — the salting strategy: a hot host's rows land on all
+  partitions, and per-host aggregation is done two-phase (see
+  ``salted_groupby_count``). ``maxRecordsPerFile`` caps output batch size
+  (send_batch_max_size analog, batch_processor.go:240-258).
+- ``split_head``: carve exactly N records deterministically
+  (splitlogs.go:22-76 analog) — flat rows make nesting-preserving split
+  trivial (SURVEY.md P2-P4).
+- ``salted_groupby_count``: two-phase (salted partial → final) aggregation
+  for skewed keys. Spark's partial aggregation usually covers this; the
+  explicit form exists for extreme skew where a single hot key's partials
+  still concentrate on one reducer, and as the documented pattern for
+  100 TB runs (AQE skew handling is the configured safety net,
+  session.py).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def batch_repartition(
+    partitions: int | None = None,
+    key: str | Column = "url",
+    max_records_per_file: int | None = None,
+) -> Callable[[DataFrame], DataFrame]:
+    """P1: explicit hash repartition on ``key`` (+ output file size cap)."""
+
+    def apply(df: DataFrame) -> DataFrame:
+        out = df
+        keycol = F.col(key) if isinstance(key, str) else key
+        if partitions:
+            out = out.repartition(int(partitions), F.xxhash64(keycol))
+        if max_records_per_file:
+            # honored by all file writes downstream of this stage
+            out.sparkSession.conf.set(
+                "spark.sql.files.maxRecordsPerFile", int(max_records_per_file)
+            )
+        return out
+
+    return apply
+
+
+def split_head(df: DataFrame, n: int, order_by: list[str] = ("url", "line_no")) -> tuple[DataFrame, DataFrame]:
+    """P2-P4: deterministically carve exactly ``n`` records (head, rest).
+
+    The reference splits a batch preserving resource/scope nesting
+    (splitlogs.go:22-76); with flat rows a global row_number over a
+    deterministic order is the whole job. Note: global ordering implies a
+    shuffle — this is a control-plane operation (capping a request), not a
+    hot-path one.
+    """
+    w = Window.orderBy(*[F.col(c) for c in order_by])
+    ranked = df.withColumn("__rn", F.row_number().over(w))
+    head = ranked.where(F.col("__rn") <= n).drop("__rn")
+    rest = ranked.where(F.col("__rn") > n).drop("__rn")
+    return head, rest
+
+
+def salted_groupby_count(
+    df: DataFrame, key: str | Column, salt_buckets: int = 32, salt_on: str | Column = "url"
+) -> DataFrame:
+    """Two-phase aggregation for skewed keys: partial count per
+    (key, salt) then final per key. ``salt_on`` should be high-cardinality
+    (url) so the hot key's rows split into ``salt_buckets`` partials."""
+    keycol = F.col(key) if isinstance(key, str) else key
+    saltcol = F.pmod(F.xxhash64(F.col(salt_on) if isinstance(salt_on, str) else salt_on),
+                     F.lit(salt_buckets))
+    partial = (
+        df.groupBy(keycol.alias("__key"), saltcol.alias("__salt"))
+        .agg(F.count("*").alias("__partial"))
+    )
+    return (
+        partial.groupBy("__key")
+        .agg(F.sum("__partial").alias("n"))
+        .withColumnRenamed("__key", key if isinstance(key, str) else "key")
+    )

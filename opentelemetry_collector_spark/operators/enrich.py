@@ -1,0 +1,90 @@
+"""Lookup enrichment — the attributes/resource processor analog (P10).
+
+Reference semantics: per-record map lookups that copy/derive attributes,
+e.g. ``set(attributes["k8s_pod"], resource.attributes["k8s.pod.name"])``
+(docs/processing.md:211-215). The collector does this as an in-process map
+access per record; the idiomatic distributed upgrade is a **broadcast hash
+join** against small dimension tables: the dim ships once to every executor
+and the probe stays embarrassingly parallel — zero shuffle of the fact side
+(SURVEY.md §2.6 notes enrichment is map-lookup-shaped, so broadcast is the
+correct physical plan at any scale; never a sort-merge join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def enrich_broadcast(
+    records: DataFrame,
+    lookup: DataFrame,
+    on: Column | str,
+    take: dict[str, str] | None = None,
+    prefix: str | None = None,
+) -> DataFrame:
+    """Left broadcast-join ``lookup`` onto ``records``.
+
+    Args:
+        on: join condition — either a shared column name or a Column
+            equi-condition like ``records.resource.host == lookup.host``.
+        take: {lookup_col: output_col} projection of the dim side; default
+            takes all non-key columns keeping their names.
+        prefix: optional output-name prefix shorthand for ``take``.
+    """
+    dim = F.broadcast(lookup)
+    key_cols = {on} if isinstance(on, str) else set()
+    if take is None:
+        take = {
+            c: (f"{prefix}{c}" if prefix else c)
+            for c in lookup.columns
+            if c not in key_cols
+        }
+    joined = records.join(dim, on=on, how="left")
+    fact_cols = (
+        [F.col(c) for c in records.columns]
+        if isinstance(on, str)
+        else [records[c] for c in records.columns]
+    )
+    return joined.select(*fact_cols, *[dim[s].alias(d) for s, d in take.items()])
+
+
+def enrich_resource_geo(records: DataFrame, lkp_geo: DataFrame) -> DataFrame:
+    """Attach country/region from the host dim into the resource struct —
+    the resourceprocessor analog; key = resource.host."""
+    dim = F.broadcast(lkp_geo)
+    joined = records.join(dim, records["resource.host"] == dim["host"], "left")
+    new_resource = F.struct(
+        F.col("resource.host").alias("host"),
+        F.col("resource.lang").alias("lang"),
+        F.coalesce(dim["country"], F.lit("")).alias("country"),
+        F.coalesce(dim["region"], F.lit("")).alias("region"),
+    )
+    cols = [F.col(c) for c in records.columns if c != "resource"]
+    return joined.select(*cols, new_resource.alias("resource"))
+
+
+def enrich_lang_family(records: DataFrame, lkp_lang: DataFrame) -> DataFrame:
+    """Attach lang_family/rtl as record attributes from the lang dim —
+    attributesprocessor insert-from-lookup analog."""
+    dim = F.broadcast(lkp_lang)
+    joined = records.join(dim, records["resource.lang"] == dim["lang"], "left")
+    new_attrs = F.map_concat(
+        F.col("attributes"),
+        F.map_from_entries(
+            F.filter(
+                F.array(
+                    F.struct(F.lit("lang_family").alias("key"), dim["lang_family"].alias("value")),
+                    F.struct(
+                        F.lit("rtl").alias("key"),
+                        F.when(dim["rtl"], F.lit("true"))
+                        .when(~dim["rtl"], F.lit("false"))
+                        .alias("value"),
+                    ),
+                ),
+                lambda s: s.getField("value").isNotNull(),
+            )
+        ),
+    )
+    cols = [F.col(c) for c in records.columns if c != "attributes"]
+    return joined.select(*cols, new_attrs.alias("attributes")).select(*records.columns)

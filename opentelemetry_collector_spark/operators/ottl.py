@@ -1,0 +1,497 @@
+"""OTTL-subset compiler: transformation statements → Spark Column expressions.
+
+The reference's query language is the OTTL design (docs/processing.md) —
+statements like::
+
+    set(attributes["source"], "web")
+    delete(attributes["http.user_agent"])
+    keep_keys(attributes, "ip", "status")
+    replace_match(attributes["path"], "/r/4*", "/r/4xx")
+    drop() where attributes["status"] == "404"
+    keep() where severity_number >= 17
+
+(docs/processing.md:96-135 statement forms, 147-167 set/delete, 173-191
+replace_match, 118-135/205-209 drop-where.)
+
+We compile each statement to *built-in* Spark SQL expressions — never a
+UDF — so Catalyst can constant-fold, push filters below the parse's
+explode, and keep everything inside whole-stage codegen. A compiled
+``drop() where status == "404"`` is exactly ``df.filter(...)`` and shows up
+as a PushedFilter when it reaches a scan. This mirrors the reference's
+design split: OTTL is the surface syntax, the collector compiles it to its
+execution primitives (there: closures over pdata; here: Catalyst
+expressions).
+
+Grammar (recursive descent, no dependencies)::
+
+    statement  := editor "(" args ")" [ "where" orexpr ]
+    orexpr     := andexpr { "or" andexpr }
+    andexpr    := unary { "and" unary }
+    unary      := "not" unary | "(" orexpr ")" | comparison
+    comparison := term [ ("==" | "!=" | ">=" | "<=" | ">" | "<") term ]
+    term       := literal | funccall | path
+    funccall   := NAME "(" args ")"
+    path       := NAME { "." NAME } [ "[" STRING "]" ]
+
+Paths resolve against the flat log_records model: ``attributes["k"]`` →
+``element_at(attributes, 'k')``; ``resource.host`` → ``resource.host``;
+bare names → top-level columns.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# --- tokenizer ---------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+)
+  | (?P<string>"(?:[^"\\]|\\.)*")
+  | (?P<number>-?\d+(?:\.\d+)?)
+  | (?P<op>==|!=|>=|<=|>|<)
+  | (?P<punct>[()\[\],.])
+  | (?P<name>[A-Za-z_][A-Za-z0-9_]*)
+    """,
+    re.VERBOSE,
+)
+
+
+@dataclass
+class Token:
+    kind: str
+    text: str
+
+
+def _tokenize(s: str) -> list[Token]:
+    out: list[Token] = []
+    pos = 0
+    while pos < len(s):
+        m = _TOKEN_RE.match(s, pos)
+        if not m:
+            raise OTTLSyntaxError(f"unexpected character at {pos}: {s[pos:pos+10]!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        if kind == "ws":
+            continue
+        out.append(Token(kind, m.group()))
+    return out
+
+
+class OTTLSyntaxError(ValueError):
+    pass
+
+
+# --- AST ---------------------------------------------------------------------
+
+@dataclass
+class Lit:
+    value: object
+
+
+@dataclass
+class Path:
+    parts: tuple[str, ...]
+    key: str | None = None  # attributes["key"]
+
+
+@dataclass
+class Call:
+    name: str
+    args: list
+
+
+@dataclass
+class BinOp:
+    op: str
+    left: object
+    right: object
+
+
+@dataclass
+class NotOp:
+    operand: object
+
+
+@dataclass
+class Statement:
+    editor: Call
+    where: object | None
+
+
+# --- parser ------------------------------------------------------------------
+
+class _Parser:
+    def __init__(self, tokens: list[Token]):
+        self.toks = tokens
+        self.i = 0
+
+    def peek(self) -> Token | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def next(self) -> Token:
+        t = self.peek()
+        if t is None:
+            raise OTTLSyntaxError("unexpected end of statement")
+        self.i += 1
+        return t
+
+    def expect(self, text: str) -> None:
+        t = self.next()
+        if t.text != text:
+            raise OTTLSyntaxError(f"expected {text!r}, got {t.text!r}")
+
+    def parse_statement(self) -> Statement:
+        editor = self.parse_call()
+        where = None
+        t = self.peek()
+        if t is not None and t.text == "where":
+            self.next()
+            where = self.parse_or()
+        if self.peek() is not None:
+            raise OTTLSyntaxError(f"trailing tokens: {self.peek().text!r}")
+        return Statement(editor, where)
+
+    def parse_call(self) -> Call:
+        name = self.next()
+        if name.kind != "name":
+            raise OTTLSyntaxError(f"expected function name, got {name.text!r}")
+        self.expect("(")
+        args = []
+        if self.peek() and self.peek().text != ")":
+            args.append(self.parse_or())
+            while self.peek() and self.peek().text == ",":
+                self.next()
+                args.append(self.parse_or())
+        self.expect(")")
+        return Call(name.text, args)
+
+    def parse_or(self):
+        left = self.parse_and()
+        while self.peek() and self.peek().text == "or":
+            self.next()
+            left = BinOp("or", left, self.parse_and())
+        return left
+
+    def parse_and(self):
+        left = self.parse_unary()
+        while self.peek() and self.peek().text == "and":
+            self.next()
+            left = BinOp("and", left, self.parse_unary())
+        return left
+
+    def parse_unary(self):
+        t = self.peek()
+        if t and t.text == "not":
+            self.next()
+            return NotOp(self.parse_unary())
+        if t and t.text == "(":
+            self.next()
+            inner = self.parse_or()
+            self.expect(")")
+            return self.parse_cmp_tail(inner)
+        return self.parse_comparison()
+
+    def parse_comparison(self):
+        left = self.parse_term()
+        return self.parse_cmp_tail(left)
+
+    def parse_cmp_tail(self, left):
+        t = self.peek()
+        if t and t.kind == "op":
+            self.next()
+            right = self.parse_term()
+            return BinOp(t.text, left, right)
+        return left
+
+    def parse_term(self):
+        t = self.peek()
+        if t is None:
+            raise OTTLSyntaxError("unexpected end in expression")
+        if t.kind == "string":
+            self.next()
+            return Lit(_unquote(t.text))
+        if t.kind == "number":
+            self.next()
+            return Lit(float(t.text) if "." in t.text else int(t.text))
+        if t.kind == "name":
+            if t.text in ("true", "false"):
+                self.next()
+                return Lit(t.text == "true")
+            if t.text == "nil":
+                self.next()
+                return Lit(None)
+            # lookahead: function call vs path
+            if self.i + 1 < len(self.toks) and self.toks[self.i + 1].text == "(":
+                return self.parse_call()
+            return self.parse_path()
+        if t.text == "(":
+            self.next()
+            inner = self.parse_or()
+            self.expect(")")
+            return inner
+        raise OTTLSyntaxError(f"unexpected token {t.text!r}")
+
+    def parse_path(self) -> Path:
+        parts = [self.next().text]
+        while self.peek() and self.peek().text == ".":
+            self.next()
+            parts.append(self.next().text)
+        key = None
+        if self.peek() and self.peek().text == "[":
+            self.next()
+            kt = self.next()
+            if kt.kind != "string":
+                raise OTTLSyntaxError("map index must be a string literal")
+            key = _unquote(kt.text)
+            self.expect("]")
+        return Path(tuple(parts), key)
+
+
+def _unquote(s: str) -> str:
+    body = s[1:-1]
+    return body.replace('\\"', '"').replace("\\\\", "\\")
+
+
+def parse_statement(text: str) -> Statement:
+    return _Parser(_tokenize(text)).parse_statement()
+
+
+# --- compiler ----------------------------------------------------------------
+
+def glob_to_regex(glob: str) -> str:
+    """OTTL replace_match glob (docs/processing.md:173-191) → anchored regex."""
+    out = []
+    for ch in glob:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        else:
+            out.append(re.escape(ch))
+    return "^" + "".join(out) + "$"
+
+
+def _c(v) -> Column:
+    return v if isinstance(v, Column) else F.lit(v)
+
+
+# expression-level OTTL functions (docs/processing.md:137-142 function registry)
+_FUNCS: dict[str, Callable[..., Column]] = {
+    "IsMatch": lambda target, pattern: _c(target).rlike(_lit_str(pattern)),
+    "Len": lambda target: F.length(_c(target)),
+    "Int": lambda target: _c(target).cast("long"),
+    "Double": lambda target: _c(target).cast("double"),
+    "Concat": lambda sep, *parts: F.concat_ws(_lit_str(sep), *[_c(p) for p in parts]),
+    "Lower": lambda target: F.lower(_c(target)),
+    "Upper": lambda target: F.upper(_c(target)),
+    "Substring": lambda target, start, length: F.substring(
+        _c(target), _lit_int(start) + 1, _lit_int(length)
+    ),
+    "TraceID": lambda target: _c(target),  # identity in the hex-string model
+    "SpanID": lambda target: _c(target),
+}
+
+
+def _lit_str(v) -> str:
+    if isinstance(v, Column):
+        raise OTTLSyntaxError("expected a string literal")
+    return v
+
+
+def _lit_int(v) -> int:
+    if isinstance(v, Column):
+        raise OTTLSyntaxError("expected an int literal")
+    return int(v)
+
+
+class OTTLCompiler:
+    """Compiles parsed statements against the flat log_records model."""
+
+    def __init__(self, attributes_col: str = "attributes"):
+        self.attributes_col = attributes_col
+
+    # -- expression compilation (returns Column or python literal) --
+
+    def expr(self, node) -> object:
+        if isinstance(node, Lit):
+            return node.value
+        if isinstance(node, Path):
+            return self.path(node)
+        if isinstance(node, Call):
+            fn = _FUNCS.get(node.name)
+            if fn is None:
+                raise OTTLSyntaxError(f"unknown OTTL function {node.name!r}")
+            return fn(*[self.expr(a) for a in node.args])
+        if isinstance(node, NotOp):
+            return ~self.to_column(self.expr(node.operand))
+        if isinstance(node, BinOp):
+            if node.op in ("and", "or"):
+                l = self.to_column(self.expr(node.left))
+                r = self.to_column(self.expr(node.right))
+                return (l & r) if node.op == "and" else (l | r)
+            l, r = self.expr(node.left), self.expr(node.right)
+            lc = self._as_operand(l)
+            if node.op == "==":
+                return lc == r if not _is_nil(r) else lc.isNull()
+            if node.op == "!=":
+                return lc != r if not _is_nil(r) else lc.isNotNull()
+            if node.op == ">":
+                return lc > r
+            if node.op == "<":
+                return lc < r
+            if node.op == ">=":
+                return lc >= r
+            if node.op == "<=":
+                return lc <= r
+        raise OTTLSyntaxError(f"cannot compile node {node!r}")
+
+    def _as_operand(self, v) -> Column:
+        return v if isinstance(v, Column) else F.lit(v)
+
+    def to_column(self, v) -> Column:
+        return v if isinstance(v, Column) else F.lit(v)
+
+    def path(self, p: Path) -> Column:
+        if p.parts[0] == self.attributes_col or p.parts == ("attributes",):
+            if p.key is None:
+                return F.col(self.attributes_col)
+            return F.element_at(F.col(self.attributes_col), F.lit(p.key))
+        if p.parts[0] == "resource":
+            if len(p.parts) == 2:
+                return F.col("resource").getField(p.parts[1])
+            if p.key is not None and p.parts[-1] == "attributes":
+                # resource.attributes["x"] — resource is a typed struct here
+                return F.col("resource").getField(p.key)
+            return F.col("resource")
+        return F.col(".".join(p.parts))
+
+    # -- statement compilation (returns DataFrame -> DataFrame) --
+
+    def compile(self, text: str) -> Callable[[DataFrame], DataFrame]:
+        stmt = parse_statement(text)
+        ed = stmt.editor
+        cond = self.to_column(self.expr(stmt.where)) if stmt.where is not None else None
+
+        # OTTL condition semantics: a comparison against a missing key is
+        # false, not NULL — so drop() keeps rows where cond is not TRUE
+        # (SQL three-valued logic would otherwise drop NULL-cond rows too).
+        if ed.name == "drop":
+            if cond is None:
+                raise OTTLSyntaxError("drop() requires a where clause")
+            return lambda df: df.filter(~F.coalesce(cond, F.lit(False)))
+        if ed.name == "keep":
+            if cond is None:
+                raise OTTLSyntaxError("keep() requires a where clause")
+            return lambda df: df.filter(F.coalesce(cond, F.lit(False)))
+
+        if ed.name == "set":
+            target, value_node = ed.args[0], ed.args[1]
+            value = self._as_operand(self.expr(value_node)).cast("string")
+            if not isinstance(target, Path):
+                raise OTTLSyntaxError("set() target must be a path")
+            if target.key is not None:
+                key = target.key
+                new_attrs = F.map_concat(
+                    F.map_filter(F.col(self.attributes_col), lambda k, v: k != F.lit(key)),
+                    F.map_from_arrays(F.array(F.lit(key)), F.array(value)),
+                )
+                return self._apply_to_col(self.attributes_col, new_attrs, cond)
+            col_name = ".".join(target.parts)
+            return self._apply_to_col(col_name, self._as_operand(self.expr(value_node)), cond)
+
+        if ed.name == "delete" or ed.name == "delete_key":
+            target = ed.args[0]
+            if not isinstance(target, Path) or target.key is None:
+                raise OTTLSyntaxError("delete() needs attributes[\"key\"]")
+            key = target.key
+            new_attrs = F.map_filter(F.col(self.attributes_col), lambda k, v: k != F.lit(key))
+            return self._apply_to_col(self.attributes_col, new_attrs, cond)
+
+        if ed.name == "keep_keys":
+            target, keys = ed.args[0], [a.value for a in ed.args[1:]]
+            if not isinstance(target, Path):
+                raise OTTLSyntaxError("keep_keys() target must be a path")
+            keys_arr = F.array(*[F.lit(k) for k in keys])
+            new_attrs = F.map_filter(
+                F.col(self.attributes_col), lambda k, v: F.array_contains(keys_arr, k)
+            )
+            return self._apply_to_col(self.attributes_col, new_attrs, cond)
+
+        if ed.name == "replace_match":
+            target, glob, repl = ed.args[0], ed.args[1].value, ed.args[2].value
+            tcol = self.path(target)
+            regex = glob_to_regex(glob)
+            newval = F.when(tcol.rlike(regex), F.lit(repl)).otherwise(tcol)
+            return self._set_path(target, newval, cond)
+
+        if ed.name == "replace_pattern":
+            target, pattern, repl = ed.args[0], ed.args[1].value, ed.args[2].value
+            tcol = self.path(target)
+            newval = F.regexp_replace(tcol, pattern, repl)
+            return self._set_path(target, newval, cond)
+
+        if ed.name == "truncate_all":
+            limit = ed.args[1].value
+            new_attrs = F.transform_values(
+                F.col(self.attributes_col), lambda k, v: F.substring(v, 1, int(limit))
+            )
+            return self._apply_to_col(self.attributes_col, new_attrs, cond)
+
+        raise OTTLSyntaxError(f"unknown editor {ed.name!r}")
+
+    def _set_path(self, target: Path, value: Column, cond: Column | None):
+        if target.key is not None:
+            key = target.key
+            new_attrs = F.map_concat(
+                F.map_filter(F.col(self.attributes_col), lambda k, v: k != F.lit(key)),
+                F.map_from_entries(
+                    F.filter(
+                        F.array(F.struct(F.lit(key).alias("key"), value.alias("value"))),
+                        lambda s: s.getField("value").isNotNull(),
+                    )
+                ),
+            )
+            return self._apply_to_col(self.attributes_col, new_attrs, cond)
+        return self._apply_to_col(".".join(target.parts), value, cond)
+
+    def _apply_to_col(self, col_name: str, new_value: Column, cond: Column | None):
+        def apply(df: DataFrame) -> DataFrame:
+            val = new_value if cond is None else F.when(cond, new_value).otherwise(F.col(col_name))
+            return df.withColumn(col_name, val)
+
+        return apply
+
+
+def _is_nil(v) -> bool:
+    return v is None and not isinstance(v, Column)
+
+
+def compile_statements(
+    statements: list[str], attributes_col: str = "attributes"
+) -> Callable[[DataFrame], DataFrame]:
+    """Compile a list of OTTL statements into one DataFrame transform,
+    applied in order (the reference applies transform statements
+    sequentially within a processor)."""
+    comp = OTTLCompiler(attributes_col)
+    fns = [comp.compile(s) for s in statements]
+
+    def run(df: DataFrame) -> DataFrame:
+        for fn in fns:
+            df = fn(df)
+        return df
+
+    return run
+
+
+def compile_condition(text: str, attributes_col: str = "attributes") -> Column:
+    """Compile a bare OTTL boolean expression (router predicates,
+    filterprocessor-style conditions) to a Column."""
+    comp = OTTLCompiler(attributes_col)
+    node = _Parser(_tokenize(text)).parse_or()
+    return comp.to_column(comp.expr(node))

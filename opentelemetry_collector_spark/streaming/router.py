@@ -1,0 +1,151 @@
+"""Fan-out router — the fanoutconsumer + routing analog (T2).
+
+Reference: the fanout consumer is the last node of each pipeline and hands
+every batch to every exporter, cloning only when a consumer mutates
+(service/internal/fanoutconsumer/logs.go:32-82). Here cloning is free
+(immutable DataFrames); the design choices that matter at 100 TB are:
+
+1. **One pass.** Route membership for ALL sinks is computed in a single
+   projection as an ``array<string>`` column — the input is scanned once,
+   not once per sink.
+2. **One shuffle-free write.** The default write strategy explodes the
+   sink array and writes ``partitionBy("sink")`` in a single job: every
+   row is written exactly to the sinks it routes to, with no per-sink
+   re-scan. (A row routed to k sinks is materialized k times — same as the
+   reference's fanout, where each exporter serializes its own copy.)
+3. **Per-sink isolation mode.** ``write_per_sink`` instead persists the
+   routed frame once and runs an independent (retryable) write per sink —
+   the shape to use when sinks have different availability/retry policies,
+   mirroring the reference's per-exporter sender chains.
+
+Route semantics follow FIXTURES.md §5: ordered predicate routes, a
+``default`` route catching rows matched by no predicate route, and ``all``
+routes receiving an unconditional copy.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.ottl import compile_condition
+from .sinks import IdempotentParquetSink
+
+SINKS_COL = "__sinks"
+
+
+@dataclass
+class Route:
+    name: str
+    predicate: str | Column | None = None  # OTTL condition / Column
+    kind: str = "predicate"  # "predicate" | "default" | "all"
+
+    def condition(self) -> Column | None:
+        if self.kind != "predicate":
+            return None
+        if isinstance(self.predicate, str):
+            return compile_condition(self.predicate)
+        return self.predicate
+
+
+class FanoutRouter:
+    def __init__(self, routes: Sequence[Route]):
+        self.routes = list(routes)
+        names = [r.name for r in self.routes]
+        if len(set(names)) != len(names):
+            raise ValueError(f"duplicate route names: {names}")
+
+    def assign(self, records: DataFrame) -> DataFrame:
+        """Add the ``__sinks: array<string>`` membership column (one pass)."""
+        preds = [r for r in self.routes if r.kind == "predicate"]
+        matched = [F.coalesce(r.condition(), F.lit(False)) for r in preds]
+        any_matched = F.lit(False)
+        for m in matched:
+            any_matched = any_matched | m
+
+        entries = []
+        for r, m in zip(preds, matched):
+            entries.append(F.when(m, F.lit(r.name)))
+        for r in self.routes:
+            if r.kind == "default":
+                entries.append(F.when(~any_matched, F.lit(r.name)))
+            elif r.kind == "all":
+                entries.append(F.lit(r.name))
+        sinks = F.array_compact(F.array(*entries)) if entries else F.array().cast("array<string>")
+        return records.withColumn(SINKS_COL, sinks)
+
+    def route_counts(self, assigned: DataFrame) -> DataFrame:
+        """Per-sink routed-row counts (obsreport exporter counters)."""
+        return (
+            assigned.select(F.explode(SINKS_COL).alias("sink"))
+            .groupBy("sink")
+            .agg(F.count("*").alias("n"))
+        )
+
+    # -- write strategies ---------------------------------------------------
+
+    def write_partitioned(
+        self, assigned: DataFrame, sink: IdempotentParquetSink, epoch_id: int = 0
+    ) -> int:
+        """Single-job fan-out: explode sink membership, partitionBy(sink).
+
+        Exactly-once: the whole epoch (all sinks) commits atomically via the
+        sink's epoch marker.
+        """
+        exploded = assigned.withColumn("sink", F.explode(SINKS_COL)).drop(SINKS_COL)
+        if sink.is_committed(epoch_id):
+            return 0
+        epoch_dir = f"{sink.data_dir}/epoch={epoch_id}"
+        exploded.write.mode("overwrite").partitionBy("sink").parquet(epoch_dir)
+        spark = assigned.sparkSession
+        n = spark.read.parquet(epoch_dir).count()
+        import json, os, time
+
+        os.makedirs(sink.commits_dir, exist_ok=True)
+        tmp = sink._marker(epoch_id) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"epoch": epoch_id, "rows": n, "ts": time.time()}, f)
+        os.rename(tmp, sink._marker(epoch_id))
+        return n
+
+    def read_sink(self, spark: SparkSession, sink: IdempotentParquetSink, name: str) -> DataFrame:
+        epochs = sink.committed_epochs()
+        if not epochs:
+            raise FileNotFoundError(f"no committed epochs under {sink.root}")
+        df = spark.read.option("basePath", sink.data_dir).parquet(
+            *[f"{sink.data_dir}/epoch={e}" for e in epochs]
+        )
+        return df.where(F.col("sink") == name).drop("sink", "epoch")
+
+    def write_per_sink(
+        self,
+        assigned: DataFrame,
+        sinks: dict[str, "IdempotentParquetSink | object"],
+        epoch_id: int = 0,
+    ) -> dict[str, int]:
+        """Independent write per sink over a persisted routed frame.
+
+        ``sinks`` values are IdempotentParquetSink or RetryingSink-wrapped
+        callables exposing ``send(df, epoch_id)``.
+        """
+        assigned = assigned.persist()
+        try:
+            assigned.count()  # materialize once; each sink write reuses the cache
+            out: dict[str, int] = {}
+            for route in self.routes:
+                target = sinks.get(route.name)
+                if target is None:
+                    continue
+                subset = assigned.where(F.array_contains(F.col(SINKS_COL), route.name)).drop(
+                    SINKS_COL
+                )
+                if hasattr(target, "send"):
+                    out[route.name] = target.send(subset, epoch_id)
+                else:
+                    out[route.name] = target.write_epoch(subset, epoch_id)
+            return out
+        finally:
+            assigned.unpersist()

@@ -1,0 +1,110 @@
+"""Pipeline telemetry — the obsreport analog (SURVEY.md §2.7).
+
+The reference meters every stage boundary: receiver accepted/refused
+(obsreport/obsreport_receiver.go:166-296), processor accepted/refused/
+dropped (obsreport_processor.go:237-295), exporter sent/send-failed
+(obsreport_exporter.go:142-227), all in *items* (LogRecordCount grain,
+pdata/plog/logs.go:45-57).
+
+Here counters ride the existing jobs via ``df.observe`` (computed by the
+JVM during the action that materializes the stage — no extra pass), and
+per-partition lineage rows go to a parquet table keyed by
+(run_id, epoch, partition, sink) so a resumed run can prove which work
+landed (SURVEY.md §4 item 5).
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass
+class StageCounters:
+    """obsreporttest.CheckProcessorLogs analog — per-stage item counts."""
+
+    accepted: int = 0
+    refused: int = 0
+    dropped: int = 0
+    sent: int = 0
+    send_failed: int = 0
+
+
+@dataclass
+class PipelineTelemetry:
+    run_id: str = field(default_factory=lambda: uuid.uuid4().hex[:12])
+    stages: dict[str, StageCounters] = field(default_factory=dict)
+    _observations: dict[str, Observation] = field(default_factory=dict)
+
+    def counters(self, stage: str) -> StageCounters:
+        return self.stages.setdefault(stage, StageCounters())
+
+    def observe(self, df: DataFrame, stage: str) -> DataFrame:
+        """Attach a count observation at a stage boundary; harvested by
+        ``harvest()`` after the terminal action runs. Free — rides the job."""
+        obs = Observation(f"{self.run_id}-{stage}")
+        self._observations[stage] = obs
+        return df.observe(obs, F.count(F.lit(1)).alias("items"))
+
+    def harvest(self) -> None:
+        for stage, obs in list(self._observations.items()):
+            try:
+                self.counters(stage).accepted = int(obs.get.get("items", 0))
+            except Exception:
+                pass  # observation never materialized (stage not executed)
+
+    def record_sent(self, sink: str, n: int) -> None:
+        self.counters(f"exporter/{sink}").sent += n
+
+    def record_send_failed(self, sink: str, n: int = 1) -> None:
+        self.counters(f"exporter/{sink}").send_failed += n
+
+    def as_dict(self) -> dict:
+        self.harvest()
+        return {
+            "run_id": self.run_id,
+            "stages": {
+                k: {
+                    "accepted": v.accepted,
+                    "refused": v.refused,
+                    "dropped": v.dropped,
+                    "sent": v.sent,
+                    "send_failed": v.send_failed,
+                }
+                for k, v in self.stages.items()
+            },
+        }
+
+
+def lineage_frame(
+    assigned: DataFrame, run_id: str, epoch_id: int, sinks_col: str = "__sinks"
+) -> DataFrame:
+    """Per-(partition, sink) routed-item counts — the lineage table row per
+    (run_id, epoch, partition, sink) from SURVEY.md §4 item 5."""
+    return (
+        assigned.select(
+            F.spark_partition_id().alias("partition_id"),
+            F.explode(sinks_col).alias("sink"),
+        )
+        .groupBy("partition_id", "sink")
+        .agg(F.count("*").alias("items"))
+        .select(
+            F.lit(run_id).alias("run_id"),
+            F.lit(epoch_id).alias("epoch"),
+            "partition_id",
+            "sink",
+            "items",
+        )
+    )
+
+
+def write_lineage(assigned: DataFrame, path: str, run_id: str, epoch_id: int) -> None:
+    lineage_frame(assigned, run_id, epoch_id).write.mode("append").parquet(path)
+
+
+def read_lineage(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)

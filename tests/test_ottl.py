@@ -1,0 +1,134 @@
+"""OTTL-subset compiler tests (docs/processing.md statement forms)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from opentelemetry_collector_spark.fixtures import synthesize_pages
+from opentelemetry_collector_spark.operators.ottl import (
+    OTTLSyntaxError,
+    compile_condition,
+    compile_statements,
+    glob_to_regex,
+    parse_statement,
+)
+from opentelemetry_collector_spark.operators.parse import parse_pages
+
+
+@pytest.fixture(scope="module")
+def records(spark):
+    return parse_pages(synthesize_pages(spark, 300)).persist()
+
+
+def test_parser_shapes():
+    s = parse_statement('set(attributes["a"], "b") where severity_number >= 17')
+    assert s.editor.name == "set" and s.where is not None
+    with pytest.raises(OTTLSyntaxError):
+        compile_statements(["drop()"])  # missing where
+    with pytest.raises(OTTLSyntaxError):
+        parse_statement("nonsense(")
+    with pytest.raises(OTTLSyntaxError):
+        compile_statements(["frobnicate(attributes)"])  # unknown editor
+
+
+def test_glob_to_regex():
+    assert glob_to_regex("/r/4*") == "^/r/4.*$"
+    assert glob_to_regex("a?.c") == r"^a.\.c$"
+
+
+def test_set_and_delete(records):
+    run = compile_statements(
+        [
+            'set(attributes["source"], "web")',
+            'delete(attributes["bytes"])',
+        ]
+    )
+    out = run(records)
+    assert out.where(F.element_at("attributes", "source") != "web").count() == 0
+    assert out.where(F.element_at("attributes", "bytes").isNotNull()).count() == 0
+
+
+def test_set_where_condition(records):
+    run = compile_statements(
+        ['set(attributes["err"], "1") where severity_number >= 17']
+    )
+    out = run(records)
+    hi = out.where(F.col("severity_number") >= 17)
+    lo = out.where(F.col("severity_number") < 17)
+    assert hi.where(F.element_at("attributes", "err").isNull()).count() == 0
+    assert lo.where(F.element_at("attributes", "err").isNotNull()).count() == 0
+
+
+def test_keep_keys(records):
+    run = compile_statements(['keep_keys(attributes, "ip", "status")'])
+    out = run(records)
+    bad = out.where(
+        F.exists(F.map_keys("attributes"), lambda k: ~k.isin("ip", "status"))
+    )
+    assert bad.count() == 0
+    # access rows keep exactly ip+status
+    assert out.where(F.size("attributes") == 2).count() > 0
+
+
+def test_replace_match_cardinality_reduction(records):
+    run = compile_statements(
+        ['replace_match(attributes["path"], "/r/4*", "/r/4xx")']
+    )
+    out = run(records)
+    assert out.where(F.element_at("attributes", "path").rlike("^/r/4[0-9]")).count() == 0
+    assert out.where(F.element_at("attributes", "path") == "/r/4xx").count() > 0
+    # non-matching paths unchanged
+    before = records.where(F.element_at("attributes", "path").rlike("^/r/1")).count()
+    after = out.where(F.element_at("attributes", "path").rlike("^/r/1")).count()
+    assert before == after
+
+
+def test_drop_where(records):
+    run = compile_statements(['drop() where attributes["status"] == "404"'])
+    out = run(records)
+    assert out.where(F.element_at("attributes", "status") == "404").count() == 0
+    kept = records.where(
+        F.element_at("attributes", "status").isNull()
+        | (F.element_at("attributes", "status") != "404")
+    ).count()
+    assert out.count() == kept
+
+
+def test_keep_where_and_ismatch(records):
+    run = compile_statements(
+        ['keep() where IsMatch(body, "^free text noise.*") or severity_number >= 21']
+    )
+    out = run(records)
+    assert out.count() > 0
+    bad = out.where(
+        ~F.col("body").rlike("^free text noise.*") & (F.col("severity_number") < 21)
+    )
+    assert bad.count() == 0
+
+
+def test_condition_compiler(records):
+    cond = compile_condition('resource.host == "host0000.example.com" and severity_number > 0')
+    got = records.where(cond).count()
+    want = records.where(
+        (F.col("resource.host") == "host0000.example.com") & (F.col("severity_number") > 0)
+    ).count()
+    assert got == want and got > 0
+
+
+def test_truncate_all(records):
+    run = compile_statements(["truncate_all(attributes, 3)"])
+    out = run(records)
+    assert out.where(
+        F.exists(F.map_values("attributes"), lambda v: F.length(v) > 3)
+    ).count() == 0
+
+
+def test_filter_pushdown_through_parse(spark, tmp_path):
+    """A compiled drop()/keep() predicate on a scan column must reach the
+    parquet reader as a pushed filter (SURVEY.md §4: OTTL compiles to
+    built-in expressions precisely so Catalyst can push them)."""
+    p = str(tmp_path / "pages")
+    synthesize_pages(spark, 200).write.parquet(p)
+    pages = spark.read.parquet(p)
+    keep_lang = compile_condition('lang == "en"')
+    plan = pages.where(keep_lang).select("url")._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan

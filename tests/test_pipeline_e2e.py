@@ -1,0 +1,246 @@
+"""End-to-end pipeline tests: YAML config → compiled DAG → sinks, with
+obsreport-style count parity against an independent pandas oracle
+(obsreporttest.CheckExporterLogs analog, obsreporttest.go:93-160)."""
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+import pytest
+
+from opentelemetry_collector_spark.fixtures.pages import generate_pages_pandas
+from opentelemetry_collector_spark.plans import (
+    BatchPipelineRunner,
+    ConfigError,
+    load_config,
+)
+
+N = 500
+
+CFG = """
+receivers:
+  pages_synthetic:
+    n_rows: {n}
+processors:
+  parse:
+    engine: sql
+  transform/normalize:
+    kind: transform
+    statements:
+      - 'set(attributes["source"], "web")'
+  filter/drop403:
+    kind: filter
+    drop_where: 'attributes["status"] == "403"'
+  enrich_geo: {{}}
+  enrich_lang: {{}}
+  batch:
+    partitions: 8
+exporters:
+  sink_errors:
+    kind: parquet
+    predicate: "severity_number >= 17"
+  sink_access:
+    kind: parquet
+    predicate: 'attributes["method"] != nil'
+  sink_default:
+    kind: parquet
+    default: true
+  sink_all:
+    kind: parquet
+    all: true
+service:
+  pipelines:
+    logs:
+      receivers: [pages_synthetic]
+      processors: [parse, transform/normalize, filter/drop403, enrich_geo, enrich_lang, batch]
+      exporters: [sink_errors, sink_access, sink_default, sink_all]
+"""
+
+
+def oracle_counts(n: int) -> dict:
+    """Independent pandas oracle over the same deterministic input
+    (FIXTURES.md §5: expected per-sink counts computed independently)."""
+    pdf = generate_pages_pandas(np.arange(n))
+    access_re = re.compile(
+        r'^(\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}) - - \[([^\]]+)\] '
+        r'"(GET|POST|PUT|DELETE|HEAD) (\S+) HTTP/[0-9.]+" (\d{3}) (\d+)$'
+    )
+    applog_re = re.compile(
+        r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}Z "
+        r"((?:TRACE|DEBUG|INFO|WARN|ERROR|FATAL))[2-4]? \["
+    )
+    sev = {"TRACE": 1, "DEBUG": 5, "INFO": 9, "WARN": 13, "ERROR": 17, "FATAL": 21}
+    counts = {"sink_errors": 0, "sink_access": 0, "sink_default": 0, "sink_all": 0}
+    for text in pdf["text"]:
+        for line in text.split("\n"):
+            if not line:
+                continue
+            m_acc = access_re.match(line)
+            if m_acc and m_acc.group(5) == "403":
+                continue  # dropped by filter/drop403
+            # kv lines also carry a status attribute (FIXTURES.md §2)
+            m_kv = re.match(r'^key1=\S+ key2="[^"]*" status=(\d+)$', line)
+            if m_kv and m_kv.group(1) == "403":
+                continue
+            m_app = applog_re.match(line)
+            sev_num = sev.get(m_app.group(1), 0) if m_app else 0
+            matched = False
+            if sev_num >= 17:
+                counts["sink_errors"] += 1
+                matched = True
+            if m_acc:
+                counts["sink_access"] += 1
+                matched = True
+            if not matched:
+                counts["sink_default"] += 1
+            counts["sink_all"] += 1
+    return counts
+
+
+@pytest.fixture(scope="module")
+def run(spark, tmp_path_factory):
+    cfg = load_config(CFG.format(n=N))
+    runner = BatchPipelineRunner(spark, cfg, str(tmp_path_factory.mktemp("e2e")))
+    return runner, runner.run()
+
+
+def test_count_parity_vs_oracle(run):
+    runner, result = run
+    want = oracle_counts(N)
+    got = result.sink_counts()
+    assert got == want
+
+
+def test_telemetry_counters(run):
+    runner, result = run
+    t = result.telemetry.as_dict()
+    # receiver accepted = pages in; processor accepted = records after stages
+    assert t["stages"]["receiver/logs"]["accepted"] == N
+    proc = t["stages"]["processor/logs"]["accepted"]
+    want = oracle_counts(N)
+    # processor output = sink_all (unconditional copy) count
+    assert proc == want["sink_all"]
+    for s in ("sink_errors", "sink_access", "sink_default", "sink_all"):
+        assert t["stages"][f"exporter/{s}"]["sent"] == want[s]
+
+
+def test_lineage_written(spark, run):
+    runner, result = run
+    lin = spark.read.parquet(f"{runner.out_root}/_lineage")
+    want = oracle_counts(N)
+    got = {
+        r["sink"]: r["total"]
+        for r in lin.groupBy("sink").agg(F.sum("items").alias("total")).collect()
+    }
+    assert got == want
+
+
+def test_transform_applied(spark, run):
+    runner, result = run
+    df = runner.read_sink("logs", "sink_all")
+    assert df.where(F.element_at("attributes", "source") != "web").count() == 0
+    # enrichment present
+    assert df.where(F.col("resource.country") == "").count() == 0
+    assert (
+        df.where(F.element_at("attributes", "lang_family").isNotNull()).count() > 0
+    )
+
+
+def test_filter_applied(spark, run):
+    runner, result = run
+    df = runner.read_sink("logs", "sink_all")
+    assert df.where(F.element_at("attributes", "status") == "403").count() == 0
+
+
+def test_config_validation_errors():
+    with pytest.raises(ConfigError, match="unknown receiver"):
+        load_config(
+            {
+                "exporters": {"x": {"kind": "parquet"}},
+                "service": {"pipelines": {"p": {"receivers": ["nope"], "exporters": ["x"]}}},
+            }
+        )
+    with pytest.raises(ConfigError, match="at least one exporter"):
+        load_config(
+            {
+                "receivers": {"r": {"kind": "pages_synthetic", "n_rows": 1}},
+                "service": {"pipelines": {"p": {"receivers": ["r"], "exporters": []}}},
+            }
+        )
+
+
+def test_connector_cycle_detection():
+    """Cycle error mirrors service/graph.go:315-353."""
+    cfg = {
+        "receivers": {"r": {"kind": "pages_synthetic", "n_rows": 1}},
+        "connectors": {"fwd/a": {"kind": "forward"}, "fwd/b": {"kind": "forward"}},
+        "exporters": {"x": {"kind": "parquet"}},
+        "service": {
+            "pipelines": {
+                "p1": {"receivers": ["r", "fwd/b"], "exporters": ["fwd/a"]},
+                "p2": {"receivers": ["fwd/a"], "exporters": ["fwd/b", "x"]},
+            }
+        },
+    }
+    with pytest.raises(ConfigError, match="cycle detected"):
+        load_config(cfg)
+
+
+def test_forward_connector(spark, tmp_path):
+    """T4: exporter-end of pipeline A bridges to receiver-end of B
+    (connector/forwardconnector/forward.go:75-88)."""
+    cfg = load_config(
+        {
+            "receivers": {"pages_synthetic": {"n_rows": 120}},
+            "processors": {
+                "parse": {},
+                "filter/errs": {"kind": "filter", "keep_where": "severity_number >= 17"},
+            },
+            "connectors": {"forward": {}},
+            "exporters": {"sink_a": {"kind": "parquet", "all": True},
+                          "sink_b": {"kind": "parquet", "all": True}},
+            "service": {
+                "pipelines": {
+                    "ingest": {
+                        "receivers": ["pages_synthetic"],
+                        "processors": ["parse"],
+                        "exporters": ["forward", "sink_a"],
+                    },
+                    "errors": {
+                        "receivers": ["forward"],
+                        "processors": ["filter/errs"],
+                        "exporters": ["sink_b"],
+                    },
+                }
+            },
+        }
+    )
+    assert cfg.topo_order() == ["ingest", "errors"]
+    runner = BatchPipelineRunner(spark, cfg, str(tmp_path / "fwd"))
+    result = runner.run()
+    all_recs = runner.read_sink("ingest", "sink_a")
+    errs = runner.read_sink("errors", "sink_b")
+    assert errs.count() == all_recs.where(F.col("severity_number") >= 17).count()
+
+
+def test_shared_receiver_instance(spark, tmp_path):
+    """S4: one receiver feeding two pipelines is read once and both see
+    identical data (internal/sharedcomponent analog)."""
+    cfg = load_config(
+        {
+            "receivers": {"pages_synthetic": {"n_rows": 60}},
+            "processors": {"parse": {}},
+            "exporters": {"s1": {"kind": "parquet", "all": True},
+                          "s2": {"kind": "parquet", "all": True}},
+            "service": {
+                "pipelines": {
+                    "a": {"receivers": ["pages_synthetic"], "processors": ["parse"], "exporters": ["s1"]},
+                    "b": {"receivers": ["pages_synthetic"], "processors": ["parse"], "exporters": ["s2"]},
+                }
+            },
+        }
+    )
+    runner = BatchPipelineRunner(spark, cfg, str(tmp_path / "shared"))
+    result = runner.run()
+    assert result.pipelines["a"].sink_counts["s1"] == result.pipelines["b"].sink_counts["s2"]
