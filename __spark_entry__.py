@@ -1,38 +1,590 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship parse→route→aggregate pipeline over the
+sf0.001 tables. ``queries()`` exposes one entry per implemented operator
+from SURVEY.md §2 (+ the corpus-curation operators); ``oracle_sql()``
+carries the DuckDB-equivalent ANSI SQL for every SQL-expressible one.
+
+Engine-parity conventions used throughout (see operator docstrings):
+- every computed column is aliased identically on both sides;
+- doubles are rounded (2-4 dp) at the output boundary;
+- timestamps are emitted as epoch seconds / unix nanos (integers);
+- all content hashes derive from md5/sha256, identical in both engines;
+- the md5→60-bit-integer bridge is ``conv(substr(md5(x),18,15),16,10)`` in
+  Spark and a list_reduce over hex digits in DuckDB.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_spark.operators import aggregate as agg_ops
+from opentelemetry_collector_spark.operators import dedup as dedup_ops
+from opentelemetry_collector_spark.operators import multimodal as mm_ops
+from opentelemetry_collector_spark.operators import similarity as sim_ops
+from opentelemetry_collector_spark.operators import textstats as ts_ops
+from opentelemetry_collector_spark.operators.batch import split_head
+from opentelemetry_collector_spark.operators.enrich import enrich_broadcast
+from opentelemetry_collector_spark.operators.ottl import compile_statements
+from opentelemetry_collector_spark.operators.parse import parse_pages
+from opentelemetry_collector_spark.sources.tables import (
+    EVENT_SEVERITY,
+    events_to_records,
+    pages_from_documents,
+)
+from opentelemetry_collector_spark.streaming.router import FanoutRouter, Route
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# Flagship pipeline: parse → route → aggregate over documents-as-pages
+# ---------------------------------------------------------------------------
+
+def _pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = pages_from_documents(_t(spark, sf_dir, "documents"))
+    records = parse_pages(pages, engine="sql")
+    router = FanoutRouter(
+        [
+            Route("long_body", predicate=F.length(F.col("body")) >= 300),
+            Route("audit", kind="all"),
+            Route("default", kind="default"),
+        ]
+    )
+    assigned = router.assign(records)
+    return (
+        assigned.select(F.explode("__sinks").alias("sink"), F.col("resource.lang").alias("lang"))
+        .groupBy("sink", "lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+_PIPELINE_E2E_SQL = """
+WITH r AS (
+  SELECT text AS body, lang FROM documents WHERE length(text) > 0
+)
+SELECT 'long_body' AS sink, lang, count(*) AS n FROM r WHERE length(body) >= 300 GROUP BY lang
+UNION ALL
+SELECT 'audit' AS sink, lang, count(*) AS n FROM r GROUP BY lang
+UNION ALL
+SELECT 'default' AS sink, lang, count(*) AS n FROM r WHERE length(body) < 300 GROUP BY lang
+"""
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return _pipeline_e2e(spark, "/root/testdata/sf0.001")
 
+
+# ---------------------------------------------------------------------------
+# Oracle-SQL building blocks
+# ---------------------------------------------------------------------------
+
+def _dd_hexlong(expr: str) -> str:
+    """DuckDB twin of dedup.md5_long: int value of md5 hex chars 18..32."""
+    return (
+        "list_reduce(list_transform(string_split(substr(md5(" + expr + "),18,15),''),"
+        " c -> strpos('0123456789abcdef',c)-1), (a,b) -> a*16+b)"
+    )
+
+
+_SEVERITY_CASE_TEXT = (
+    "CASE "
+    + " ".join(f"WHEN event_type = '{t}' THEN '{s}'" for t, (s, _) in EVENT_SEVERITY.items())
+    + " ELSE '' END"
+)
+_SEVERITY_CASE_NUM = (
+    "CAST(CASE "
+    + " ".join(f"WHEN event_type = '{t}' THEN {n}" for t, (_, n) in EVENT_SEVERITY.items())
+    + " ELSE 0 END AS INTEGER)"
+)
+
+_JACCARD_PAIRS_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(text, ' +') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+  FROM toks, unnest(generate_series(1, greatest(len(w)-2, 0))) AS t(i)
+), pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)
+SELECT d1, d2, round(common::DOUBLE/(s1.n + s2.n - common), 4) AS jaccard
+FROM pairs
+JOIN sizes s1 ON s1.doc_id = d1
+JOIN sizes s2 ON s2.doc_id = d2
+WHERE common::DOUBLE/(s1.n + s2.n - common) >= 0.8
+"""
+
+
+def _simhash_sql(bits: int = 32) -> str:
+    sums = ", ".join(f"sum(((h>>{b})&1)*2-1) AS s{b}" for b in range(bits))
+    assemble = " + ".join(
+        f"(CASE WHEN s{b} >= 0 THEN 1 ELSE 0 END)::BIGINT * {1 << b}" for b in range(bits)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split_regex(text, ' +'))) AS tok FROM documents
+), hv AS (
+  SELECT doc_id, {_dd_hexlong('tok')} AS h FROM toks
+), s AS (
+  SELECT doc_id, {sums} FROM hv GROUP BY doc_id
+)
+SELECT doc_id, {assemble} AS simhash FROM s
+"""
+
+
+def _stoplist_sql(lang: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in ts_ops.STOPWORDS[lang]) + "]"
+
+
+_QUALITY_SQL = f"""
+WITH base AS (
+  SELECT doc_id, text, string_split_regex(text, ' +') AS w FROM documents
+), feat AS (
+  SELECT doc_id,
+    len(w) AS n,
+    CASE WHEN len(w) > 0 THEN list_sum(list_transform(w, t -> length(t)::DOUBLE)) / len(w) ELSE 0.0 END AS mwl,
+    CASE WHEN len(w) > 0 THEN len(list_filter(w, t -> list_contains({_stoplist_sql('en')}, t)))::DOUBLE / len(w) ELSE 0.0 END AS stop_r,
+    CASE WHEN length(text) > 0 THEN length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))::DOUBLE / length(text) ELSE 0.0 END AS alpha_r
+  FROM base
+)
+SELECT doc_id,
+  n::BIGINT AS ws_tokens,
+  round(mwl, 4) AS mean_word_len,
+  round(stop_r, 4) AS stopword_ratio,
+  round(alpha_r, 4) AS alpha_ratio,
+  round(0.4 * least(n::DOUBLE / 100.0, 1.0) + 0.3 * stop_r + 0.3 * alpha_r, 4) AS quality
+FROM feat
+"""
+
+_LANGID_SQL = f"""
+WITH base AS (
+  SELECT doc_id, string_split_regex(text, ' +') AS w FROM documents
+), sc AS (
+  SELECT doc_id,
+    len(list_filter(w, t -> list_contains({_stoplist_sql('de')}, t))) AS s_de,
+    len(list_filter(w, t -> list_contains({_stoplist_sql('en')}, t))) AS s_en,
+    len(list_filter(w, t -> list_contains({_stoplist_sql('es')}, t))) AS s_es,
+    len(list_filter(w, t -> list_contains({_stoplist_sql('fr')}, t))) AS s_fr
+  FROM base
+)
+SELECT doc_id,
+  s_de::BIGINT AS score_de, s_en::BIGINT AS score_en,
+  s_es::BIGINT AS score_es, s_fr::BIGINT AS score_fr,
+  CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+       WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+       WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+       WHEN s_es >= s_fr THEN 'es'
+       ELSE 'fr' END AS pred_lang
+FROM sc
+"""
+
+_COS_EXPR = (
+    "list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i] * b.v[i]))"
+    " / (sqrt(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i] * a.v[i])))"
+    " * sqrt(list_sum(list_transform(range(1, len(b.v)+1), i -> b.v[i] * b.v[i]))))"
+)
+
+_EMB_NEARDUP_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS v1, b.vec_id AS v2, round({_COS_EXPR}, 4) AS sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE {_COS_EXPR} >= 0.45
+"""
+
+_ANN_TOPK_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+    list_sum(list_transform(range(1, len(e.v)+1), i -> e.v[i] * q.qv[i]))
+    / (sqrt(list_sum(list_transform(range(1, len(e.v)+1), i -> e.v[i] * e.v[i])))
+     * sqrt(list_sum(list_transform(range(1, len(q.qv)+1), i -> q.qv[i] * q.qv[i])))) AS sim
+  FROM e, q WHERE e.vec_id != q.query_id
+), ranked AS (
+  SELECT query_id, vec_id, round(sim, 4) AS sim4,
+    row_number() OVER (PARTITION BY query_id ORDER BY round(sim, 6) DESC, vec_id) AS rk
+  FROM scored
+)
+SELECT query_id, vec_id, rk::INTEGER AS rank, sim4 AS sim FROM ranked WHERE rk <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# queries() — Spark implementations
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # --- pipeline model (SURVEY.md §2.1-2.4) ---
+    q["pipeline_e2e"] = _pipeline_e2e
 
+    def events_parse_json(spark, sf):  # S2: JSON payload decode
+        return events_to_records(_t(spark, sf, "events")).select(
+            "event_id", "event_type", "severity_text", "severity_number",
+            "attr_k", "time_unix_nano",
+        )
+
+    q["events_parse_json"] = events_parse_json
+
+    def sev_rollup(spark, sf):  # O2 counter grain as groupBy
+        return agg_ops.severity_rollup(events_to_records(_t(spark, sf, "events")))
+
+    q["severity_rollup"] = sev_rollup
+
+    def router_counts(spark, sf):  # T2 fanout membership + per-sink counts
+        records = events_to_records(_t(spark, sf, "events"))
+        router = FanoutRouter(
+            [
+                Route("errors", predicate=F.col("event_type") == "error"),
+                Route("high_value", predicate=F.col("value") >= 50.0),
+                Route("audit", kind="all"),
+                Route("default", kind="default"),
+            ]
+        )
+        return router.route_counts(router.assign(records))
+
+    q["router_counts"] = router_counts
+
+    def ottl_transform(spark, sf):  # P7-P9 OTTL → Column compiler
+        records = events_to_records(_t(spark, sf, "events")).select(
+            "event_id",
+            F.map_from_arrays(
+                F.array(F.lit("type"), F.lit("k")),
+                F.array(F.col("event_type"), F.col("attr_k")),
+            ).alias("attributes"),
+        )
+        xform = compile_statements(
+            [
+                'set(attributes["source"], "web")',
+                'replace_match(attributes["type"], "s*", "s-class")',
+                'drop() where attributes["type"] == "view"',
+            ]
+        )
+        out = xform(records)
+        return out.select(
+            "event_id",
+            F.element_at("attributes", "type").alias("type"),
+            F.element_at("attributes", "source").alias("source"),
+            F.element_at("attributes", "k").alias("k"),
+        )
+
+    q["ottl_transform"] = ottl_transform
+
+    def batch_split(spark, sf):  # P2-P4 deterministic split
+        records = events_to_records(_t(spark, sf, "events"))
+        head, _rest = split_head(records, 100, order_by=["event_id"])
+        return head.select("event_id", "event_type")
+
+    q["batch_split_head"] = batch_split
+
+    def window_tumbling(spark, sf):  # P11 group_by(key, window)
+        return agg_ops.tumbling_window(_t(spark, sf, "events"))
+
+    q["window_tumbling"] = window_tumbling
+
+    def spanmetrics(spark, sf):  # T5 connector: events → metrics
+        return agg_ops.spanmetrics(_t(spark, sf, "events"))
+
+    q["spanmetrics_connector"] = spanmetrics
+
+    # --- enrichment + relational core (P10 + engine proof) ---
+    def enrich_geo(spark, sf):
+        sup = _t(spark, sf, "supplier").withColumnRenamed("s_nationkey", "nationkey")
+        nat = _t(spark, sf, "nation").select(
+            F.col("n_nationkey").alias("nationkey"),
+            F.col("n_name").alias("nation_name"),
+            F.col("n_regionkey").alias("regionkey"),
+        )
+        reg = _t(spark, sf, "region").select(
+            F.col("r_regionkey").alias("regionkey"),
+            F.col("r_name").alias("region_name"),
+        )
+        enriched = enrich_broadcast(sup, nat, on="nationkey")
+        enriched = enrich_broadcast(enriched, reg, on="regionkey")
+        return enriched.groupBy("region_name").agg(F.count("*").alias("suppliers"))
+
+    q["enrich_broadcast_geo"] = enrich_geo
+
+    def q1(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        return (
+            li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+                F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                F.count("*").alias("count_order"),
+            )
+        )
+
+    q["q1_pricing_rollup"] = q1
+
+    def q3(spark, sf):
+        cust = _t(spark, sf, "customer").where(F.col("c_mktsegment") == "BUILDING")
+        orders = _t(spark, sf, "orders").where(
+            F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp")
+        )
+        li = _t(spark, sf, "lineitem").where(
+            F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp")
+        )
+        rev = F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+        return (
+            li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+            .groupBy("o_orderkey")
+            .agg(rev.alias("revenue"))
+            .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+            .limit(10)
+        )
+
+    q["q3_revenue_topk"] = q3
+
+    # --- dedup (corpus curation) ---
+    def dd_exact(spark, sf):
+        return dedup_ops.dedup_exact(_t(spark, sf, "documents"))
+
+    q["dedup_exact"] = dd_exact
+
+    def dd_jaccard(spark, sf):
+        return dedup_ops.jaccard_pairs(_t(spark, sf, "documents"), threshold=0.8)
+
+    q["dedup_ngram_jaccard"] = dd_jaccard
+
+    def dd_minhash(spark, sf):
+        return dedup_ops.minhash_lsh_pairs(
+            _t(spark, sf, "documents"), num_hashes=32, bands=16, threshold=0.8
+        )
+
+    q["dedup_minhash_lsh"] = dd_minhash
+
+    def dd_simhash(spark, sf):
+        return dedup_ops.simhash(_t(spark, sf, "documents"), bits=32)
+
+    q["dedup_simhash"] = dd_simhash
+
+    def emb_neardup(spark, sf):
+        return sim_ops.cosine_pairs(_t(spark, sf, "embeddings"), threshold=0.45)
+
+    q["embedding_neardup"] = emb_neardup
+
+    # --- similarity search ---
+    def ann_brute(spark, sf):
+        emb = _t(spark, sf, "embeddings")
+        queries_df = emb.where(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding")
+        )
+        return sim_ops.cosine_topk(emb, queries_df, k=5)
+
+    q["ann_topk_bruteforce"] = ann_brute
+
+    def ann_lsh(spark, sf):  # rows-only: LSH recall is approximate
+        return sim_ops.rp_lsh_pairs(_t(spark, sf, "embeddings"), threshold=0.4)
+
+    q["ann_lsh_pairs"] = ann_lsh
+
+    def ann_ivf(spark, sf):  # rows-only: IVF recall is approximate
+        emb = _t(spark, sf, "embeddings")
+        queries_df = emb.where(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding")
+        )
+        return sim_ops.ivf_topk(emb, queries_df, k=5)
+
+    q["ann_ivf_topk"] = ann_ivf
+
+    # --- text analysis ---
+    def tstats(spark, sf):
+        return ts_ops.token_stats(_t(spark, sf, "documents"))
+
+    q["token_count"] = tstats
+
+    def tquality(spark, sf):
+        return ts_ops.quality_score(_t(spark, sf, "documents"))
+
+    q["quality_score"] = tquality
+
+    def tlang(spark, sf):
+        return ts_ops.lang_id(_t(spark, sf, "documents"))
+
+    q["lang_id"] = tlang
+
+    def tfp(spark, sf):
+        return ts_ops.fingerprint(_t(spark, sf, "documents"))
+
+    q["doc_fingerprint"] = tfp
+
+    def twinnow(spark, sf):  # rows-only: array-valued output
+        return ts_ops.winnowing_fingerprints(_t(spark, sf, "documents")).select(
+            "doc_id", F.size("fingerprints").alias("n_fingerprints")
+        )
+
+    q["winnowing_fingerprints"] = twinnow
+
+    # --- multimodal plumbing ---
+    def mm_meta(spark, sf):
+        blobs = mm_ops.attach_blob(_t(spark, sf, "documents"))
+        return mm_ops.blob_meta_columnar(blobs)
+
+    q["multimodal_blob_meta"] = mm_meta
+
+    def mm_decode(spark, sf):  # rows-only: stubbed codec (deterministic fake)
+        blobs = mm_ops.attach_blob(_t(spark, sf, "documents"))
+        return mm_ops.decode_image_meta(blobs, fake=True)
+
+    q["multimodal_decode_stub"] = mm_decode
+
+    def parse_arrow(spark, sf):  # rows-only: Arrow-engine parse parity is pytest-locked
+        pages = pages_from_documents(_t(spark, sf, "documents"))
+        recs = parse_pages(pages, engine="arrow")
+        return recs.groupBy(F.col("resource.host").alias("host")).agg(
+            F.count("*").alias("records")
+        )
+
+    q["parse_arrow_engine"] = parse_arrow
+
+    return q
+
+
+# ---------------------------------------------------------------------------
+# oracle_sql() — DuckDB twins
+# ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o: dict[str, str] = {}
+
+    o["pipeline_e2e"] = _PIPELINE_E2E_SQL
+
+    o["events_parse_json"] = f"""
+SELECT event_id, event_type,
+  {_SEVERITY_CASE_TEXT} AS severity_text,
+  {_SEVERITY_CASE_NUM} AS severity_number,
+  json_extract_string(props, '$.k') AS attr_k,
+  epoch_us(ts) * 1000 AS time_unix_nano
+FROM events
+"""
+
+    o["severity_rollup"] = f"""
+SELECT {_SEVERITY_CASE_NUM} AS severity_number,
+  {_SEVERITY_CASE_TEXT} AS severity_text,
+  count(*) AS items,
+  count(DISTINCT user_id) AS users
+FROM events GROUP BY 1, 2
+"""
+
+    o["router_counts"] = """
+SELECT 'errors' AS sink, count(*) AS n FROM events WHERE event_type = 'error'
+UNION ALL
+SELECT 'high_value' AS sink, count(*) AS n FROM events WHERE value >= 50.0
+UNION ALL
+SELECT 'audit' AS sink, count(*) AS n FROM events
+UNION ALL
+SELECT 'default' AS sink, count(*) AS n FROM events
+WHERE NOT (event_type = 'error') AND NOT (value >= 50.0)
+"""
+
+    o["ottl_transform"] = """
+SELECT event_id,
+  CASE WHEN event_type LIKE 's%' THEN 's-class' ELSE event_type END AS type,
+  'web' AS source,
+  json_extract_string(props, '$.k') AS k
+FROM events WHERE NOT (event_type = 'view')
+"""
+
+    o["batch_split_head"] = """
+SELECT event_id, event_type FROM events ORDER BY event_id LIMIT 100
+"""
+
+    o["window_tumbling"] = """
+SELECT (floor(epoch(ts) / 300) * 300)::BIGINT AS window_start,
+  event_type, count(*) AS items, round(avg(value), 4) AS avg_value
+FROM events GROUP BY 1, 2
+"""
+
+    o["spanmetrics_connector"] = """
+SELECT event_type, count(*) AS calls,
+  round(min(value), 4) AS min_value,
+  round(max(value), 4) AS max_value,
+  round(sum(value), 4) AS sum_value,
+  round(avg(value), 4) AS avg_value
+FROM events GROUP BY 1
+"""
+
+    o["enrich_broadcast_geo"] = """
+SELECT r_name AS region_name, count(*) AS suppliers
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY 1
+"""
+
+    o["q1_pricing_rollup"] = """
+SELECT l_returnflag, l_linestatus,
+  round(sum(l_quantity), 2) AS sum_qty,
+  round(sum(l_extendedprice), 2) AS sum_base_price,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+  round(avg(l_quantity), 4) AS avg_qty,
+  count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY 1, 2
+"""
+
+    o["q3_revenue_topk"] = """
+SELECT o_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01'
+  AND l_shipdate > TIMESTAMP '1998-06-01'
+GROUP BY 1
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+    o["dedup_exact"] = """
+SELECT md5(text) AS digest, min(doc_id) AS doc_id, count(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+    o["dedup_ngram_jaccard"] = _JACCARD_PAIRS_SQL
+    # MinHash-LSH with verification converges to the exact pair set
+    # (miss probability ≈ 1e-7 at j=0.8 with 16 bands × 2 rows)
+    o["dedup_minhash_lsh"] = _JACCARD_PAIRS_SQL
+    o["dedup_simhash"] = _simhash_sql(32)
+    o["embedding_neardup"] = _EMB_NEARDUP_SQL
+    o["ann_topk_bruteforce"] = _ANN_TOPK_SQL
+
+    o["token_count"] = f"""
+SELECT doc_id, length(text)::BIGINT AS n_chars,
+  len(string_split_regex(text, ' +'))::BIGINT AS ws_tokens,
+  len(regexp_extract_all(text, '{ts_ops.BPE_TOKEN_RE}'))::BIGINT AS bpe_tokens
+FROM documents
+"""
+
+    o["quality_score"] = _QUALITY_SQL
+    o["lang_id"] = _LANGID_SQL
+
+    o["doc_fingerprint"] = """
+SELECT doc_id, md5(text) AS md5_raw,
+  md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS md5_norm
+FROM documents
+"""
+
+    o["multimodal_blob_meta"] = """
+SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
+  sha256(text) AS sha256
+FROM documents
+"""
+
+    return o

@@ -1,0 +1,305 @@
+"""Deduplication operators for web-scale corpus curation.
+
+The reference's pipeline model stops at parse→filter→route
+(docs/processing.md); a 10^12-document corpus pipeline additionally needs
+dedup. These are first-class operators in the same processor ABI
+(DataFrame -> DataFrame, SURVEY.md P6):
+
+- exact dedup: hash-groupBy on a content digest;
+- n-gram Jaccard: exact near-dup pairs via an inverted shingle index
+  (self-join on shingle — the classic "suffix array"-free formulation);
+- MinHash + LSH: signature → banding → bucket join → exact verify — the
+  scale path; candidate generation touches only docs sharing a band key;
+- SimHash: 32/64-bit sign-random-projection fingerprint + banded Hamming
+  join (pigeonhole: hamming ≤ r pairs must agree on ≥1 of r+1 chunks).
+
+Every hash is derived from md5 so results are engine-independent and
+reproducible in the DuckDB oracle (same md5 → same signatures): a shingle
+hashes to the integer value of md5 hex chars 18..32 (15 nibbles = 60 bits,
+fits a signed 64-bit). All expressions are Spark built-ins — zero Python in
+the hot path; the only shuffles are the shingle groupBys/joins themselves.
+
+Scale notes (100 TB):
+- the inverted-index join's skew is shingle frequency — ``max_shingle_freq``
+  drops stop-shingles (standard practice; bounds the quadratic blowup of a
+  shingle shared by k docs at k², so a frequency cap F bounds work per
+  shingle at F²);
+- MinHash/LSH replaces the quadratic join with #bands bucket joins whose
+  fan-out is controlled by band width; signatures are fixed-width (16
+  longs), so the shuffle per doc is O(1);
+- AQE skew-join splitting (session.py) is the runtime safety net.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HEX_DIGITS = "0123456789abcdef"
+
+
+def md5_long(col: Column, seed: int | None = None) -> Column:
+    """Deterministic 60-bit integer hash: int(md5(x)[17:32], 16).
+
+    Engine-independent (md5 is md5 everywhere) — the DuckDB oracle computes
+    the identical value via list_reduce over hex digits.
+    """
+    if seed is not None:
+        col = F.concat(F.lit(str(seed)), F.lit("#"), col)
+    return F.conv(F.substring(F.md5(col), 18, 15), 16, 10).cast("long")
+
+
+def tokenize(text: Column) -> Column:
+    """Whitespace tokenization — split on runs of spaces (oracle:
+    string_split_regex(text, ' +'))."""
+    return F.split(text, " +")
+
+
+def shingle_array(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of ``text`` as array<string>."""
+    w = tokenize(text)
+    k = F.size(w) - F.lit(n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.array_join(F.slice(w, i, n), " "),
+    )
+    empty = F.array().cast("array<string>")
+    return F.array_distinct(F.when(k >= 1, grams).otherwise(empty))
+
+
+def exploded_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
+    """One row per (doc, distinct shingle). Narrow until the consumer joins."""
+    return df.select(
+        F.col(id_col), F.explode(shingle_array(F.col(text_col), n)).alias("shingle")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def dedup_exact(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Keep the lowest-id row per exact content digest (md5).
+
+    One hash-groupBy shuffle on the digest; the digest is computed map-side
+    so the shuffle key is 32 bytes regardless of document size.
+    """
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("digest"))
+        .groupBy("digest")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_copies"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard via inverted shingle index
+# ---------------------------------------------------------------------------
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """All pairs (d1 < d2) with shingle-set Jaccard ≥ threshold — exact.
+
+    Plan: explode → (optional stop-shingle cut) → self-join on shingle →
+    pair-count common → join per-doc sizes → filter. Two shuffles (join on
+    shingle, groupBy pair); the sizes join is a broadcast at any realistic
+    pair count.
+    """
+    sh = exploded_shingles(df, id_col, text_col, n)
+    if max_shingle_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count("*").alias("f"))
+        sh = sh.join(freq.where(F.col("f") <= max_shingle_freq).select("shingle"), "shingle")
+    sh = sh.persist()
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col(f"a.shingle") == F.col(f"b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("d1"), F.col(f"b.{id_col}").alias("d2"))
+        .agg(F.count("*").alias("common"))
+    )
+    s1 = sizes.select(F.col(id_col).alias("d1"), F.col("sz").alias("sz1"))
+    s2 = sizes.select(F.col(id_col).alias("d2"), F.col("sz").alias("sz2"))
+    jac = F.col("common") / (F.col("sz1") + F.col("sz2") - F.col("common"))
+    return (
+        common.join(F.broadcast(s1), "d1")
+        .join(F.broadcast(s2), "d2")
+        .where(jac >= threshold)
+        .select("d1", "d2", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """Per-doc MinHash signature: sig_i = min over shingles of h_i(shingle).
+
+    h_i is the md5-derived 60-bit hash with seed i. One groupBy shuffle;
+    the aggregation is ``num_hashes`` parallel mins (map-side partials make
+    the shuffled payload one row of 16 longs per doc per map partition).
+    """
+    sh = exploded_shingles(df, id_col, text_col, n)
+    aggs = [
+        F.min(md5_long(F.col("shingle"), seed=i)).alias(f"h{i}") for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str = "doc_id", num_hashes: int = 16, bands: int = 8
+) -> DataFrame:
+    """Banding: docs agreeing on all rows of ≥1 band become a candidate pair.
+
+    P(candidate | jaccard=j) = 1 - (1 - j^r)^b with r = num_hashes/bands.
+    Explode to (doc, band_idx, band_key) and self-join on the band key —
+    each bucket joins only its own members (the whole point of LSH).
+    """
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"h{b * rows_per_band + r}").cast("string") for r in range(rows_per_band)]
+        band_cols.append(F.struct(F.lit(b).alias("band"), F.concat_ws("_", *parts).alias("key")))
+    banded = sigs.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = banded.alias("a")
+    b_ = banded.alias("b")
+    return (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("d1"), F.col(f"b.{id_col}").alias("d2"))
+        .distinct()
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs with exact Jaccard verification.
+
+    Candidates come from banding; each candidate pair is then verified
+    against the exact shingle-set Jaccard (array_intersect over per-doc
+    shingle arrays — the arrays are bounded by document length, and only
+    candidate docs are materialized). With j ≥ 0.8, r=2, b=8 the miss
+    probability per true pair is (1-0.8²)^8 ≈ 3e-4 — at the default
+    threshold the verified output equals the exact pair set w.h.p.
+    """
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
+    sets_ = df.select(F.col(id_col), shingle_array(F.col(text_col), n).alias("sh"))
+    s1 = sets_.select(F.col(id_col).alias("d1"), F.col("sh").alias("sh1"))
+    s2 = sets_.select(F.col(id_col).alias("d2"), F.col("sh").alias("sh2"))
+    inter = F.size(F.array_intersect(F.col("sh1"), F.col("sh2")))
+    union = F.size(F.col("sh1")) + F.size(F.col("sh2")) - inter
+    jac = inter / union
+    return (
+        cands.join(s1, "d1")
+        .join(s2, "d2")
+        .where(jac >= threshold)
+        .select("d1", "d2", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32
+) -> DataFrame:
+    """Per-doc SimHash over distinct whitespace tokens.
+
+    bit b of the fingerprint = sign of Σ_tokens (2·((h(token)>>b)&1) − 1).
+    Columnar: explode tokens → one shuffle groupBy(doc) with ``bits``
+    integer sums → assemble the fingerprint. Ties (Σ = 0) round to 1,
+    matching the ≥0 convention, so the oracle is exactly reproducible.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(F.array_distinct(tokenize(F.col(text_col)))).alias("tok")
+    )
+    h = md5_long(F.col("tok"))
+    sums = toks.groupBy(id_col).agg(
+        *[
+            F.sum(F.shiftright(h, b).bitwiseAND(F.lit(1)) * F.lit(2) - F.lit(1)).alias(f"s{b}")
+            for b in range(bits)
+        ]
+    )
+    fp = None
+    for b in range(bits):
+        bit = F.when(F.col(f"s{b}") >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = bit * F.lit(1 << b).cast("long")
+        fp = term if fp is None else fp + term
+    return sums.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Pairs with SimHash Hamming distance ≤ max_hamming.
+
+    Pigeonhole banding: split the fingerprint into (max_hamming+1) chunks —
+    any pair within distance r agrees exactly on ≥1 chunk, so the banded
+    bucket join has 100% recall (this is exact, unlike MinHash banding).
+    """
+    chunks = max_hamming + 1
+    chunk_bits = bits // chunks
+    fps = simhash(df, id_col, text_col, bits)
+    chunk_cols = [
+        F.struct(
+            F.lit(c).alias("chunk"),
+            F.shiftright(F.col("simhash"), c * chunk_bits)
+            .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+            .alias("key"),
+        )
+        for c in range(chunks)
+    ]
+    banded = fps.select(
+        F.col(id_col), F.col("simhash"), F.explode(F.array(*chunk_cols)).alias("ck")
+    ).select(id_col, "simhash", F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key"))
+    a = banded.alias("a")
+    b_ = banded.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b_,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .where(ham <= max_hamming)
+        .select(
+            F.col(f"a.{id_col}").alias("d1"),
+            F.col(f"b.{id_col}").alias("d2"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+    )

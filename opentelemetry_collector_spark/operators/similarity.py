@@ -1,0 +1,280 @@
+"""Similarity search over embedding columns (array<float>).
+
+Corpus-curation counterpart to dedup.py: approximate-nearest-neighbor and
+near-duplicate retrieval over an ``embedding: array<float>`` column.
+
+Tiers (all exact-math in double precision, engine-reproducible):
+
+- ``cosine_topk``: brute-force top-k — the correctness baseline. The dot
+  products are computed map-side against a broadcast query set (no shuffle
+  of the corpus); top-k uses a two-phase partial/final aggregation so no
+  single reducer ever sees more than (#map partitions × k) rows per query —
+  the scalable formulation of ORDER BY ... LIMIT k.
+- ``cosine_pairs``: all-pairs ≥ threshold via self-join — O(n²), small-n
+  verifier for the LSH path.
+- ``rp_lsh_*``: random-hyperplane (sign) LSH — deterministic ±1 planes
+  derived from md5, bucket join on the signature prefix, exact re-rank of
+  candidates. The 100 TB path: candidate generation is a hash join on
+  fixed-width signatures.
+- ``ivf_topk``: IVF via pyspark.ml KMeans (seeded): probe the ``nprobe``
+  nearest centroids, exact re-rank inside probed cells.
+
+All hot-path math is built-in (zip_with/aggregate) — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dbl(col: Column) -> Column:
+    return col.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ — sequential left-to-right fold (matches the oracle's
+    list_sum-over-list_transform order)."""
+    return F.aggregate(
+        F.zip_with(_dbl(a), _dbl(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k neighbors per query vector (excluding self).
+
+    ``queries`` must have (query_id_col, vec_col). Plan: broadcast the
+    queries, map-side cross product + dot, then per-(query, partition)
+    partial top-k and a final top-k — the shuffle carries ≤ partitions×k
+    rows per query instead of the whole corpus.
+
+    Deterministic output: rank orders by (round(sim,6) DESC, vec_id ASC);
+    ``sim`` is reported at 4 dp.
+    """
+    q = F.broadcast(
+        queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
+    )
+    sim = cosine(F.col(vec_col), F.col("__qvec"))
+    scored = (
+        emb.crossJoin(q)
+        .where(F.col(id_col) != F.col(query_id_col))
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            F.round(sim, 6).alias("__sim6"),
+            F.round(sim, 4).alias("sim"),
+        )
+    )
+    # partial top-k per map partition (no data-dependent skew: partition id
+    # is the salt), then final top-k — both via sort_array over small arrays
+    item = F.struct((-F.col("__sim6")).alias("ns"), F.col(id_col).alias("id"), F.col("sim").alias("sim"))
+    partial = (
+        scored.groupBy(F.col(query_id_col), F.spark_partition_id().alias("__p"))
+        .agg(F.slice(F.sort_array(F.collect_list(item)), 1, k).alias("top"))
+    )
+    final = (
+        partial.select(query_id_col, F.explode("top").alias("it"))
+        .groupBy(query_id_col)
+        .agg(F.slice(F.sort_array(F.collect_list("it")), 1, k).alias("top"))
+    )
+    return final.select(
+        query_id_col, F.posexplode("top").alias("rank0", "it")
+    ).select(
+        F.col(query_id_col),
+        F.col("it.id").alias(id_col),
+        (F.col("rank0") + 1).cast("int").alias("rank"),
+        F.col("it.sim").alias("sim"),
+    )
+
+
+def cosine_pairs(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs (v1 < v2) with cosine ≥ threshold — exact O(n²) baseline."""
+    a = emb.select(F.col(id_col).alias("v1"), F.col(vec_col).alias("__a"))
+    b = emb.select(F.col(id_col).alias("v2"), F.col(vec_col).alias("__b"))
+    sim = cosine(F.col("__a"), F.col("__b"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("v1") < F.col("v2"))
+        .where(sim >= threshold)
+        .select("v1", "v2", F.round(sim, 4).alias("sim"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH
+# ---------------------------------------------------------------------------
+
+def _rp_planes(dim: int, planes: int, seed: int = 42) -> list[list[int]]:
+    """Deterministic ±1 hyperplanes: component p,d = sign of md5 bit."""
+    out = []
+    for p in range(planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"{seed}:{p}:{d}".encode()).digest()
+            row.append(1 if h[0] & 1 else -1)
+        out.append(row)
+    return out
+
+
+def rp_signature(vec: Column, dim: int, planes: int = 16, seed: int = 42) -> Column:
+    """Sign-LSH signature as a long: bit p = [⟨v, plane_p⟩ ≥ 0]."""
+    plane_rows = _rp_planes(dim, planes, seed)
+    sig = None
+    for p, row in enumerate(plane_rows):
+        proj = dot(vec, F.array(*[F.lit(float(x)) for x in row]))
+        bit = F.when(proj >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = bit * F.lit(1 << p).cast("long")
+        sig = term if sig is None else sig + term
+    return sig
+
+
+def rp_lsh_pairs(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate near-dup pairs: banded signature join + exact re-rank.
+
+    Two vectors at angle θ agree on a plane w.p. 1-θ/π; banding the
+    ``planes`` bits into ``bands`` groups gives candidates that agree on
+    all bits of ≥1 band. Candidates are then verified with the exact
+    cosine, so precision is 1.0 and only recall is approximate.
+    """
+    bits_per_band = planes // bands
+    sig = rp_signature(F.col(vec_col), dim, planes, seed)
+    with_sig = emb.select(F.col(id_col), F.col(vec_col), sig.alias("__sig"))
+    band_cols = [
+        F.struct(
+            F.lit(c).alias("band"),
+            F.shiftright(F.col("__sig"), c * bits_per_band)
+            .bitwiseAND(F.lit((1 << bits_per_band) - 1))
+            .alias("key"),
+        )
+        for c in range(bands)
+    ]
+    banded = with_sig.select(
+        F.col(id_col), F.col(vec_col), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_col, vec_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("v1"),
+            F.col(f"a.{vec_col}").alias("__a"),
+            F.col(f"b.{id_col}").alias("v2"),
+            F.col(f"b.{vec_col}").alias("__b"),
+        )
+        .dropDuplicates(["v1", "v2"])
+    )
+    sim = cosine(F.col("__a"), F.col("__b"))
+    return cand.where(sim >= threshold).select("v1", "v2", F.round(sim, 4).alias("sim"))
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted file) index via seeded KMeans
+# ---------------------------------------------------------------------------
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF ANN: cluster the corpus (seeded KMeans), probe the ``nprobe``
+    centroids nearest each query, exact top-k inside the probed cells.
+
+    At scale the cell assignment partitions the corpus (write-time
+    clustering), so a query touches nprobe/n_cells of the data. Recall is
+    data-dependent; the pytest harness measures it against cosine_topk.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    corpus = emb.select(
+        F.col(id_col), F.col(vec_col), array_to_vector(_dbl(F.col(vec_col))).alias("__fv")
+    )
+    km = KMeans(k=n_cells, seed=seed, featuresCol="__fv", predictionCol="__cell")
+    model = km.fit(corpus)
+    assigned = model.transform(corpus).select(id_col, vec_col, "__cell")
+
+    centers = [
+        (int(i), [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    spark = emb.sparkSession
+    centers_df = spark.createDataFrame(centers, ["__cell", "__center"])
+
+    # rank cells per query by centroid distance, keep nprobe
+    qc = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec")).crossJoin(
+        F.broadcast(centers_df)
+    )
+    d2 = F.aggregate(
+        F.zip_with(_dbl(F.col("__qvec")), F.col("__center"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy(query_id_col).orderBy(d2.asc(), F.col("__cell").asc())
+    probed = (
+        qc.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= nprobe)
+        .select(query_id_col, "__qvec", "__cell")
+    )
+
+    sim = cosine(F.col(vec_col), F.col("__qvec"))
+    scored = (
+        assigned.join(F.broadcast(probed), "__cell")
+        .where(F.col(id_col) != F.col(query_id_col))
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            F.round(sim, 6).alias("__sim6"),
+            F.round(sim, 4).alias("sim"),
+        )
+    )
+    wq = Window.partitionBy(query_id_col).orderBy(
+        F.col("__sim6").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wq).cast("int"))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "rank", "sim")
+    )

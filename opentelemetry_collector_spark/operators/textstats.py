@@ -1,0 +1,164 @@
+"""Text analysis operators for corpus curation.
+
+Language-ID (stopword/n-gram heuristic), quality scoring, token counting
+(whitespace + BPE-ish regex), and document fingerprinting (md5 content
+digest + rolling-hash winnowing). All pure built-in expressions — the
+whole module stays inside whole-stage codegen and every statistic is
+reproducible in the DuckDB oracle (same md5, same regexes, same rounding).
+
+Scale: every operator here is a narrow per-row projection — zero shuffles;
+at 100 TB these run at scan speed and column-prune down to ``text``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import md5_long, tokenize
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, or single non-space marks
+# (the GPT-2 pre-tokenizer's shape without the lookbehinds, so the same
+# pattern runs identically under Java regex and DuckDB RE2).
+BPE_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+# Tiny deterministic stopword inventories for the lang-id heuristic.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "zu", "mit", "von", "auf"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "de", "dans", "pour"),
+    "es": ("el", "la", "los", "y", "es", "un", "una", "de", "en", "para"),
+}
+
+
+def token_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Whitespace + BPE-ish token counts and n_chars per document."""
+    ws = tokenize(F.col(text_col))
+    bpe = F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_RE), 0)
+    return df.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+        F.size(ws).cast("long").alias("ws_tokens"),
+        F.size(bpe).cast("long").alias("bpe_tokens"),
+    )
+
+
+def quality_score(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Heuristic quality features + a composite score.
+
+    Features (all 4-dp rounded for engine parity):
+    - mean_word_len: avg token length over whitespace tokens;
+    - stopword_ratio: fraction of tokens in the English stoplist;
+    - alpha_ratio: fraction of [A-Za-z ] characters in the text;
+    - score: 0.4·min(ws_tokens/100,1) + 0.3·stopword_ratio + 0.3·alpha_ratio.
+    """
+    text = F.col(text_col)
+    w = tokenize(text)
+    n = F.size(w)
+    total_len = F.aggregate(
+        F.transform(w, lambda t: F.length(t).cast("double")),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    mean_word_len = F.when(n > 0, total_len / n).otherwise(F.lit(0.0))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS["en"]])
+    n_stop = F.size(F.filter(w, lambda t: F.array_contains(stop_arr, t)))
+    stopword_ratio = F.when(n > 0, n_stop.cast("double") / n).otherwise(F.lit(0.0))
+    n_alpha = F.length(F.regexp_replace(text, "[^A-Za-z ]", ""))
+    alpha_ratio = F.when(
+        F.length(text) > 0, n_alpha.cast("double") / F.length(text)
+    ).otherwise(F.lit(0.0))
+    ws_norm = F.least(n.cast("double") / F.lit(100.0), F.lit(1.0))
+    score = F.lit(0.4) * ws_norm + F.lit(0.3) * stopword_ratio + F.lit(0.3) * alpha_ratio
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("ws_tokens"),
+        F.round(mean_word_len, 4).alias("mean_word_len"),
+        F.round(stopword_ratio, 4).alias("stopword_ratio"),
+        F.round(alpha_ratio, 4).alias("alpha_ratio"),
+        F.round(score, 4).alias("quality"),
+    )
+
+
+def lang_id(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Stopword-vote language ID over {en, de, fr, es} (+ 'und' fallback).
+
+    Score per language = #tokens in that language's stoplist; winner by
+    (score DESC, language ASC); 'und' when all scores are 0. Deterministic
+    and exactly reproducible in SQL.
+    """
+    w = tokenize(F.col(text_col))
+    scores: dict[str, Column] = {}
+    for lang_code, words in STOPWORDS.items():
+        arr = F.array(*[F.lit(s) for s in words])
+        scores[lang_code] = F.size(F.filter(w, lambda t: F.array_contains(arr, t)))
+    # argmax with (score desc, lang asc) tiebreak via sort of structs
+    entries = F.array(
+        *[
+            F.struct((-scores[c]).alias("neg"), F.lit(c).alias("lang"))
+            for c in sorted(STOPWORDS)
+        ]
+    )
+    best = F.sort_array(entries).getItem(0)
+    pred = F.when(-best.getField("neg") > 0, best.getField("lang")).otherwise(F.lit("und"))
+    return df.select(
+        F.col(id_col),
+        *[scores[c].cast("long").alias(f"score_{c}") for c in sorted(STOPWORDS)],
+        pred.alias("pred_lang"),
+    )
+
+
+def fingerprint(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Content digests: md5 of the raw text and of the normalized form
+    (lowercased, whitespace collapsed) — the exact-dedup keys."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), " +", " ")
+    return df.select(
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("md5_raw"),
+        F.md5(norm).alias("md5_norm"),
+    )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing (Schleimer et al., SIGMOD'03): distinct window-minima of
+    k-gram hashes — the standard partial-overlap fingerprint.
+
+    Columnar formulation: character k-gram hash array via transform over a
+    position sequence, then a second transform takes the min over each
+    length-``window`` sliding slice; array_distinct of the minima are the
+    document's fingerprints. Narrow op — no shuffle, no UDF.
+    """
+    text = F.col(text_col)
+    n_grams = F.length(text) - F.lit(k - 1)
+    gram_hashes = F.when(
+        n_grams >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.conv(F.substring(F.md5(F.substring(text, i, k)), 18, 15), 16, 10).cast(
+                "long"
+            ),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    n_windows = F.size(gram_hashes) - F.lit(window - 1)
+    minima = F.when(
+        n_windows >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_windows),
+            lambda i: F.array_min(F.slice(gram_hashes, i, window)),
+        ),
+    ).otherwise(gram_hashes)
+    return df.select(F.col(id_col), F.array_distinct(minima).alias("fingerprints"))

@@ -1,0 +1,104 @@
+"""Table loaders + source adapters (receiver analogs, SURVEY.md §2.1).
+
+``load_tables`` is the S1 boundary (receiver/otlpreceiver/otlp.go:42-279):
+rows enter the DAG via a declarative scan, so filters/projections written
+downstream reach the parquet reader as PushedFilters/ReadSchema.
+
+``events_to_records`` is the S2/OTLP-JSON analog
+(receiver/otlpreceiver/encoder.go:30-31 content-type switch): a JSON
+payload column is decoded into the plog-shaped record model with built-in
+expressions only (get_json_object), never per-row Python.
+
+``pages_from_documents`` adapts the driver's ``documents`` table into the
+pages shape from BASELINE.json input_hint so the full
+parse→enrich→route→aggregate pipeline can run over driver-provided data.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE_NAMES) -> dict[str, DataFrame]:
+    """Load the driver-generated parquet tables as DataFrames (lazy scans)."""
+    return {n: spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet")) for n in names}
+
+
+# Severity mapping for event_type — the severity_number enum analog
+# (pdata/plog/severity_number.go:26-46): error→ERROR(17), purchase→INFO(9),
+# signup→INFO(9), click→DEBUG(5), view→TRACE(1).
+EVENT_SEVERITY = {
+    "error": ("ERROR", 17),
+    "purchase": ("INFO", 9),
+    "signup": ("INFO", 9),
+    "click": ("DEBUG", 5),
+    "view": ("TRACE", 1),
+}
+
+
+def events_to_records(events: DataFrame) -> DataFrame:
+    """events → flat log-record rows (OTLP/JSON receiver analog, S2).
+
+    ``props`` is the JSON body; ``k`` is promoted to a typed attribute the
+    way hot attributes are promoted to columns (SURVEY.md §1.2). All
+    expressions are JVM built-ins → whole-stage codegen, filters push
+    through to the scan.
+    """
+    sev_text = F.coalesce(
+        *[F.when(F.col("event_type") == t, F.lit(s)) for t, (s, _) in EVENT_SEVERITY.items()],
+        F.lit(""),
+    )
+    sev_num = F.coalesce(
+        *[F.when(F.col("event_type") == t, F.lit(n)) for t, (_, n) in EVENT_SEVERITY.items()],
+        F.lit(0),
+    ).cast("int")
+    return events.select(
+        F.col("event_id"),
+        F.col("ts").alias("observed_ts"),
+        # parquet timestamps arrive as TIMESTAMP_NTZ; session TZ is UTC so
+        # the cast is identity and unix_micros matches DuckDB epoch_us
+        (F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000))
+        .cast("long")
+        .alias("time_unix_nano"),
+        F.col("user_id"),
+        F.col("event_type"),
+        F.col("value"),
+        sev_text.alias("severity_text"),
+        sev_num.alias("severity_number"),
+        F.get_json_object(F.col("props"), "$.k").alias("attr_k"),
+        F.col("props").alias("body"),
+    )
+
+
+def pages_from_documents(docs: DataFrame) -> DataFrame:
+    """documents → pages shape (url, warc_ts, html, text, lang).
+
+    Deterministic synthesis of the page envelope around driver-provided
+    text so the north-star pipeline runs over the standard tables:
+    url derives from (source, doc_id), warc_ts from doc_id seconds.
+    """
+    return docs.select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/doc/"), F.col("doc_id")
+        ).alias("url"),
+        F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id")).alias("warc_ts"),
+        F.encode(F.col("text"), "UTF-8").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )

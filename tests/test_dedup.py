@@ -1,0 +1,97 @@
+"""Dedup operator tests: exact, n-gram Jaccard, MinHash-LSH, SimHash.
+
+Mirrors the reference's unit-test style (consumertest.LogsSink analog:
+collect to memory, assert counts/sets; SURVEY.md §5) over tiny controlled
+corpora with planted duplicates.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_spark.operators.dedup import (
+    dedup_exact,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    md5_long,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    shingle_array,
+    simhash,
+    simhash_pairs,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy cat"),  # near-dup of 0
+    (2, "completely different text about spark pipelines and logs"),
+    (3, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+    (4, "short text"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_md5_long_matches_python(spark):
+    import hashlib
+
+    df = spark.createDataFrame([("abc",)], ["s"])
+    got = df.select(md5_long(F.col("s")).alias("h")).collect()[0]["h"]
+    expect = int(hashlib.md5(b"abc").hexdigest()[17:32], 16)
+    assert got == expect
+
+
+def test_shingle_array_short_text(spark):
+    df = spark.createDataFrame([(0, "a b"), (1, "a b c d")], ["doc_id", "text"])
+    rows = {r["doc_id"]: r["sh"] for r in df.select("doc_id", shingle_array(F.col("text")).alias("sh")).collect()}
+    assert rows[0] == []  # fewer tokens than n → no shingles
+    assert rows[1] == ["a b c", "b c d"]
+
+
+def test_dedup_exact(docs):
+    out = dedup_exact(docs).collect()
+    by_doc = {r["doc_id"]: r["n_copies"] for r in out}
+    assert by_doc[0] == 2  # doc 3 collapsed into doc 0
+    assert 3 not in by_doc
+    assert by_doc[1] == 1
+
+
+def test_jaccard_pairs_finds_planted_neardup(docs):
+    pairs = {(r["d1"], r["d2"]): r["jaccard"] for r in jaccard_pairs(docs, threshold=0.5).collect()}
+    assert (0, 3) in pairs and pairs[(0, 3)] == 1.0
+    assert (0, 1) in pairs and 0.5 < pairs[(0, 1)] < 1.0
+    assert all(d not in (2, 4) for p in pairs for d in p)
+
+
+def test_minhash_lsh_matches_exact(docs):
+    exact = {(r["d1"], r["d2"]) for r in jaccard_pairs(docs, threshold=0.5).collect()}
+    lsh = {(r["d1"], r["d2"]) for r in minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    assert lsh == exact
+
+
+def test_minhash_signature_is_deterministic(docs):
+    a = minhash_signatures(docs).orderBy("doc_id").collect()
+    b = minhash_signatures(docs).orderBy("doc_id").collect()
+    assert a == b
+
+
+def test_lsh_exact_dups_share_all_bands(docs):
+    sigs = minhash_signatures(docs)
+    cands = {(r["d1"], r["d2"]) for r in lsh_candidate_pairs(sigs).collect()}
+    assert (0, 3) in cands
+
+
+def test_simhash_identical_for_exact_dups(docs):
+    fps = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert fps[0] == fps[3]
+    assert 0 <= fps[0] < 2**32
+
+
+def test_simhash_pairs_hamming_zero_for_dups(docs):
+    pairs = {(r["d1"], r["d2"]): r["hamming"] for r in simhash_pairs(docs, max_hamming=3).collect()}
+    assert pairs.get((0, 3)) == 0

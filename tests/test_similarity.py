@@ -1,0 +1,108 @@
+"""Similarity-search tests: brute-force top-k, LSH recall, IVF recall."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from opentelemetry_collector_spark.operators.similarity import (
+    cosine,
+    cosine_pairs,
+    cosine_topk,
+    ivf_topk,
+    rp_lsh_pairs,
+)
+
+DIM = 8
+N = 60
+
+
+def _vecs():
+    rng = np.random.RandomState(7)
+    base = rng.randn(N, DIM).astype(np.float64)
+    # plant near-dups: vec 1 ≈ vec 0, vec 11 ≈ vec 10
+    base[1] = base[0] + 0.01 * rng.randn(DIM)
+    base[11] = base[10] + 0.01 * rng.randn(DIM)
+    return base
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    vs = _vecs()
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType(), False),
+            T.StructField("embedding", T.ArrayType(T.FloatType()), False),
+        ]
+    )
+    rows = [(i, [float(x) for x in vs[i]]) for i in range(N)]
+    return spark.createDataFrame(rows, schema)
+
+
+def _np_cosine(a, b):
+    return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+
+def test_cosine_matches_numpy(spark, emb):
+    vs = _vecs()
+    row = (
+        emb.alias("a")
+        .crossJoin(emb.alias("b"))
+        .where((F.col("a.vec_id") == 0) & (F.col("b.vec_id") == 5))
+        .select(cosine(F.col("a.embedding"), F.col("b.embedding")).alias("c"))
+        .collect()[0]
+    )
+    # float32 storage → compare at 1e-6
+    assert math.isclose(row["c"], _np_cosine(vs[0], vs[5]), abs_tol=1e-5)
+
+
+def test_topk_matches_numpy_bruteforce(emb):
+    vs = _vecs()
+    queries = emb.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = [r["vec_id"] for r in cosine_topk(emb, queries, k=3).orderBy("rank").collect()]
+    sims = [( _np_cosine(vs[0], vs[j]), j) for j in range(N) if j != 0]
+    expect = [j for _, j in sorted(sims, key=lambda t: (-round(t[0], 6), t[1]))[:3]]
+    assert got == expect
+    assert got[0] == 1  # the planted near-dup is rank 1
+
+
+def test_cosine_pairs_finds_planted(emb):
+    pairs = {(r["v1"], r["v2"]) for r in cosine_pairs(emb, threshold=0.99).collect()}
+    assert (0, 1) in pairs and (10, 11) in pairs
+
+
+def test_rp_lsh_recall_on_planted(emb):
+    pairs = {(r["v1"], r["v2"]) for r in rp_lsh_pairs(emb, threshold=0.99, dim=DIM).collect()}
+    # near-identical vectors agree on every hyperplane → always candidates
+    assert (0, 1) in pairs and (10, 11) in pairs
+
+
+def test_rp_lsh_precision_is_exact(emb):
+    exact = {(r["v1"], r["v2"]) for r in cosine_pairs(emb, threshold=0.9).collect()}
+    lsh = {(r["v1"], r["v2"]) for r in rp_lsh_pairs(emb, threshold=0.9, dim=DIM).collect()}
+    assert lsh.issubset(exact)  # verification step guarantees precision 1.0
+
+
+def test_ivf_topk_recall(emb):
+    queries = emb.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in cosine_topk(emb, queries, k=3).collect()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_topk(emb, queries, k=3, n_cells=4, nprobe=2).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5  # probing half the cells on clustered data
+    # the planted near-dup must be found even approximately
+    assert (0, 1) in approx

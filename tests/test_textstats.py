@@ -1,0 +1,71 @@
+"""Text-analysis operator tests: token stats, quality, lang-id, fingerprints."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from opentelemetry_collector_spark.operators.textstats import (
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_stats,
+    winnowing_fingerprints,
+)
+
+DOCS = [
+    (0, "the cat sat on the mat"),
+    (1, "der hund und die katze"),
+    (2, "le chat est dans la maison"),
+    (3, "xyzzy qwerty plugh"),
+    (4, "a1 b2! c3?"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_token_stats(docs):
+    rows = {r["doc_id"]: r for r in token_stats(docs).collect()}
+    assert rows[0]["ws_tokens"] == 6
+    assert rows[0]["n_chars"] == len(DOCS[0][1])
+    # "a1 b2! c3?" → a,1,b,2,!,c,3,? = 8 BPE-ish tokens
+    assert rows[4]["bpe_tokens"] == 8
+
+
+def test_quality_score_ranks_stopworded_text_higher(docs):
+    rows = {r["doc_id"]: r for r in quality_score(docs).collect()}
+    assert rows[0]["stopword_ratio"] > 0  # 'the' twice, 'on' once
+    assert rows[3]["stopword_ratio"] == 0.0
+    assert rows[0]["quality"] > rows[4]["quality"]
+    assert 0.0 <= rows[0]["alpha_ratio"] <= 1.0
+
+
+def test_lang_id(docs):
+    rows = {r["doc_id"]: r["pred_lang"] for r in lang_id(docs).collect()}
+    assert rows[0] == "en"
+    assert rows[1] == "de"
+    assert rows[2] == "fr"
+    assert rows[3] == "und"
+
+
+def test_fingerprint_md5(docs):
+    rows = {r["doc_id"]: r for r in fingerprint(docs).collect()}
+    assert rows[0]["md5_raw"] == hashlib.md5(DOCS[0][1].encode()).hexdigest()
+    # normalization: case/extra-space insensitive
+    assert rows[0]["md5_norm"] == hashlib.md5(DOCS[0][1].lower().encode()).hexdigest()
+
+
+def test_winnowing_overlap_detection(spark):
+    a = "abcdefghijklmnopqrstuvwxyz0123456789"
+    b = "XX" + a[2:]  # large shared suffix
+    c = "entirely unrelated content here!!"
+    df = spark.createDataFrame([(0, a), (1, b), (2, c)], ["doc_id", "text"])
+    rows = {r["doc_id"]: set(r["fingerprints"]) for r in winnowing_fingerprints(df).collect()}
+    shared_ab = len(rows[0] & rows[1]) / len(rows[0] | rows[1])
+    shared_ac = len(rows[0] & rows[2]) / len(rows[0] | rows[2])
+    assert shared_ab > shared_ac
+    assert shared_ab > 0.5
