@@ -81,20 +81,46 @@ def explode_lines(pages: DataFrame) -> DataFrame:
     )
 
 
-def _parse_lines_sql(lines: DataFrame) -> DataFrame:
+_DELIM = "\x01"
+# applog with the trailing message captured so one regex pass yields all
+# prefix groups; trace/span ids are then extracted from the (short) tail
+APPLOG_FULL_RE = (
+    r'^(\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(?:\.\d+)?Z) '
+    r'((?:TRACE|DEBUG|INFO|WARN|ERROR|FATAL)[2-4]?) \[([^\]]+)\] (.*)$'
+)
+
+
+def _parse_lines_sql(lines: DataFrame, hot_columns: bool = False) -> DataFrame:
     line = F.col("line")
-    is_access = line.rlike(ACCESS_RE)
-    is_applog = line.rlike(APPLOG_RE)
-    is_kv = line.rlike(KV_RE)
+    # Lines containing the packing delimiter cannot round-trip the
+    # single-pass group extraction below; both engines treat them as
+    # unparsed noise (they are outside every grammar anyway).
+    clean = ~line.contains(_DELIM)
+    is_access = clean & line.rlike(ACCESS_RE)
+    is_applog = clean & line.rlike(APPLOG_RE)
+    is_kv = clean & line.rlike(KV_RE)
+
+    # Single-pass group extraction: ONE regexp_replace packs all capture
+    # groups into a delimited string, ONE split unpacks them — instead of
+    # re-running the (expensive, per-group) regex once per field. This is
+    # the hot-path optimization for the 100 TB scan: 2 regex executions per
+    # line instead of 8 on the dominant access-log grammar.
+    acc = F.split(
+        F.regexp_replace(line, ACCESS_RE, _DELIM.join(f"${i}" for i in range(1, 7))), _DELIM
+    )
+    app = F.split(
+        F.regexp_replace(line, APPLOG_FULL_RE, _DELIM.join(f"${i}" for i in range(1, 5))), _DELIM
+    )
+    app_tail = F.element_at(app, 4)
 
     # try_* variants: malformed timestamps yield NULL→0 instead of failing
     # the task (permanent-error analog, consumer/consumererror/permanent.go)
-    clf_ts = F.try_to_timestamp(F.regexp_extract(line, ACCESS_RE, 2), F.lit(CLF_TS_FMT))
-    iso_ts = F.try_to_timestamp(F.regexp_extract(line, APPLOG_RE, 1))
+    clf_ts = F.try_to_timestamp(F.element_at(acc, 2), F.lit(CLF_TS_FMT))
+    iso_ts = F.try_to_timestamp(F.element_at(app, 1))
     ts = F.when(is_access, clf_ts).when(is_applog, iso_ts)
     time_unix_nano = F.coalesce(F.unix_micros(ts) * F.lit(1000), F.lit(0)).cast("long")
 
-    level = F.when(is_applog, F.regexp_extract(line, APPLOG_LEVEL_RE, 1)).otherwise(F.lit(""))
+    level = F.when(is_applog, F.element_at(app, 2)).otherwise(F.lit(""))
     severity_number = F.coalesce(
         F.element_at(_severity_map_col(), F.nullif(level, F.lit(""))), F.lit(0)
     ).cast("int")
@@ -103,14 +129,14 @@ def _parse_lines_sql(lines: DataFrame) -> DataFrame:
     # map_from_entries — AsString coercion (value.go:361-395) is identity
     # for our all-string fields; ints arrive as their decimal string form.
     access_entries = F.array(
-        F.struct(F.lit("ip").alias("key"), F.regexp_extract(line, ACCESS_RE, 1).alias("value")),
-        F.struct(F.lit("method").alias("key"), F.regexp_extract(line, ACCESS_RE, 3).alias("value")),
-        F.struct(F.lit("path").alias("key"), F.regexp_extract(line, ACCESS_RE, 4).alias("value")),
-        F.struct(F.lit("status").alias("key"), F.regexp_extract(line, ACCESS_RE, 5).alias("value")),
-        F.struct(F.lit("bytes").alias("key"), F.regexp_extract(line, ACCESS_RE, 6).alias("value")),
+        F.struct(F.lit("ip").alias("key"), F.element_at(acc, 1).alias("value")),
+        F.struct(F.lit("method").alias("key"), F.element_at(acc, 3).alias("value")),
+        F.struct(F.lit("path").alias("key"), F.element_at(acc, 4).alias("value")),
+        F.struct(F.lit("status").alias("key"), F.element_at(acc, 5).alias("value")),
+        F.struct(F.lit("bytes").alias("key"), F.element_at(acc, 6).alias("value")),
     )
     applog_entries = F.array(
-        F.struct(F.lit("component").alias("key"), F.regexp_extract(line, APPLOG_RE, 3).alias("value")),
+        F.struct(F.lit("component").alias("key"), F.element_at(app, 3).alias("value")),
     )
     kv_keys = F.regexp_extract_all(line, F.lit(KV_KEY_RE), 1)
     kv_vals = F.transform(
@@ -127,10 +153,12 @@ def _parse_lines_sql(lines: DataFrame) -> DataFrame:
         .otherwise(F.map_from_entries(F.array().cast("array<struct<key:string,value:string>>")))
     )
 
-    trace_id = F.when(is_applog, F.regexp_extract(line, TRACE_ID_RE, 1)).otherwise(F.lit(""))
-    span_id = F.when(is_applog, F.regexp_extract(line, SPAN_ID_RE, 1)).otherwise(F.lit(""))
+    # trace/span ids live in the applog tail — run the small regexes on the
+    # short remainder only, and only for applog lines
+    trace_id = F.when(is_applog, F.regexp_extract(app_tail, TRACE_ID_RE, 1)).otherwise(F.lit(""))
+    span_id = F.when(is_applog, F.regexp_extract(app_tail, SPAN_ID_RE, 1)).otherwise(F.lit(""))
 
-    return lines.select(
+    out_cols = [
         F.col("url"),
         time_unix_nano.alias("time_unix_nano"),
         F.col("warc_ts").alias("observed_ts"),
@@ -144,7 +172,18 @@ def _parse_lines_sql(lines: DataFrame) -> DataFrame:
         F.lit(0).cast("int").alias("dropped_attributes_count"),
         F.struct(F.col("host").alias("host"), F.col("lang").alias("lang")).alias("resource"),
         F.col("line_no").cast("int").alias("line_no"),
-    )
+    ]
+    if hot_columns:
+        # hot attributes promoted to typed top-level columns (SURVEY.md
+        # §1.2): downstream filters/routes on these never materialize the
+        # attributes map, so Catalyst prunes the whole map build out of
+        # plans that don't project it
+        out_cols += [
+            F.when(is_access, F.element_at(acc, 5).cast("int")).alias("attr_status"),
+            F.when(is_access, F.element_at(acc, 3)).alias("attr_method"),
+            F.when(is_applog, F.element_at(app, 3)).alias("attr_component"),
+        ]
+    return lines.select(*out_cols)
 
 
 # --- Arrow engine -----------------------------------------------------------
@@ -161,12 +200,13 @@ _KV_PAIR_CRE = re.compile(r'(\w+)=("[^"]*"|\S*)')
 def _parse_chunk_pandas(pdf: pd.DataFrame) -> pd.DataFrame:
     """Vectorized parse of an exploded-lines Arrow batch (pandas str ops)."""
     line = pdf["line"]
+    clean = ~line.str.contains(_DELIM, regex=False)
     acc = line.str.extract(_ACCESS_CRE)
     app = line.str.extract(_APPLOG_CRE)
     lvl = line.str.extract(_APPLOG_LEVEL_CRE)[0]
-    is_access = acc[0].notna()
-    is_applog = app[0].notna()
-    is_kv = line.str.match(_KV_CRE) & ~is_access & ~is_applog
+    is_access = acc[0].notna() & clean
+    is_applog = app[0].notna() & clean
+    is_kv = line.str.match(_KV_CRE) & clean & ~is_access & ~is_applog
 
     ts = pd.Series(pd.NaT, index=pdf.index, dtype="datetime64[ns, UTC]")
     if is_access.any():
@@ -228,11 +268,19 @@ def _parse_lines_arrow(lines: DataFrame) -> DataFrame:
     return lines.mapInPandas(run, schema=LOG_RECORDS_SCHEMA)
 
 
-def parse_pages(pages: DataFrame, engine: str = "sql") -> DataFrame:
-    """pages → log_records (LOG_RECORDS_SCHEMA). See module docstring."""
+def parse_pages(
+    pages: DataFrame, engine: str = "sql", hot_columns: bool = False
+) -> DataFrame:
+    """pages → log_records (LOG_RECORDS_SCHEMA). See module docstring.
+
+    ``hot_columns=True`` (sql engine) appends promoted typed columns
+    (attr_status/attr_method/attr_component) for map-free routing.
+    """
     lines = explode_lines(pages)
     if engine == "sql":
-        return _parse_lines_sql(lines)
+        return _parse_lines_sql(lines, hot_columns=hot_columns)
     if engine == "arrow":
+        if hot_columns:
+            raise ValueError("hot_columns is a sql-engine feature")
         return _parse_lines_arrow(lines)
     raise ValueError(f"unknown parse engine: {engine!r}")

@@ -85,6 +85,46 @@ class FanoutRouter:
             .agg(F.count("*").alias("n"))
         )
 
+    def membership(self, records: DataFrame) -> dict[str, Column]:
+        """Per-route boolean membership columns (no array allocation)."""
+        preds = [r for r in self.routes if r.kind == "predicate"]
+        matched = {r.name: F.coalesce(r.condition(), F.lit(False)) for r in preds}
+        any_matched = F.lit(False)
+        for m in matched.values():
+            any_matched = any_matched | m
+        out: dict[str, Column] = dict(matched)
+        for r in self.routes:
+            if r.kind == "default":
+                out[r.name] = ~any_matched
+            elif r.kind == "all":
+                out[r.name] = F.lit(True)
+        return out
+
+    def count_by(self, records: DataFrame, *group_cols: Column | str) -> DataFrame:
+        """Per-(group, sink) routed counts via conditional aggregation.
+
+        The counting fast path: no per-row array allocation, no explode, no
+        row multiplication — one hash aggregate with a sum(CASE) per sink,
+        then a tiny unpivot of the per-group result. Use this for counters
+        (obsreport grain); use ``assign``+``write_*`` when rows must
+        physically fan out to sinks.
+        """
+        members = self.membership(records)
+        aggs = [
+            F.sum(F.when(m, F.lit(1)).otherwise(F.lit(0))).alias(name)
+            for name, m in members.items()
+        ]
+        wide = records.groupBy(*group_cols).agg(*aggs)
+        names = list(members)
+        stack = F.expr(
+            "stack({n}, {args})".format(
+                n=len(names),
+                args=", ".join(f"'{s}', {s}" for s in names),
+            )
+        ).alias("sink", "n")
+        keep = [c for c in wide.columns if c not in names]
+        return wide.select(*keep, stack).where(F.col("n") > 0)
+
     # -- write strategies ---------------------------------------------------
 
     def write_partitioned(

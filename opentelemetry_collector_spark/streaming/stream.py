@@ -1,0 +1,133 @@
+"""Structured Streaming mode — the push data path as micro-batches.
+
+The reference's hot path is a synchronous consumer chain fed by receivers,
+with two async boundaries: the batch processor's channel
+(processor/batchprocessor/batch_processor.go:196-200) and the export queue
+(exporter/exporterhelper/queued_retry.go:204-207). Structured Streaming
+maps those exactly:
+
+- micro-batch trigger     ≈ batch processor flush (count/time window);
+  ``maxFilesPerTrigger``  ≈ send_batch_max_size (config.go:25-46);
+- ``foreachBatch`` epoch  ≈ the export-queue work item; its epoch_id feeds
+  the idempotent sinks, so replay-after-crash is exactly-once (the WAL
+  upgrade of persistent_storage.go:283-349 — see sinks.py);
+- checkpointLocation      ≈ the WAL's read/write indices (ri/wi keys,
+  persistent_storage.go:29-83);
+- watermark + window      ≈ the OTTL ``group_by(key, 2m)`` stateful design
+  (docs/processing.md:217-222) with bounded state eviction.
+
+``Trigger.AvailableNow`` is the scraper-controller drain-and-stop analog
+(receiver/scraperhelper/scrapercontroller.go:179-191).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.parse import parse_pages
+from ..schemas import PAGES_SCHEMA
+from .router import SINKS_COL, FanoutRouter, Route
+from .sinks import IdempotentParquetSink
+from .telemetry import lineage_frame
+
+
+def stream_pages(
+    spark: SparkSession, input_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-stream source over a pages parquet directory (S1 streaming)."""
+    reader = spark.readStream.schema(PAGES_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    return reader.parquet(input_dir)
+
+
+@dataclass
+class StreamingPipeline:
+    """readStream → parse → route → per-sink idempotent writes.
+
+    One ``foreachBatch`` per micro-batch: the routed frame is computed
+    once, then written to each sink's epoch directory keyed by the
+    micro-batch id. A replayed micro-batch (crash between sink commit and
+    checkpoint commit) hits already-committed epochs and is skipped —
+    exactly-once end to end.
+    """
+
+    routes: Sequence[Route]
+    out_root: str
+    transform: Callable[[DataFrame], DataFrame] | None = None
+    lineage_dir: str | None = None
+    run_id: str = "stream"
+    epochs_seen: list[int] = field(default_factory=list)
+
+    def __post_init__(self) -> None:
+        self.router = FanoutRouter(list(self.routes))
+        self.sinks = {
+            r.name: IdempotentParquetSink(os.path.join(self.out_root, r.name), name=r.name)
+            for r in self.routes
+        }
+
+    def process_batch(self, records: DataFrame, epoch_id: int) -> None:
+        if self.transform is not None:
+            records = self.transform(records)
+        assigned = self.router.assign(records).persist()
+        try:
+            for name, sink in self.sinks.items():
+                subset = assigned.where(
+                    F.array_contains(F.col(SINKS_COL), name)
+                ).drop(SINKS_COL)
+                sink.write_epoch(subset, epoch_id)
+            if self.lineage_dir is not None:
+                lineage_frame(assigned, self.run_id, epoch_id).write.mode("append").parquet(
+                    self.lineage_dir
+                )
+            self.epochs_seen.append(int(epoch_id))
+        finally:
+            assigned.unpersist()
+
+    def start(
+        self,
+        pages_stream: DataFrame,
+        checkpoint_dir: str,
+        available_now: bool = True,
+        parse_engine: str = "sql",
+    ):
+        records = parse_pages(pages_stream, engine=parse_engine)
+        writer = (
+            records.writeStream.foreachBatch(
+                lambda df, eid: self.process_batch(df, eid)
+            )
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("update")
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    def sink_counts(self) -> dict[str, int]:
+        return {name: sink.committed_row_count() for name, sink in self.sinks.items()}
+
+
+def windowed_severity_counts(
+    records: DataFrame,
+    width: str = "5 minutes",
+    watermark: str = "10 minutes",
+    ts_col: str = "observed_ts",
+) -> DataFrame:
+    """Stateful event-time aggregation (P11): tumbling-window severity
+    counts with a watermark bounding state. Works identically on batch and
+    streaming frames (same expression tree)."""
+    return (
+        records.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), width).alias("w"), F.col("severity_text"))
+        .agg(F.count("*").alias("items"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "severity_text",
+            "items",
+        )
+    )

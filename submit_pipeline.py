@@ -1,0 +1,83 @@
+"""spark-submit entry point: run the parse→enrich→route→aggregate pipeline
+over a pages table (parquet or Iceberg) and write per-sink outputs.
+
+    spark-submit --py-files dist/opentelemetry_collector_spark.zip \
+        submit_pipeline.py <pages_path> <out_root> [--streaming] [--repartition N]
+
+On a cluster, pass the usual sizing conf (executors, shuffle partitions,
+maxPartitionBytes back to 128m+); the pipeline itself is cluster-agnostic —
+everything here is the same code the local benches and tests run.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("pages_path")
+    ap.add_argument("out_root")
+    ap.add_argument("--streaming", action="store_true", help="run as a file stream")
+    ap.add_argument("--repartition", type=int, default=0, help="url-hash repartition width")
+    ap.add_argument("--parse-engine", default="sql", choices=["sql", "arrow"])
+    args = ap.parse_args()
+
+    spark = SparkSession.builder.appName("otel-collector-spark-pipeline").getOrCreate()
+
+    from opentelemetry_collector_spark.fixtures.lookups import lkp_geo, lkp_lang
+    from opentelemetry_collector_spark.operators.batch import batch_repartition
+    from opentelemetry_collector_spark.operators.enrich import (
+        enrich_lang_family,
+        enrich_resource_geo,
+    )
+    from opentelemetry_collector_spark.operators.parse import parse_pages
+    from opentelemetry_collector_spark.streaming.router import FanoutRouter, Route
+    from opentelemetry_collector_spark.streaming.stream import StreamingPipeline, stream_pages
+
+    routes = [
+        Route("errors", predicate=F.col("severity_number") >= 17),
+        Route("audit", kind="all"),
+        Route("default", kind="default"),
+    ]
+
+    def transform(records):
+        records = enrich_resource_geo(records, lkp_geo(spark))
+        return enrich_lang_family(records, lkp_lang(spark))
+
+    if args.streaming:
+        pipe = StreamingPipeline(routes=routes, out_root=args.out_root, transform=transform)
+        q = pipe.start(
+            stream_pages(spark, args.pages_path),
+            checkpoint_dir=f"{args.out_root}/_checkpoint",
+            parse_engine=args.parse_engine,
+        )
+        q.awaitTermination()
+        print(json.dumps({"sinks": pipe.sink_counts()}))
+        return
+
+    pages = spark.read.parquet(args.pages_path).select("url", "warc_ts", "lang", "text")
+    if args.repartition:
+        pages = batch_repartition(partitions=args.repartition, key="url")(pages)
+    records = transform(parse_pages(pages, engine=args.parse_engine))
+    router = FanoutRouter(routes)
+    counts = {
+        r["sink"]: r["n"]
+        for r in router.count_by(records).collect()
+    }
+    from opentelemetry_collector_spark.streaming.sinks import IdempotentParquetSink
+
+    assigned = router.assign(records)
+    written = router.write_per_sink(
+        assigned,
+        {r.name: IdempotentParquetSink(f"{args.out_root}/{r.name}", name=r.name) for r in routes},
+    )
+    print(json.dumps({"route_counts": counts, "written": written}))
+
+
+if __name__ == "__main__":
+    main()

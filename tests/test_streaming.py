@@ -1,0 +1,138 @@
+"""Structured Streaming tests: drain-and-stop parity, checkpoint resume
+(exactly-once), watermarked windows.
+
+The reference analogs: batch-processor flush semantics
+(batch_processor_test.go:39-818), WAL crash-recovery
+(persistent_storage_test.go), and the obsreporttest count-parity
+discipline (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_spark.fixtures.pages import generate_pages_pandas
+from opentelemetry_collector_spark.operators.parse import parse_pages
+from opentelemetry_collector_spark.schemas import PAGES_SCHEMA
+from opentelemetry_collector_spark.streaming.router import Route
+from opentelemetry_collector_spark.streaming.stream import (
+    StreamingPipeline,
+    stream_pages,
+    windowed_severity_counts,
+)
+
+import numpy as np
+
+def _routes():
+    # built lazily: Column construction needs an active SparkContext
+    return [
+        Route("errors", predicate=F.col("severity_number") >= 17),
+        Route("audit", kind="all"),
+        Route("default", kind="default"),
+    ]
+
+
+def _write_pages_files(spark, path: str, n_files: int = 3, rows_per_file: int = 120) -> None:
+    """n_files parquet files of deterministic pages (distinct id ranges)."""
+    for i in range(n_files):
+        ids = np.arange(i * rows_per_file, (i + 1) * rows_per_file, dtype=np.uint64)
+        pdf = generate_pages_pandas(ids)
+        spark.createDataFrame(pdf, PAGES_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+
+
+@pytest.fixture(scope="module")
+def pages_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("stream_pages"))
+    _write_pages_files(spark, d)
+    return d
+
+
+def _batch_expected(spark, pages_dir):
+    records = parse_pages(spark.read.parquet(pages_dir))
+    total = records.count()
+    errors = records.where(F.col("severity_number") >= 17).count()
+    return {"errors": errors, "audit": total, "default": total - errors}
+
+
+def test_streaming_counts_match_batch(spark, pages_dir, tmp_path):
+    pipe = StreamingPipeline(routes=_routes(), out_root=str(tmp_path / "sinks"))
+    q = pipe.start(
+        stream_pages(spark, pages_dir), checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    assert pipe.sink_counts() == _batch_expected(spark, pages_dir)
+
+
+def test_checkpoint_resume_is_exactly_once(spark, pages_dir, tmp_path):
+    """Stop after the first micro-batch; restart from the checkpoint; totals
+    are exact (no loss, no duplicates) — persistent_storage_test analog."""
+    out = str(tmp_path / "sinks")
+    ckpt = str(tmp_path / "ckpt")
+
+    pipe1 = StreamingPipeline(routes=_routes(), out_root=out)
+    stream1 = stream_pages(spark, pages_dir, max_files_per_trigger=1)
+    q1 = pipe1.start(stream1, checkpoint_dir=ckpt, available_now=False)
+    # wait until at least one micro-batch committed, then hard-stop
+    import time
+
+    deadline = time.monotonic() + 120
+    while not pipe1.epochs_seen and time.monotonic() < deadline:
+        time.sleep(0.25)
+    q1.stop()
+    q1.awaitTermination(60)
+    assert pipe1.epochs_seen, "no micro-batch committed before stop"
+    partial = pipe1.sinks["audit"].committed_row_count()
+    total_expected = _batch_expected(spark, pages_dir)["audit"]
+    assert 0 < partial <= total_expected
+
+    # restart with the same checkpoint + sink roots: replayed epochs are
+    # skipped by the idempotent sinks, missing ones are delivered
+    pipe2 = StreamingPipeline(routes=_routes(), out_root=out)
+    q2 = pipe2.start(
+        stream_pages(spark, pages_dir, max_files_per_trigger=1),
+        checkpoint_dir=ckpt,
+        available_now=True,
+    )
+    q2.awaitTermination(120)
+    assert pipe2.sink_counts() == _batch_expected(spark, pages_dir)
+
+
+def test_windowed_severity_counts_streaming(spark, pages_dir, tmp_path):
+    """Watermarked tumbling window over the record stream; results equal
+    the same expression evaluated in batch (append mode emits only
+    watermark-closed windows, so drive with availableNow and compare the
+    emitted subset against batch)."""
+    # one file per micro-batch: the watermark only advances between
+    # batches, so a single availableNow batch would emit no closed windows
+    records_stream = parse_pages(stream_pages(spark, pages_dir, max_files_per_trigger=1))
+    agg = windowed_severity_counts(records_stream, width="1 minute", watermark="0 seconds")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_sev")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_win"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["severity_text"]): r["items"]
+        for r in spark.sql("SELECT * FROM win_sev").collect()
+    }
+    batch = windowed_severity_counts(
+        parse_pages(spark.read.parquet(pages_dir)), width="1 minute", watermark="0 seconds"
+    )
+    expected = {
+        (r["window_start"], r["severity_text"]): r["items"] for r in batch.collect()
+    }
+    # append mode may hold back the max-event-time window (not yet closed
+    # by the watermark); everything emitted must match batch exactly
+    assert got
+    for k, v in got.items():
+        assert expected[k] == v
