@@ -243,8 +243,11 @@ def main() -> None:
         # ±40% on a minutes scale, so each round runs its two parallelism
         # levels back-to-back and the best round is reported (per-round
         # pairing bounds the drift inside a round).
-        n_scale = int(os.environ.get("SPARK_GRAFT_SCALE_PAGES", "800000"))
-        rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "3"))
+        # 400k pages keeps a full scaling round ~2 min (so the whole bench
+        # stays under ~8 min) while fixed per-job overhead stays <15% of
+        # the 8-core runtime; raise via env for longer, steadier evidence
+        n_scale = int(os.environ.get("SPARK_GRAFT_SCALE_PAGES", "400000"))
+        rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "2"))
         best = None
         history = []
         for _ in range(rounds):
