@@ -297,6 +297,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["spanmetrics_connector"] = spanmetrics
 
+    def sessionize(spark, sf):  # P11 session_window (stateful grouping)
+        ev = _t(spark, sf, "events")
+        return (
+            ev.groupBy(
+                F.session_window(F.col("ts"), "30 minutes").alias("w"), F.col("user_id")
+            )
+            .agg(F.count("*").alias("n_events"))
+            .select(
+                F.col("user_id"),
+                F.unix_timestamp(F.col("w.start")).alias("session_start"),
+                "n_events",
+            )
+        )
+
+    q["sessionize_users"] = sessionize
+
+    def salted_rollup(spark, sf):  # P1 skew-safe two-phase aggregation
+        from opentelemetry_collector_spark.operators.batch import salted_groupby_count
+
+        records = events_to_records(_t(spark, sf, "events"))
+        return salted_groupby_count(
+            records, key="event_type", salt_buckets=8, salt_on="event_id"
+        )
+
+    q["salted_rollup"] = salted_rollup
+
     # --- enrichment + relational core (P10 + engine proof) ---
     def enrich_geo(spark, sf):
         sup = _t(spark, sf, "supplier").withColumnRenamed("s_nationkey", "nationkey")
@@ -518,6 +544,28 @@ SELECT event_type, count(*) AS calls,
   round(sum(value), 4) AS sum_value,
   round(avg(value), 4) AS avg_value
 FROM events GROUP BY 1
+"""
+
+    o["sessionize_users"] = """
+WITH ordered AS (
+  SELECT user_id, ts,
+    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+              > INTERVAL 30 MINUTE OR
+              lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+), islands AS (
+  SELECT user_id, ts,
+    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM ordered
+)
+SELECT user_id, floor(epoch(min(ts)))::BIGINT AS session_start, count(*) AS n_events
+FROM islands GROUP BY user_id, session_id
+"""
+
+    o["salted_rollup"] = """
+SELECT event_type, count(*) AS n FROM events GROUP BY 1
 """
 
     o["enrich_broadcast_geo"] = """
