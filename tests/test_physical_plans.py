@@ -1,0 +1,96 @@
+"""Physical-plan assertions — the 100 TB design locked in as tests.
+
+These make the scale-critical plan properties regression-checked: broadcast
+joins stay broadcast, scan-level filters stay pushed down, the counting
+fast path stays explode-free, and the parse chain stays inside
+whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_spark.fixtures.lookups import lkp_geo
+from opentelemetry_collector_spark.fixtures.pages import generate_pages_pandas
+from opentelemetry_collector_spark.operators.enrich import enrich_resource_geo
+from opentelemetry_collector_spark.operators.parse import parse_pages
+from opentelemetry_collector_spark.schemas import PAGES_SCHEMA
+from opentelemetry_collector_spark.streaming.router import FanoutRouter, Route
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    pdf = generate_pages_pandas(np.arange(200, dtype=np.uint64))
+    return spark.createDataFrame(pdf, PAGES_SCHEMA)
+
+
+def test_enrichment_is_broadcast_join(spark, pages):
+    records = enrich_resource_geo(parse_pages(pages), lkp_geo(spark))
+    plan = plan_of(records)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # a dim join must never sort-merge
+
+
+def test_q3_customer_join_is_broadcast(spark):
+    import __spark_entry__ as entrymod
+
+    if not os.path.isdir(SF_DIR):
+        pytest.skip("driver testdata absent")
+    q3 = entrymod.queries()["q3_revenue_topk"](spark, SF_DIR)
+    assert "BroadcastHashJoin" in plan_of(q3)
+
+
+def test_scan_filter_pushdown_and_pruning(spark):
+    if not os.path.isdir(SF_DIR):
+        pytest.skip("driver testdata absent")
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    q = li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")).select(
+        "l_returnflag", "l_quantity"
+    )
+    plan = plan_of(q)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: the scan must not read unprojected columns
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_extendedprice" not in read_schema
+
+
+def test_count_by_has_no_explode_or_extra_shuffle(spark, pages):
+    records = parse_pages(pages, hot_columns=True)
+    router = FanoutRouter(
+        [
+            Route("errors", predicate=F.col("severity_number") >= 17),
+            Route("audit", kind="all"),
+            Route("default", kind="default"),
+        ]
+    )
+    agg = router.count_by(records, F.col("resource.host").alias("host"))
+    plan = plan_of(agg)
+    assert "Generate explode" not in plan and "Explode" not in plan
+    # exactly one aggregation exchange (partial → final), nothing else
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_parse_stays_in_wholestage_codegen(spark, pages):
+    df = parse_pages(pages)
+    plan = plan_of(df)
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python anywhere
+    assert "ArrowEvalPython" not in plan  # sql engine: zero Python in the hot path
+    # whole-stage codegen spans cover the explode+filter chain (the final
+    # wide projection exceeds the JIT method limit and runs interpreted —
+    # a measured trade-off: forcing codegen of a >8KB method would defeat
+    # JIT compilation anyway)
+    formatted = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "[codegen id :" in formatted
