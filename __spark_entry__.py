@@ -105,13 +105,25 @@ _SEVERITY_CASE_NUM = (
     + " ELSE 0 END AS INTEGER)"
 )
 
-_JACCARD_PAIRS_SQL = """
+def _jaccard_pairs_sql(max_shingle_freq: int | None) -> str:
+    """DuckDB twin of dedup.jaccard_pairs. ``max_shingle_freq`` mirrors the
+    operator's stop-shingle cut (sizes counted AFTER the cut); ``None``
+    reproduces the uncapped universe (the minhash verification path)."""
+    cut = ""
+    if max_shingle_freq is not None:
+        cut = f"""
+, freq AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= {max_shingle_freq})
+, sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN freq USING (s))"""
+    else:
+        cut = "\n, sh AS (SELECT * FROM sh0)"
+    return f"""
 WITH toks AS (
   SELECT doc_id, string_split_regex(text, ' +') AS w FROM documents
-), sh AS (
+), sh0 AS (
   SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
   FROM toks, unnest(generate_series(1, greatest(len(w)-2, 0))) AS t(i)
-), pairs AS (
+){cut}
+, pairs AS (
   SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY 1, 2
@@ -605,10 +617,12 @@ SELECT md5(text) AS digest, min(doc_id) AS doc_id, count(*) AS n_copies
 FROM documents GROUP BY 1
 """
 
-    o["dedup_ngram_jaccard"] = _JACCARD_PAIRS_SQL
-    # MinHash-LSH with verification converges to the exact pair set
-    # (miss probability ≈ 1e-7 at j=0.8 with 16 bands × 2 rows)
-    o["dedup_minhash_lsh"] = _JACCARD_PAIRS_SQL
+    from opentelemetry_collector_spark.operators.dedup import DEFAULT_MAX_SHINGLE_FREQ
+
+    o["dedup_ngram_jaccard"] = _jaccard_pairs_sql(DEFAULT_MAX_SHINGLE_FREQ)
+    # MinHash-LSH with verification converges to the exact (uncapped) pair
+    # set (miss probability ≈ 1e-7 at j=0.8 with 16 bands × 2 rows)
+    o["dedup_minhash_lsh"] = _jaccard_pairs_sql(None)
     o["dedup_simhash"] = _simhash_sql(32)
     o["embedding_neardup"] = _EMB_NEARDUP_SQL
     o["ann_topk_bruteforce"] = _ANN_TOPK_SQL

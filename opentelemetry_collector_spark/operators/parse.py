@@ -42,10 +42,6 @@ APPLOG_RE = (
     r'^(\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(?:\.\d+)?Z) '
     r'(TRACE|DEBUG|INFO|WARN|ERROR|FATAL)[2-4]? \[([^\]]+)\]'
 )
-APPLOG_LEVEL_RE = (
-    r'^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(?:\.\d+)?Z '
-    r'((?:TRACE|DEBUG|INFO|WARN|ERROR|FATAL)[2-4]?) '
-)
 TRACE_ID_RE = r'trace_id=([0-9a-f]{32})'
 SPAN_ID_RE = r'span_id=([0-9a-f]{16})'
 KV_RE = r'^\w+=(?:"[^"]*"|\S*)(?: \w+=(?:"[^"]*"|\S*))*$'
@@ -83,10 +79,17 @@ def explode_lines(pages: DataFrame) -> DataFrame:
 
 _DELIM = "\x01"
 # applog with the trailing message captured so one regex pass yields all
-# prefix groups; trace/span ids are then extracted from the (short) tail
+# prefix groups; trace/span ids are then extracted from the (short) tail.
+# The tail is OPTIONAL — a header-only line ("TS LEVEL [comp]") is a valid
+# applog record with an empty message; when group 4 doesn't participate,
+# Java's regexp_replace substitutes "" for $4, so the packed array always
+# has 4 elements and no element_at can fail under ANSI mode. is_applog is
+# derived from THIS regex (not the prefix-only APPLOG_RE) so a line whose
+# prefix matches but whose full shape doesn't (e.g. "...[comp]junk") is
+# classified unparsed instead of crashing the group unpack.
 APPLOG_FULL_RE = (
     r'^(\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(?:\.\d+)?Z) '
-    r'((?:TRACE|DEBUG|INFO|WARN|ERROR|FATAL)[2-4]?) \[([^\]]+)\] (.*)$'
+    r'((?:TRACE|DEBUG|INFO|WARN|ERROR|FATAL)[2-4]?) \[([^\]]+)\](?: (.*))?$'
 )
 
 
@@ -97,7 +100,7 @@ def _parse_lines_sql(lines: DataFrame, hot_columns: bool = False) -> DataFrame:
     # unparsed noise (they are outside every grammar anyway).
     clean = ~line.contains(_DELIM)
     is_access = clean & line.rlike(ACCESS_RE)
-    is_applog = clean & line.rlike(APPLOG_RE)
+    is_applog = clean & line.rlike(APPLOG_FULL_RE)
     is_kv = clean & line.rlike(KV_RE)
 
     # Single-pass group extraction: ONE regexp_replace packs all capture
@@ -189,8 +192,7 @@ def _parse_lines_sql(lines: DataFrame, hot_columns: bool = False) -> DataFrame:
 # --- Arrow engine -----------------------------------------------------------
 
 _ACCESS_CRE = re.compile(ACCESS_RE)
-_APPLOG_CRE = re.compile(APPLOG_RE)
-_APPLOG_LEVEL_CRE = re.compile(APPLOG_LEVEL_RE)
+_APPLOG_FULL_CRE = re.compile(APPLOG_FULL_RE)
 _TRACE_CRE = re.compile(TRACE_ID_RE)
 _SPAN_CRE = re.compile(SPAN_ID_RE)
 _KV_CRE = re.compile(KV_RE)
@@ -202,8 +204,11 @@ def _parse_chunk_pandas(pdf: pd.DataFrame) -> pd.DataFrame:
     line = pdf["line"]
     clean = ~line.str.contains(_DELIM, regex=False)
     acc = line.str.extract(_ACCESS_CRE)
-    app = line.str.extract(_APPLOG_CRE)
-    lvl = line.str.extract(_APPLOG_LEVEL_CRE)[0]
+    # full-shape match (tail optional) — identical classification to the
+    # SQL engine's is_applog, incl. header-only and trailing-junk lines
+    app = line.str.extract(_APPLOG_FULL_CRE)
+    lvl = app[1]
+    app_tail = app[3].fillna("")
     is_access = acc[0].notna() & clean
     is_applog = app[0].notna() & clean
     is_kv = line.str.match(_KV_CRE) & clean & ~is_access & ~is_applog
@@ -228,15 +233,17 @@ def _parse_chunk_pandas(pdf: pd.DataFrame) -> pd.DataFrame:
             return {"ip": m.group(1), "method": m.group(3), "path": m.group(4),
                     "status": m.group(5), "bytes": m.group(6)}
         if is_applog.iat[i]:
-            m = _APPLOG_CRE.match(s)
+            m = _APPLOG_FULL_CRE.match(s)
             return {"component": m.group(3)}
         if is_kv.iat[i]:
             return {k: v.strip('"') for k, v in _KV_PAIR_CRE.findall(s)}
         return {}
 
     attributes = [_attrs(i) for i in range(len(pdf))]
-    tid = line.str.extract(_TRACE_CRE)[0].where(is_applog, "").fillna("")
-    sid = line.str.extract(_SPAN_CRE)[0].where(is_applog, "").fillna("")
+    # ids are searched in the message tail only (SQL-engine parity: a
+    # trace_id= inside the [component] must NOT be picked up)
+    tid = app_tail.str.extract(_TRACE_CRE)[0].where(is_applog, "").fillna("")
+    sid = app_tail.str.extract(_SPAN_CRE)[0].where(is_applog, "").fillna("")
 
     return pd.DataFrame(
         {

@@ -26,6 +26,14 @@ _EDGES = st.sampled_from(
         "2024-01-01T00:00:00Z INFO [comp-1] msg trace_id=0123456789abcdef0123456789abcdef span_id=0123456789abcdef",
         "2024-01-01T00:00:00Z INFO2 [comp-1] msg",
         "2024-01-01T99:00:00Z INFO [comp-1] msg",
+        # header-only applog (no trailing message) — ADVICE r1 crash case
+        "2024-01-01T00:00:00Z INFO [comp-1]",
+        # header + trailing space (empty message, tail group participates)
+        "2024-01-01T00:00:00Z INFO [comp-1] ",
+        # valid prefix but junk glued to the bracket — NOT an applog record
+        "2024-01-01T00:00:00Z INFO [comp-1]junk",
+        # trace_id inside the component must not be extracted as an id
+        "2024-01-01T00:00:00Z INFO [trace_id=0123456789abcdef0123456789abcdef] x",
         'key1=val key2="quoted val" status=7',
         'key1= key2=""',
         "a=b c=d=e",
