@@ -100,14 +100,23 @@ class IdempotentParquetSink:
         )
 
     def write_epoch(self, df: DataFrame, epoch_id: int, extra_meta: dict | None = None) -> int:
-        """Idempotently write one epoch; returns rows written (0 if skipped)."""
+        """Idempotently write one epoch; returns rows written (0 if skipped).
+
+        The row count rides the write via ``observe()`` — one scan of the
+        frame, no post-write re-read of the files just written.
+        """
         if self.is_committed(epoch_id):
             return 0
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
+        obs = Observation()
+        df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
         epoch_dir = os.path.join(self.data_dir, f"epoch={epoch_id}")
         # overwrite-in-place = replay-safe (persistent_storage.go:283-349
         # re-enqueue analog, minus the at-least-once duplicate risk)
         df.write.mode("overwrite").parquet(epoch_dir)
-        n = df.sparkSession.read.parquet(epoch_dir).count()
+        n = int(obs.get["rows"])
         os.makedirs(self.commits_dir, exist_ok=True)
         meta = {"epoch": epoch_id, "rows": n, "ts": time.time(), "sink": self.name}
         if extra_meta:
@@ -135,6 +144,11 @@ class IdempotentParquetSink:
         return sum(
             json.load(open(self._marker(e)))["rows"] for e in self.committed_epochs()
         )
+
+    def epoch_meta(self, epoch_id: int) -> dict:
+        """Commit-marker metadata for one epoch (rows, per_sink counts, ts)."""
+        with open(self._marker(epoch_id)) as f:
+            return json.load(f)
 
 
 class RetryingSink:

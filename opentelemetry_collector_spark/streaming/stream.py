@@ -33,7 +33,7 @@ from ..operators.parse import parse_pages
 from ..schemas import PAGES_SCHEMA
 from .router import SINKS_COL, FanoutRouter, Route
 from .sinks import IdempotentParquetSink
-from .telemetry import lineage_frame
+from .telemetry import write_lineage
 
 
 def stream_pages(
@@ -82,9 +82,9 @@ class StreamingPipeline:
                 ).drop(SINKS_COL)
                 sink.write_epoch(subset, epoch_id)
             if self.lineage_dir is not None:
-                lineage_frame(assigned, self.run_id, epoch_id).write.mode("append").parquet(
-                    self.lineage_dir
-                )
+                # epoch-keyed overwrite — replayed micro-batches re-land
+                # identical lineage rows instead of duplicating them
+                write_lineage(assigned, self.lineage_dir, self.run_id, epoch_id)
             self.epochs_seen.append(int(epoch_id))
         finally:
             assigned.unpersist()

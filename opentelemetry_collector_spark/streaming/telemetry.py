@@ -15,6 +15,7 @@ landed (SURVEY.md §4 item 5).
 
 from __future__ import annotations
 
+import os
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -103,8 +104,17 @@ def lineage_frame(
 
 
 def write_lineage(assigned: DataFrame, path: str, run_id: str, epoch_id: int) -> None:
-    lineage_frame(assigned, run_id, epoch_id).write.mode("append").parquet(path)
+    """Epoch-idempotent lineage write: each epoch overwrites its own
+    ``epoch=<id>`` partition directory, so a replayed micro-batch (crash
+    between sink commit and checkpoint commit) re-lands identical lineage
+    rows instead of appending duplicates — the same exactly-once contract
+    the data sinks give (ADVICE r1: plain append broke it)."""
+    lineage_frame(assigned, run_id, epoch_id).drop("epoch").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, f"epoch={epoch_id}"))
 
 
 def read_lineage(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(path)
+    """Partition discovery restores the ``epoch`` column from the
+    directory layout."""
+    return spark.read.option("basePath", path).parquet(path)

@@ -81,6 +81,36 @@ def test_count_by_has_no_explode_or_extra_shuffle(spark, pages):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
+def test_epoch_write_is_single_scan(spark, pages, tmp_path):
+    """An epoch write must scan the routed frame exactly ONCE: the per-sink
+    "sent" counters ride the write via observe() — there is no post-write
+    re-read of the files just written (at 100 TB a count-by-re-scan doubles
+    sink I/O). Locked by counting Spark jobs in a dedicated job group."""
+    from opentelemetry_collector_spark.streaming.sinks import IdempotentParquetSink
+
+    records = parse_pages(pages, hot_columns=True)
+    router = FanoutRouter(
+        [
+            Route("errors", predicate=F.col("severity_number") >= 17),
+            Route("audit", kind="all"),
+            Route("default", kind="default"),
+        ]
+    )
+    assigned = router.assign(records)
+    sink = IdempotentParquetSink(str(tmp_path / "out"), "logs")
+    sc = spark.sparkContext
+    sc.setJobGroup("epoch-write-scan-test", "single-scan assertion")
+    try:
+        router.write_partitioned(assigned, sink, epoch_id=0)
+    finally:
+        sc.setJobGroup("", "")
+    jobs = sc.statusTracker().getJobIdsForGroup("epoch-write-scan-test")
+    assert len(jobs) == 1, f"epoch write ran {len(jobs)} jobs, expected 1 (the write)"
+    # and the observed counters in the commit marker equal an independent count
+    want = {r["sink"]: r["n"] for r in router.route_counts(assigned).collect()}
+    assert sink.epoch_meta(0)["per_sink"] == want
+
+
 def test_parse_stays_in_wholestage_codegen(spark, pages):
     df = parse_pages(pages)
     plan = plan_of(df)

@@ -56,6 +56,18 @@ def test_route_membership(assigned):
     assert n_err + n_acc + n_def == n  # predicates happen to be disjoint here
 
 
+def test_route_counts_includes_empty_sinks(records):
+    """A sink that matched nothing must still emit an n=0 row — counters
+    exist even when idle, and the output shape is data-independent
+    (driver-oracle parity: the SQL twin's count(*) always yields a row)."""
+    router = FanoutRouter(
+        [Route("never", "severity_number >= 99"), Route("rest", kind="default")]
+    )
+    got = {r["sink"]: r["n"] for r in router.route_counts(router.assign(records)).collect()}
+    assert got["never"] == 0
+    assert got["rest"] == records.count()
+
+
 def test_write_partitioned_and_readback(spark, assigned, tmp_path):
     sink = IdempotentParquetSink(str(tmp_path / "out"), "logs")
     router = FanoutRouter(ROUTES)

@@ -103,6 +103,25 @@ def test_checkpoint_resume_is_exactly_once(spark, pages_dir, tmp_path):
     assert pipe2.sink_counts() == _batch_expected(spark, pages_dir)
 
 
+def test_lineage_replay_is_idempotent(spark, pages_dir, tmp_path):
+    """A replayed micro-batch (crash between sink commit and checkpoint
+    commit) must not duplicate lineage rows: lineage is epoch-keyed
+    overwrite, the same exactly-once contract as the data sinks."""
+    from opentelemetry_collector_spark.streaming.telemetry import read_lineage
+
+    lineage_dir = str(tmp_path / "lineage")
+    pipe = StreamingPipeline(
+        routes=_routes(), out_root=str(tmp_path / "sinks"), lineage_dir=lineage_dir
+    )
+    records = parse_pages(spark.read.parquet(pages_dir))
+    pipe.process_batch(records, epoch_id=0)
+    first = sorted(map(tuple, read_lineage(spark, lineage_dir).collect()))
+    pipe.process_batch(records, epoch_id=0)  # replay
+    second = sorted(map(tuple, read_lineage(spark, lineage_dir).collect()))
+    assert first == second
+    assert first  # non-empty
+
+
 def test_windowed_severity_counts_streaming(spark, pages_dir, tmp_path):
     """Watermarked tumbling window over the record stream; results equal
     the same expression evaluated in batch (append mode emits only
