@@ -24,7 +24,9 @@ from pyspark.sql import functions as F
 
 from opentelemetry_collector_spark.operators import aggregate as agg_ops
 from opentelemetry_collector_spark.operators import dedup as dedup_ops
+from opentelemetry_collector_spark.operators import metrics as met_ops
 from opentelemetry_collector_spark.operators import multimodal as mm_ops
+from opentelemetry_collector_spark.operators import traces as tr_ops
 from opentelemetry_collector_spark.operators import similarity as sim_ops
 from opentelemetry_collector_spark.operators import textstats as ts_ops
 from opentelemetry_collector_spark.operators.batch import split_head
@@ -133,6 +135,46 @@ FROM pairs
 JOIN sizes s1 ON s1.doc_id = d1
 JOIN sizes s2 ON s2.doc_id = d2
 WHERE common::DOUBLE/(s1.n + s2.n - common) >= 0.8
+"""
+
+
+# event_type → SpanKind (traces.EVENT_KIND; span_kind.go:26-41)
+_SPAN_KIND_CASE = (
+    "CASE event_type "
+    + " ".join(f"WHEN '{t}' THEN {k}" for t, k in tr_ops.EVENT_KIND.items())
+    + " ELSE 0 END"
+)
+
+
+def _metrics_histogram_sql(bounds: tuple[float, ...]) -> str:
+    """DuckDB twin of metrics.histogram_points + histogram_buckets_long:
+    one scan of conditional sums (same OTLP (lo, hi] bucket semantics),
+    then a VALUES join to unpivot into (bucket_idx, le, n) rows."""
+    conds = []
+    for i, b in enumerate(bounds):
+        lo = f"value > {bounds[i - 1]} AND " if i > 0 else ""
+        conds.append(f"{lo}value <= {b}")
+    conds.append(f"value > {bounds[-1]}")
+    sums = ",\n    ".join(
+        f"sum(CASE WHEN {c} THEN 1 ELSE 0 END)::BIGINT AS b{i}"
+        for i, c in enumerate(conds)
+    )
+    values = ", ".join(
+        f"({i}, CAST({bounds[i]} AS DOUBLE))" if i < len(bounds) else f"({i}, CAST(NULL AS DOUBLE))"
+        for i in range(len(bounds) + 1)
+    )
+    pick = "CASE i.idx " + " ".join(
+        f"WHEN {i} THEN b{i}" for i in range(len(bounds) + 1)
+    ) + " END"
+    return f"""
+WITH agg AS (
+  SELECT event_type, count(*)::BIGINT AS hist_count, round(sum(value), 4) AS hist_sum,
+    {sums}
+  FROM events GROUP BY 1
+)
+SELECT event_type, i.idx::INTEGER AS bucket_idx, i.le AS le,
+  {pick} AS n, hist_count, hist_sum
+FROM agg, (VALUES {values}) AS i(idx, le)
 """
 
 
@@ -324,6 +366,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["sessionize_users"] = sessionize
+
+    def metrics_temporality(spark, sf):  # pmetric Sum points + delta→cumulative
+        pts = met_ops.events_to_sum_points(_t(spark, sf, "events"))
+        cum = met_ops.delta_to_cumulative(pts)
+        return cum.select(
+            F.col("attr_key").alias("event_type"),
+            (F.col("time_unix_nano") / F.lit(1_000_000_000)).cast("long").alias("window_end"),
+            (F.col("start_time_unix_nano") / F.lit(1_000_000_000))
+            .cast("long")
+            .alias("series_start"),
+            F.col("point_count").alias("delta_count"),
+            F.col("cum_point_count").cast("long").alias("cum_count"),
+            F.col("value_double").alias("delta_sum"),
+            F.col("cum_value_double").alias("cum_sum"),
+            F.col("aggregation_temporality").alias("temporality"),
+        )
+
+    q["metrics_temporality"] = metrics_temporality
+
+    def metrics_histogram(spark, sf):  # pmetric Histogram points (long form)
+        bounds = met_ops.DEFAULT_HIST_BOUNDS
+        hist = met_ops.histogram_points(_t(spark, sf, "events"), bounds=bounds)
+        return met_ops.histogram_buckets_long(hist, bounds).withColumnRenamed(
+            "attr_key", "event_type"
+        )
+
+    q["metrics_histogram"] = metrics_histogram
+
+    def spans_model(spark, sf):  # ptrace span frame, flat projection
+        spans = tr_ops.events_to_spans(_t(spark, sf, "events"))
+        return spans.select(
+            "trace_id",
+            "span_id",
+            "parent_span_id",
+            "name",
+            "kind",
+            "start_time_unix_nano",
+            "end_time_unix_nano",
+            "status_code",
+            "status_message",
+            F.size("events").alias("n_events"),
+            F.col("resource.service").alias("service"),
+        )
+
+    q["spans_model"] = spans_model
+
+    def spanmetrics_spans(spark, sf):  # T5 connector with real span durations
+        return tr_ops.spanmetrics(tr_ops.events_to_spans(_t(spark, sf, "events")))
+
+    q["spanmetrics_spans"] = spanmetrics_spans
 
     def salted_rollup(spark, sf):  # P1 skew-safe two-phase aggregation
         from opentelemetry_collector_spark.operators.batch import salted_groupby_count
@@ -578,6 +670,64 @@ FROM islands GROUP BY user_id, session_id
 
     o["salted_rollup"] = """
 SELECT event_type, count(*) AS n FROM events GROUP BY 1
+"""
+
+    o["metrics_temporality"] = """
+WITH w AS (
+  SELECT event_type,
+    (floor(epoch(ts)/300)*300)::BIGINT AS ws,
+    (floor(epoch(ts)/300)*300)::BIGINT + 300 AS window_end,
+    count(*) AS n, round(sum(value), 4) AS s
+  FROM events GROUP BY 1, 2, 3
+)
+SELECT event_type, window_end,
+  min(ws) OVER (PARTITION BY event_type) AS series_start,
+  n AS delta_count,
+  (sum(n) OVER (PARTITION BY event_type ORDER BY window_end
+                ROWS UNBOUNDED PRECEDING))::BIGINT AS cum_count,
+  s AS delta_sum,
+  round(sum(s) OVER (PARTITION BY event_type ORDER BY window_end
+                     ROWS UNBOUNDED PRECEDING), 4) AS cum_sum,
+  2 AS temporality
+FROM w
+"""
+
+    o["metrics_histogram"] = _metrics_histogram_sql(met_ops.DEFAULT_HIST_BOUNDS)
+
+    o["spans_model"] = f"""
+WITH s AS (
+  SELECT user_id, event_id, ts, event_type, value,
+    md5('trace:' || user_id) AS trace_id,
+    substr(md5('span:' || event_id), 1, 16) AS span_id
+  FROM events
+)
+SELECT trace_id, span_id,
+  coalesce(lag(span_id) OVER (PARTITION BY user_id ORDER BY ts, event_id), '') AS parent_span_id,
+  event_type AS name,
+  {_SPAN_KIND_CASE} AS kind,
+  epoch_us(ts) * 1000 AS start_time_unix_nano,
+  epoch_us(ts) * 1000 + CAST(round(value * 1000000) AS BIGINT) AS end_time_unix_nano,
+  CASE WHEN event_type = 'error' THEN 2 ELSE 1 END AS status_code,
+  CASE WHEN event_type = 'error' THEN 'event processing failed' ELSE '' END AS status_message,
+  CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS n_events,
+  'svc-' || (user_id % 4) AS service
+FROM s
+"""
+
+    o["spanmetrics_spans"] = f"""
+WITH s AS (
+  SELECT 'svc-' || (user_id % 4) AS service,
+    {_SPAN_KIND_CASE} AS kind,
+    CASE WHEN event_type = 'error' THEN 2 ELSE 1 END AS status_code,
+    CAST(round(value * 1000000) AS BIGINT) / 1000000.0 AS duration_ms
+  FROM events
+)
+SELECT service, kind, status_code, count(*) AS calls,
+  round(min(duration_ms), 4) AS min_ms,
+  round(max(duration_ms), 4) AS max_ms,
+  round(sum(duration_ms), 4) AS sum_ms,
+  round(avg(duration_ms), 4) AS avg_ms
+FROM s GROUP BY 1, 2, 3
 """
 
     o["enrich_broadcast_geo"] = """

@@ -1,0 +1,253 @@
+"""pmetric data model + temporality conversion (SURVEY.md §1.1).
+
+The reference's second signal type is a tagged union of 5 point types —
+Gauge | Sum | Histogram | ExponentialHistogram | Summary
+(pdata/pmetric/metric_type.go:21-27, accessors generated_metric.go:109-222)
+— where every Sum/Histogram carries an AggregationTemporality of Delta or
+Cumulative (pdata/pmetric/aggregation_temporality.go:26-31) and data points
+carry (start_time, time, attributes, value) (generated_metric.go).
+
+Spark mapping (SURVEY §1.1): a **long-format DataFrame** — one row per
+data point, ``metric_type`` tag column, nullable per-type columns — so
+every aggregation is a plain groupBy and Catalyst prunes the unused
+type's columns out of any plan that doesn't touch them.
+
+Operators:
+
+- ``events_to_sum_points``: windowed Delta Sum data points from an event
+  stream (count + sum per key per tumbling window) — the metrics-receiver
+  boundary.
+- ``delta_to_cumulative``: the temporality conversion the reference leaves
+  to processors: running sum per series ordered by time. One shuffle on
+  the series key; per-series state is a single running value, so the
+  window never materializes more than a series' points on one reducer —
+  series cardinality, not row count, bounds skew.
+- ``cumulative_to_delta``: inverse (lag subtraction), first point keeps
+  its value (delta-from-start semantics).
+- ``histogram_points``: explicit-bounds histogram data points
+  (count/sum/bucket_counts per key), computed as conditional sums in ONE
+  hash aggregate — no explode, no row multiplication; the per-bucket rows
+  for inspection come from a stack() of the wide result (bounded by
+  #keys × #buckets).
+
+All expressions are JVM built-ins; doubles are rounded at the output
+boundary for engine parity (cumulative sums run over already-rounded
+deltas in deterministic time order, so Spark and DuckDB produce identical
+IEEE sequences).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# pdata/pmetric/metric_type.go:21-27
+METRIC_TYPE = {
+    "Empty": 0,
+    "Gauge": 1,
+    "Sum": 2,
+    "Histogram": 3,
+    "ExponentialHistogram": 4,
+    "Summary": 5,
+}
+
+# pdata/pmetric/aggregation_temporality.go:26-31
+TEMPORALITY_UNSPECIFIED = 0
+TEMPORALITY_DELTA = 1
+TEMPORALITY_CUMULATIVE = 2
+
+DEFAULT_HIST_BOUNDS = (1.0, 2.0, 5.0, 10.0, 20.0, 50.0, 100.0)
+
+# Long-format metric point: one row per data point, metric_type tag,
+# nullable per-type columns (SURVEY §1.1). Gauge/Sum use value_double;
+# Histogram uses hist_*; a Summary would add quantile arrays.
+METRIC_POINTS_SCHEMA = T.StructType(
+    [
+        T.StructField("metric_name", T.StringType(), False),
+        T.StructField("metric_type", T.IntegerType(), False),
+        T.StructField("unit", T.StringType(), True),
+        T.StructField("aggregation_temporality", T.IntegerType(), False),
+        T.StructField("is_monotonic", T.BooleanType(), True),
+        T.StructField("start_time_unix_nano", T.LongType(), True),
+        T.StructField("time_unix_nano", T.LongType(), False),
+        T.StructField("attributes", T.MapType(T.StringType(), T.StringType()), False),
+        T.StructField("value_double", T.DoubleType(), True),
+        T.StructField("hist_count", T.LongType(), True),
+        T.StructField("hist_sum", T.DoubleType(), True),
+        T.StructField("hist_bucket_counts", T.ArrayType(T.LongType()), True),
+        T.StructField("hist_explicit_bounds", T.ArrayType(T.DoubleType()), True),
+    ]
+)
+
+
+def events_to_sum_points(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    width_seconds: int = 300,
+    metric_name: str = "events.value",
+) -> DataFrame:
+    """Event stream → Delta Sum data points per (key, tumbling window).
+
+    One data point per (key, window): ``point_count`` items and the 4-dp
+    rounded ``value_double`` sum over the window — Delta temporality, the
+    window start/end as start/time nanos (aggregation_temporality.go:29:
+    "changes since last report time"). Single hash-aggregate shuffle.
+    """
+    w = F.window(F.col(ts_col), f"{width_seconds} seconds")
+    return (
+        events.groupBy(w.alias("w"), F.col(key_col))
+        .agg(
+            F.count("*").alias("point_count"),
+            F.round(F.sum(value_col), 4).alias("value_double"),
+        )
+        .select(
+            F.lit(metric_name).alias("metric_name"),
+            F.lit(METRIC_TYPE["Sum"]).alias("metric_type"),
+            F.lit(TEMPORALITY_DELTA).alias("aggregation_temporality"),
+            F.lit(True).alias("is_monotonic"),
+            (F.unix_timestamp(F.col("w.start")) * F.lit(1_000_000_000))
+            .cast("long")
+            .alias("start_time_unix_nano"),
+            (F.unix_timestamp(F.col("w.end")) * F.lit(1_000_000_000))
+            .cast("long")
+            .alias("time_unix_nano"),
+            F.create_map(F.lit(key_col), F.col(key_col)).alias("attributes"),
+            F.col(key_col).alias("attr_key"),
+            F.col("point_count"),
+            F.col("value_double"),
+        )
+    )
+
+
+def delta_to_cumulative(
+    points: DataFrame,
+    series_cols: tuple[str, ...] = ("metric_name", "attr_key"),
+    time_col: str = "time_unix_nano",
+    value_cols: tuple[str, ...] = ("point_count", "value_double"),
+) -> DataFrame:
+    """Delta → Cumulative: running sum per series in time order.
+
+    The reported value becomes "change since a fixed start time"
+    (aggregation_temporality.go:31): cumulative_v = Σ deltas up to and
+    including this point, and every point's start_time collapses to the
+    series' first start (the fixed origin). One shuffle on the series key.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*[F.col(c) for c in series_cols])
+        .orderBy(F.col(time_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = points
+    for v in value_cols:
+        out = out.withColumn(f"cum_{v}", F.round(F.sum(F.col(v)).over(w), 4))
+    first_start = F.min("start_time_unix_nano").over(
+        Window.partitionBy(*[F.col(c) for c in series_cols])
+    )
+    return (
+        out.withColumn("start_time_unix_nano", first_start)
+        .withColumn(
+            "aggregation_temporality", F.lit(TEMPORALITY_CUMULATIVE)
+        )
+    )
+
+
+def cumulative_to_delta(
+    points: DataFrame,
+    series_cols: tuple[str, ...] = ("metric_name", "attr_key"),
+    time_col: str = "time_unix_nano",
+    value_cols: tuple[str, ...] = ("value_double",),
+) -> DataFrame:
+    """Cumulative → Delta: v - lag(v) per series; the first point keeps its
+    value (delta from the series origin). Inverse of delta_to_cumulative."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*[F.col(c) for c in series_cols]).orderBy(F.col(time_col))
+    out = points
+    for v in value_cols:
+        out = out.withColumn(
+            f"delta_{v}",
+            F.round(F.col(v) - F.coalesce(F.lag(F.col(v)).over(w), F.lit(0.0)), 4),
+        )
+    prev_time = F.lag(F.col(time_col)).over(w)
+    return (
+        out.withColumn(
+            "start_time_unix_nano",
+            F.coalesce(prev_time, F.col("start_time_unix_nano")),
+        )
+        .withColumn("aggregation_temporality", F.lit(TEMPORALITY_DELTA))
+    )
+
+
+def histogram_points(
+    events: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    bounds: tuple[float, ...] = (1.0, 2.0, 5.0, 10.0, 20.0, 50.0, 100.0),
+) -> DataFrame:
+    """Explicit-bounds Histogram data points per key
+    (generated_metric.go Histogram accessors; OTLP bucket semantics:
+    bucket i counts values in (bounds[i-1], bounds[i]], plus a final
+    overflow bucket > bounds[-1] — len(bucket_counts) = len(bounds)+1).
+
+    ONE hash aggregate with a conditional sum per bucket (map-side
+    partials, no explode); the wide row then carries the model columns
+    count/sum/bucket_counts/explicit_bounds.
+    """
+    v = F.col(value_col)
+    conds: list[Column] = []
+    for i, b in enumerate(bounds):
+        lo_ok = v > F.lit(bounds[i - 1]) if i > 0 else F.lit(True)
+        conds.append(lo_ok & (v <= F.lit(b)))
+    conds.append(v > F.lit(bounds[-1]))  # overflow bucket
+    aggs = [
+        F.sum(F.when(c, F.lit(1)).otherwise(F.lit(0))).cast("long").alias(f"__b{i}")
+        for i, c in enumerate(conds)
+    ]
+    wide = events.groupBy(F.col(key_col)).agg(
+        F.count("*").cast("long").alias("hist_count"),
+        F.round(F.sum(v), 4).alias("hist_sum"),
+        *aggs,
+    )
+    return wide.select(
+        F.lit("events.value.hist").alias("metric_name"),
+        F.lit(METRIC_TYPE["Histogram"]).alias("metric_type"),
+        F.lit(TEMPORALITY_DELTA).alias("aggregation_temporality"),
+        F.col(key_col).alias("attr_key"),
+        F.col("hist_count"),
+        F.col("hist_sum"),
+        F.array(*[F.col(f"__b{i}") for i in range(len(bounds) + 1)]).alias(
+            "hist_bucket_counts"
+        ),
+        F.array(*[F.lit(float(b)) for b in bounds]).alias("hist_explicit_bounds"),
+    )
+
+
+def histogram_buckets_long(hist: DataFrame, bounds: tuple[float, ...]) -> DataFrame:
+    """Exploded (attr_key, bucket_idx, le, n) rows from histogram points —
+    the scalar long form for oracle comparison (+inf rendered as NULL le).
+    Bounded by #keys × #buckets rows; posexplode of a small array."""
+    exploded = hist.select(
+        "attr_key",
+        "hist_count",
+        "hist_sum",
+        F.posexplode("hist_bucket_counts").alias("bucket_idx", "n"),
+    )
+    le = F.when(
+        F.col("bucket_idx") < len(bounds),
+        F.element_at(
+            F.array(*[F.lit(float(b)) for b in bounds]), F.col("bucket_idx") + 1
+        ),
+    )
+    return exploded.select(
+        "attr_key",
+        F.col("bucket_idx").cast("int").alias("bucket_idx"),
+        le.alias("le"),
+        F.col("n"),
+        "hist_count",
+        "hist_sum",
+    )

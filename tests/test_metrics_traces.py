@@ -1,0 +1,137 @@
+"""pmetric/ptrace model tests: temporality round-trip, histogram
+invariants, span-frame structure — the unit layer under the oracle-checked
+driver queries (fixture discipline per internal/testdata/log.go:28-42).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_spark.operators import metrics as met
+from opentelemetry_collector_spark.operators import traces as tr
+
+EVENTS = [
+    # (event_id, ts, user_id, event_type, value, props)
+    (0, dt.datetime(2024, 1, 1, 0, 0, 10), 1, "view", 1.5, '{"k": 1}'),
+    (1, dt.datetime(2024, 1, 1, 0, 1, 0), 1, "click", 3.0, '{"k": 2}'),
+    (2, dt.datetime(2024, 1, 1, 0, 7, 0), 1, "error", 60.0, '{"k": 3}'),
+    (3, dt.datetime(2024, 1, 1, 0, 2, 0), 2, "purchase", 120.0, '{"k": 4}'),
+    (4, dt.datetime(2024, 1, 1, 0, 12, 0), 2, "view", 0.5, '{"k": 5}'),
+]
+COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.createDataFrame(EVENTS, COLS)
+
+
+# ---------------------------------------------------------------------------
+# pmetric
+# ---------------------------------------------------------------------------
+
+def test_sum_points_are_delta_tagged(events):
+    pts = met.events_to_sum_points(events).collect()
+    assert all(r["aggregation_temporality"] == met.TEMPORALITY_DELTA for r in pts)
+    assert all(r["metric_type"] == met.METRIC_TYPE["Sum"] for r in pts)
+    # two view events in different windows → two points for 'view'
+    views = sorted(r["time_unix_nano"] for r in pts if r["attr_key"] == "view")
+    assert len(views) == 2
+
+
+def test_delta_to_cumulative_running_sum(events):
+    cum = met.delta_to_cumulative(met.events_to_sum_points(events))
+    rows = sorted(
+        cum.where(F.col("attr_key") == "view").collect(),
+        key=lambda r: r["time_unix_nano"],
+    )
+    assert [r["aggregation_temporality"] for r in rows] == [met.TEMPORALITY_CUMULATIVE] * 2
+    assert rows[0]["cum_value_double"] == 1.5
+    assert rows[1]["cum_value_double"] == 2.0  # 1.5 + 0.5
+    # start time collapses to the series origin (fixed start semantics)
+    assert rows[0]["start_time_unix_nano"] == rows[1]["start_time_unix_nano"]
+
+
+def test_cumulative_to_delta_inverts(events):
+    pts = met.events_to_sum_points(events)
+    cum = met.delta_to_cumulative(pts).select(
+        "metric_name", "attr_key", "time_unix_nano", "start_time_unix_nano",
+        F.col("cum_value_double").alias("value_double"),
+    )
+    back = met.cumulative_to_delta(cum)
+    got = {
+        (r["attr_key"], r["time_unix_nano"]): r["delta_value_double"]
+        for r in back.collect()
+    }
+    want = {
+        (r["attr_key"], r["time_unix_nano"]): r["value_double"] for r in pts.collect()
+    }
+    assert got == want
+
+
+def test_histogram_bucket_counts_sum_to_count(events):
+    hist = met.histogram_points(events, bounds=met.DEFAULT_HIST_BOUNDS).collect()
+    for r in hist:
+        assert len(r["hist_bucket_counts"]) == len(met.DEFAULT_HIST_BOUNDS) + 1
+        assert sum(r["hist_bucket_counts"]) == r["hist_count"]
+    # purchase value 120 > last bound → overflow bucket
+    p = next(r for r in hist if r["attr_key"] == "purchase")
+    assert p["hist_bucket_counts"][-1] == 1
+
+
+def test_histogram_long_form_matches_wide(events):
+    bounds = met.DEFAULT_HIST_BOUNDS
+    hist = met.histogram_points(events, bounds=bounds)
+    long = met.histogram_buckets_long(hist, bounds).collect()
+    wide = {r["attr_key"]: r["hist_bucket_counts"] for r in hist.collect()}
+    for r in long:
+        assert r["n"] == wide[r["attr_key"]][r["bucket_idx"]]
+        if r["bucket_idx"] < len(bounds):
+            assert r["le"] == bounds[r["bucket_idx"]]
+        else:
+            assert r["le"] is None
+
+
+# ---------------------------------------------------------------------------
+# ptrace
+# ---------------------------------------------------------------------------
+
+def test_span_frame_parent_chain(events):
+    spans = tr.events_to_spans(events).collect()
+    # user 1: view → click → error, chained parents, one root
+    u1 = [s for s in spans if s["name"] in ("view", "click", "error") and s["attributes"]["event_id"] in ("0", "1", "2")]
+    u1.sort(key=lambda s: s["start_time_unix_nano"])
+    assert u1[0]["parent_span_id"] == ""
+    assert u1[1]["parent_span_id"] == u1[0]["span_id"]
+    assert u1[2]["parent_span_id"] == u1[1]["span_id"]
+    assert len({s["trace_id"] for s in u1}) == 1
+
+
+def test_span_enums_and_duration(events):
+    spans = {s["attributes"]["event_id"]: s for s in tr.events_to_spans(events).collect()}
+    err = spans["2"]
+    assert err["kind"] == tr.SPAN_KIND["Internal"]
+    assert err["status_code"] == tr.STATUS_CODE["Error"]
+    assert err["status_message"] != ""
+    assert [e["name"] for e in err["events"]] == ["exception"]
+    # duration: value ms → ns interval
+    assert err["end_time_unix_nano"] - err["start_time_unix_nano"] == 60_000_000
+    ok = spans["0"]
+    assert ok["status_code"] == tr.STATUS_CODE["Ok"]
+    assert ok["events"] == []
+
+
+def test_spanmetrics_red_rollup(events):
+    out = {
+        (r["service"], r["kind"], r["status_code"]): r
+        for r in tr.spanmetrics(tr.events_to_spans(events)).collect()
+    }
+    err = out[("svc-1", tr.SPAN_KIND["Internal"], tr.STATUS_CODE["Error"])]
+    assert err["calls"] == 1 and err["sum_ms"] == 60.0
+    srv = out[("svc-1", tr.SPAN_KIND["Server"], tr.STATUS_CODE["Ok"])]
+    assert srv["calls"] == 2
+    assert srv["min_ms"] == 1.5 and srv["max_ms"] == 3.0 and srv["avg_ms"] == 2.25
