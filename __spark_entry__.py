@@ -417,6 +417,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["spanmetrics_spans"] = spanmetrics_spans
 
+    def otlp_json_roundtrip(spark, sf):  # D8: marshal→unmarshal ≡ identity
+        from opentelemetry_collector_spark.functions import otlp_json
+
+        rec = events_to_records(_t(spark, sf, "events"))
+        plog = rec.select(
+            F.concat(F.lit("event://"), F.col("event_id")).alias("url"),
+            F.col("time_unix_nano"),
+            F.col("observed_ts").cast("timestamp").alias("observed_ts"),
+            F.col("severity_number"),
+            F.col("severity_text"),
+            F.col("body"),
+            F.map_from_arrays(
+                F.array(F.lit("event_type"), F.lit("k"), F.lit("user_id")),
+                F.array(
+                    F.col("event_type"),
+                    F.col("attr_k"),
+                    F.col("user_id").cast("string"),
+                ),
+            ).alias("attributes"),
+            F.lit("").alias("trace_id"),
+            F.lit("").alias("span_id"),
+            F.lit(0).cast("int").alias("flags"),
+            F.lit(0).cast("int").alias("dropped_attributes_count"),
+            F.struct(
+                F.concat(F.lit("svc-"), (F.col("user_id") % F.lit(4)).cast("string")).alias(
+                    "host"
+                ),
+                F.lit("und").alias("lang"),
+            ).alias("resource"),
+            F.lit(0).cast("int").alias("line_no"),
+        )
+        rt = otlp_json.roundtrip(plog)
+        return rt.select(
+            F.substring(F.col("url"), 9, 32).cast("long").alias("event_id"),
+            "time_unix_nano",
+            "severity_number",
+            "severity_text",
+            "body",
+            F.element_at("attributes", "event_type").alias("event_type"),
+            F.element_at("attributes", "k").alias("k"),
+            F.element_at("attributes", "user_id").alias("user_id"),
+            F.col("resource.host").alias("host"),
+        )
+
+    q["otlp_json_roundtrip"] = otlp_json_roundtrip
+
     def salted_rollup(spark, sf):  # P1 skew-safe two-phase aggregation
         from opentelemetry_collector_spark.operators.batch import salted_groupby_count
 
@@ -670,6 +716,22 @@ FROM islands GROUP BY user_id, session_id
 
     o["salted_rollup"] = """
 SELECT event_type, count(*) AS n FROM events GROUP BY 1
+"""
+
+    # the round-trip is lossless, so the oracle is the identity projection
+    # of the same fields straight off the events table (json_test.go
+    # round-trip-equality analog at the driver surface)
+    o["otlp_json_roundtrip"] = f"""
+SELECT event_id,
+  epoch_us(ts) * 1000 AS time_unix_nano,
+  {_SEVERITY_CASE_NUM} AS severity_number,
+  {_SEVERITY_CASE_TEXT} AS severity_text,
+  props AS body,
+  event_type,
+  json_extract_string(props, '$.k') AS k,
+  user_id::VARCHAR AS user_id,
+  'svc-' || (user_id % 4) AS host
+FROM events
 """
 
     o["metrics_temporality"] = """

@@ -1,0 +1,240 @@
+"""OTLP/JSON Logs marshal/unmarshal — the pdata/plog/json.go analog (D8).
+
+The reference round-trips Logs through the protobuf-JSON form of
+ExportLogsServiceRequest (pdata/plog/json.go:31-42, via pdata/internal/
+json): the nested Resource → Scope → LogRecord hierarchy with proto3 JSON
+conventions (camelCase fields, uint64 timestamps rendered as decimal
+strings, attributes as [{key, value:{stringValue}}] pairs).
+
+Here the wire form is built and parsed entirely with ``to_json`` /
+``from_json`` over a fixed nested StructType — JVM-side, no Python in the
+loop. The flat LOG_RECORDS_SCHEMA ↔ nested OTLP mapping is a bijection:
+
+- ``resource.host`` / ``resource.lang`` → resource.attributes pairs;
+- the record's attributes map → the OTLP attributes array; the flat
+  model's ``url`` and ``line_no`` columns ride along as reserved
+  ``log.url`` / ``log.line_no`` attributes (OTLP has no such fields) and
+  are popped back out on unmarshal — callers must not use those keys;
+- ``observed_ts`` (µs timestamp) ↔ ``observedTimeUnixNano`` string.
+
+Scale: marshal is one groupBy(resource) shuffle (collect_list of record
+structs per resource — the OTLP batch envelope is inherently grouped);
+unmarshal is a narrow from_json + three explodes. Both stay in codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..schemas import LOG_RECORDS_SCHEMA, RESOURCE_SCHEMA
+
+# proto3 JSON form of common.v1.KeyValue with a string value
+_KV_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType(), False),
+        T.StructField(
+            "value",
+            T.StructType([T.StructField("stringValue", T.StringType(), True)]),
+            False,
+        ),
+    ]
+)
+
+_LOG_RECORD_SCHEMA = T.StructType(
+    [
+        T.StructField("timeUnixNano", T.StringType(), True),  # uint64 → string
+        T.StructField("observedTimeUnixNano", T.StringType(), True),
+        T.StructField("severityNumber", T.IntegerType(), True),
+        T.StructField("severityText", T.StringType(), True),
+        T.StructField(
+            "body",
+            T.StructType([T.StructField("stringValue", T.StringType(), True)]),
+            True,
+        ),
+        T.StructField("attributes", T.ArrayType(_KV_SCHEMA), True),
+        T.StructField("droppedAttributesCount", T.IntegerType(), True),
+        T.StructField("flags", T.IntegerType(), True),
+        T.StructField("traceId", T.StringType(), True),
+        T.StructField("spanId", T.StringType(), True),
+    ]
+)
+
+# ExportLogsServiceRequest / LogsData (plog/json.go:40-42)
+OTLP_LOGS_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            "resourceLogs",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField(
+                            "resource",
+                            T.StructType(
+                                [T.StructField("attributes", T.ArrayType(_KV_SCHEMA), True)]
+                            ),
+                            True,
+                        ),
+                        T.StructField(
+                            "scopeLogs",
+                            T.ArrayType(
+                                T.StructType(
+                                    [
+                                        T.StructField(
+                                            "scope",
+                                            T.StructType(
+                                                [
+                                                    T.StructField("name", T.StringType(), True),
+                                                    T.StructField("version", T.StringType(), True),
+                                                ]
+                                            ),
+                                            True,
+                                        ),
+                                        T.StructField(
+                                            "logRecords",
+                                            T.ArrayType(_LOG_RECORD_SCHEMA),
+                                            True,
+                                        ),
+                                    ]
+                                )
+                            ),
+                            True,
+                        ),
+                    ]
+                )
+            ),
+            True,
+        )
+    ]
+)
+
+SCOPE_NAME = "opentelemetry_collector_spark"
+SCOPE_VERSION = "0.1"
+
+# reserved attribute keys carrying the flat model's non-OTLP columns
+URL_ATTR = "log.url"
+LINE_NO_ATTR = "log.line_no"
+
+
+def _kv(key: Column | str, value: Column) -> Column:
+    k = F.lit(key) if isinstance(key, str) else key
+    return F.struct(
+        k.alias("key"), F.struct(value.alias("stringValue")).alias("value")
+    )
+
+
+def _attrs_to_kv_array(attrs: Column) -> Column:
+    return F.transform(
+        F.map_entries(attrs), lambda e: _kv(e.getField("key"), e.getField("value"))
+    )
+
+
+def _kv_array_to_map(arr: Column) -> Column:
+    return F.map_from_entries(
+        F.transform(
+            arr,
+            lambda e: F.struct(
+                e.getField("key").alias("key"),
+                e.getField("value").getField("stringValue").alias("value"),
+            ),
+        )
+    )
+
+
+def logs_to_otlp_json(records: DataFrame) -> DataFrame:
+    """LOG_RECORDS_SCHEMA frame → one OTLP/JSON request string per
+    resource: ``(resource, request_json)`` rows (MarshalLogs analog,
+    plog/json.go:31-37)."""
+    rec_struct = F.struct(
+        F.col("time_unix_nano").cast("string").alias("timeUnixNano"),
+        (F.unix_micros(F.col("observed_ts").cast("timestamp")) * F.lit(1000))
+        .cast("string")
+        .alias("observedTimeUnixNano"),
+        F.col("severity_number").alias("severityNumber"),
+        F.col("severity_text").alias("severityText"),
+        F.struct(F.col("body").alias("stringValue")).alias("body"),
+        F.concat(
+            _attrs_to_kv_array(F.col("attributes")),
+            F.array(
+                _kv(URL_ATTR, F.col("url")),
+                _kv(LINE_NO_ATTR, F.col("line_no").cast("string")),
+            ),
+        ).alias("attributes"),
+        F.col("dropped_attributes_count").alias("droppedAttributesCount"),
+        F.col("flags").alias("flags"),
+        F.col("trace_id").alias("traceId"),
+        F.col("span_id").alias("spanId"),
+    )
+    grouped = records.groupBy("resource").agg(
+        F.collect_list(rec_struct).alias("__records")
+    )
+    resource_attrs = F.array(
+        _kv("host", F.col("resource.host")), _kv("lang", F.col("resource.lang"))
+    )
+    request = F.struct(
+        F.array(
+            F.struct(
+                F.struct(resource_attrs.alias("attributes")).alias("resource"),
+                F.array(
+                    F.struct(
+                        F.struct(
+                            F.lit(SCOPE_NAME).alias("name"),
+                            F.lit(SCOPE_VERSION).alias("version"),
+                        ).alias("scope"),
+                        F.col("__records").alias("logRecords"),
+                    )
+                ).alias("scopeLogs"),
+            )
+        ).alias("resourceLogs")
+    )
+    return grouped.select(
+        F.col("resource"), F.to_json(request).alias("request_json")
+    )
+
+
+def otlp_json_to_logs(requests: DataFrame, json_col: str = "request_json") -> DataFrame:
+    """OTLP/JSON request strings → LOG_RECORDS_SCHEMA frame
+    (UnmarshalLogs analog, plog/json.go:39-42). Unknown/missing fields
+    null-fill per proto3 JSON; the reserved ``log.url`` / ``log.line_no``
+    attributes are popped back into their flat columns."""
+    parsed = requests.select(
+        F.from_json(F.col(json_col), OTLP_LOGS_SCHEMA).alias("req")
+    )
+    rl = parsed.select(F.explode("req.resourceLogs").alias("rl"))
+    res_map = _kv_array_to_map(F.col("rl.resource.attributes"))
+    sl = rl.select(
+        res_map.alias("__res"), F.explode("rl.scopeLogs").alias("sl")
+    )
+    lr = sl.select("__res", F.explode("sl.logRecords").alias("r"))
+    attrs_map = _kv_array_to_map(F.col("r.attributes"))
+    own_attrs = F.map_filter(
+        attrs_map, lambda k, _: ~k.isin(URL_ATTR, LINE_NO_ATTR)
+    )
+    return lr.select(
+        F.element_at(attrs_map, URL_ATTR).alias("url"),
+        F.col("r.timeUnixNano").cast("long").alias("time_unix_nano"),
+        F.timestamp_micros(
+            (F.col("r.observedTimeUnixNano").cast("long") / F.lit(1000)).cast("long")
+        ).alias("observed_ts"),
+        F.col("r.severityNumber").alias("severity_number"),
+        F.col("r.severityText").alias("severity_text"),
+        F.col("r.body.stringValue").alias("body"),
+        own_attrs.alias("attributes"),
+        F.col("r.traceId").alias("trace_id"),
+        F.col("r.spanId").alias("span_id"),
+        F.col("r.flags").alias("flags"),
+        F.col("r.droppedAttributesCount").alias("dropped_attributes_count"),
+        F.struct(
+            F.element_at(F.col("__res"), "host").alias("host"),
+            F.element_at(F.col("__res"), "lang").alias("lang"),
+        ).alias("resource"),
+        F.element_at(attrs_map, LINE_NO_ATTR).cast("int").alias("line_no"),
+    )
+
+
+def roundtrip(records: DataFrame) -> DataFrame:
+    """marshal → unmarshal; output frame ≡ input frame (json_test.go
+    round-trip equality analog) — the driver query hashes this against
+    the identity projection."""
+    return otlp_json_to_logs(logs_to_otlp_json(records))

@@ -1,0 +1,92 @@
+"""OTLP/JSON codec tests — pdata/plog/json_test.go analog: marshal →
+unmarshal round-trip equality over the full parsed record model, plus
+wire-shape and item-count invariants."""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_spark.fixtures.pages import generate_pages_pandas
+from opentelemetry_collector_spark.functions import otlp_json
+from opentelemetry_collector_spark.operators.parse import parse_pages
+from opentelemetry_collector_spark.schemas import PAGES_SCHEMA
+
+
+@pytest.fixture(scope="module")
+def records(spark):
+    pdf = generate_pages_pandas(np.arange(120, dtype=np.uint64))
+    return parse_pages(spark.createDataFrame(pdf, PAGES_SCHEMA)).persist()
+
+
+def _canon(rows):
+    out = []
+    for r in rows:
+        d = r.asDict(recursive=True)
+        d["attributes"] = tuple(sorted(d["attributes"].items()))
+        d["resource"] = tuple(sorted(d["resource"].items()))
+        out.append(tuple(sorted(d.items())))
+    return sorted(out)
+
+
+def test_roundtrip_equals_identity(records):
+    """Every field of every record survives marshal → unmarshal exactly
+    (json_test.go: TestLogsJSON round-trip equality)."""
+    back = otlp_json.roundtrip(records)
+    assert back.columns == records.columns
+    assert _canon(back.collect()) == _canon(records.collect())
+
+
+def test_record_count_invariant(records):
+    """LogRecordCount is preserved through the wire form — the item
+    accounting unit (pdata/plog/logs.go:45-57)."""
+    n = records.count()
+    marshaled = otlp_json.logs_to_otlp_json(records)
+    assert marshaled.count() == records.select("resource").distinct().count()
+    assert otlp_json.otlp_json_to_logs(marshaled).count() == n
+
+
+def test_wire_shape_is_proto3_json(records):
+    """The envelope is the proto3-JSON ExportLogsServiceRequest shape:
+    resourceLogs→scopeLogs→logRecords, camelCase fields, uint64 times as
+    decimal strings, attributes as key/stringValue pairs."""
+    row = otlp_json.logs_to_otlp_json(records).first()
+    req = json.loads(row["request_json"])
+    rl = req["resourceLogs"][0]
+    res_attrs = {a["key"]: a["value"]["stringValue"] for a in rl["resource"]["attributes"]}
+    assert set(res_attrs) == {"host", "lang"}
+    sl = rl["scopeLogs"][0]
+    assert sl["scope"]["name"] == otlp_json.SCOPE_NAME
+    rec = sl["logRecords"][0]
+    assert isinstance(rec["timeUnixNano"], str)
+    assert set(rec) >= {"timeUnixNano", "observedTimeUnixNano", "severityNumber",
+                        "severityText", "body", "attributes"}
+    assert "stringValue" in rec["body"]
+
+
+def test_unmarshal_tolerates_minimal_record(spark):
+    """proto3 JSON null-fills missing fields — a minimal record parses
+    without error (permanent-error classification happens downstream)."""
+    minimal = json.dumps(
+        {
+            "resourceLogs": [
+                {
+                    "resource": {"attributes": [{"key": "host", "value": {"stringValue": "h"}}]},
+                    "scopeLogs": [
+                        {"scope": {"name": "x", "version": "1"},
+                         "logRecords": [{"body": {"stringValue": "hello"}}]}
+                    ],
+                }
+            ]
+        }
+    )
+    df = spark.createDataFrame([(minimal,)], ["request_json"])
+    out = otlp_json.otlp_json_to_logs(df).collect()
+    assert len(out) == 1
+    assert out[0]["body"] == "hello"
+    assert out[0]["resource"]["host"] == "h"
+    assert out[0]["time_unix_nano"] is None
