@@ -1,16 +1,23 @@
-"""Pipeline config model — the confmap/otelcol.Config analog.
+"""Pipeline config model + resolver — the confmap/otelcol.Config analog.
 
-The reference resolves YAML into a typed Config tree and validates it
-before building the graph (otelcol/unmarshaler.go, otelcol/config.go,
-cfg.Validate() at otelcol/collector.go:160-162; component-level checks like
-batchprocessor/config.go:41-46). We mirror that: yaml.safe_load → dataclass
-tree → validate() raising ConfigError with the same class of messages
-(unknown component references, empty pipelines, cycles — cycle error
-format mirrors service/graph.go:315-353).
+The reference resolves every config through a Resolver
+(confmap/resolver.go:145+): retrieve each source URI via scheme providers
+(``file:``, ``env:``, ``yaml:``; confmap/provider/*), **merge the maps in
+order** (Conf.Merge: nested maps merge recursively, scalars/lists
+override), then **expand embedded ``${scheme:value}`` URIs** inside string
+values (regexes at resolver.go:42-48, recursion-capped —
+errTooManyRecursiveExpansions) plus the legacy ``${ENVVAR}`` form
+(confmap/converter/expandconverter). ``resolve_config`` reproduces that
+pipeline; ``load_config`` then unmarshals into the typed tree and
+validates (otelcol/unmarshaler.go, cfg.Validate() at
+otelcol/collector.go:160-162; cycle error format mirrors
+service/graph.go:315-353).
 """
 
 from __future__ import annotations
 
+import os
+import re
 from dataclasses import dataclass, field
 
 try:
@@ -21,6 +28,132 @@ except ImportError:  # pragma: no cover
 
 class ConfigError(ValueError):
     pass
+
+
+# scheme name per resolver.go:30-41 (letter, then letters/digits/+/./-)
+_SCHEME_RE = re.compile(r"^([A-Za-z][A-Za-z0-9+.-]+):(.*)$", re.S)
+# embedded provider URI inside a string value (resolver.go:44-45)
+_EMBEDDED_URI_RE = re.compile(r"\$\{([A-Za-z][A-Za-z0-9+.-]+):(.*?)\}")
+# legacy expandconverter form: ${ENV_VAR} with no scheme
+_LEGACY_ENV_RE = re.compile(r"\$\{([A-Za-z_][A-Za-z0-9_]*)\}")
+
+_MAX_EXPANSIONS = 100  # errTooManyRecursiveExpansions analog
+
+
+def _retrieve(scheme: str, value: str, env: dict[str, str], strict_env: bool):
+    """Scheme providers (confmap/provider/*): env / file / yaml."""
+    if scheme == "env":
+        if value not in env:
+            if strict_env:
+                raise ConfigError(f"environment variable {value!r} is not set")
+            return ""  # envprovider: os.Getenv semantics — unset → empty
+        # the env provider yaml-parses the content, so numeric/bool values
+        # keep their type when the URI is the whole string
+        raw = env[value]
+        return yaml.safe_load(raw) if raw.strip() else ""
+    if scheme == "file":
+        if not os.path.exists(value):
+            raise ConfigError(f"file {value!r} referenced by file: provider not found")
+        with open(value) as f:
+            return yaml.safe_load(f.read())
+    if scheme == "yaml":
+        return yaml.safe_load(value)
+    raise ConfigError(f"unsupported config scheme {scheme!r}")
+
+
+def _expand_str(s: str, env: dict[str, str], strict_env: bool, depth: int):
+    if depth > _MAX_EXPANSIONS:
+        raise ConfigError("too many recursive expansions in config value")
+
+    # whole-string URI keeps the retrieved value's type (resolver
+    # expandValueRecursively: a value that IS one URI resolves typed)
+    m = _EMBEDDED_URI_RE.fullmatch(s)
+    if m:
+        got = _retrieve(m.group(1), m.group(2), env, strict_env)
+        return _expand_value(got, env, strict_env, depth + 1)
+
+    def sub_uri(mt: re.Match) -> str:
+        got = _retrieve(mt.group(1), mt.group(2), env, strict_env)
+        got = _expand_value(got, env, strict_env, depth + 1)
+        return "" if got is None else str(got)
+
+    out = _EMBEDDED_URI_RE.sub(sub_uri, s)
+
+    def sub_env(mt: re.Match) -> str:
+        name = mt.group(1)
+        if name not in env:
+            if strict_env:
+                raise ConfigError(f"environment variable {name!r} is not set")
+            return ""
+        return env[name]
+
+    out = _LEGACY_ENV_RE.sub(sub_env, out)
+    if out != s and (_EMBEDDED_URI_RE.search(out) or _LEGACY_ENV_RE.search(out)):
+        # expansion produced further URIs — recurse, bounded
+        return _expand_str(out, env, strict_env, depth + 1)
+    return out
+
+
+def _expand_value(v, env: dict[str, str], strict_env: bool, depth: int = 0):
+    if isinstance(v, str):
+        return _expand_str(v, env, strict_env, depth)
+    if isinstance(v, dict):
+        return {k: _expand_value(x, env, strict_env, depth) for k, x in v.items()}
+    if isinstance(v, list):
+        return [_expand_value(x, env, strict_env, depth) for x in v]
+    return v
+
+
+def _merge_maps(base: dict, overlay: dict) -> dict:
+    """Conf.Merge semantics: nested maps merge key-wise (overlay wins on
+    conflicts), every other value type overrides wholesale."""
+    for k, v in overlay.items():
+        if isinstance(v, dict) and isinstance(base.get(k), dict):
+            _merge_maps(base[k], v)
+        else:
+            base[k] = v
+    return base
+
+
+def resolve_config(
+    sources: list[str | dict] | str | dict,
+    env: dict[str, str] | None = None,
+    strict_env: bool = False,
+) -> dict:
+    """confmap.Resolver.Resolve analog: retrieve each source in order
+    (``file:path`` / ``env:VAR`` / ``yaml:inline`` URI, bare path, inline
+    YAML string, or dict), merge, then expand embedded ``${scheme:value}``
+    and legacy ``${ENVVAR}`` references. ``env`` defaults to os.environ;
+    ``strict_env=True`` turns unset variables into ConfigError instead of
+    the provider's empty-string default."""
+    if yaml is None:  # pragma: no cover
+        raise ConfigError("pyyaml not available")
+    env = dict(os.environ) if env is None else env
+    if not isinstance(sources, list):
+        sources = [sources]
+
+    merged: dict = {}
+    for src in sources:
+        if isinstance(src, dict):
+            raw = src
+        else:
+            m = _SCHEME_RE.match(src)
+            if m and m.group(1) in ("file", "env", "yaml"):
+                raw = _retrieve(m.group(1), m.group(2), env, strict_env)
+            elif "\n" not in src and src.endswith((".yaml", ".yml")):
+                raw = _retrieve("file", src, env, strict_env)
+            else:
+                raw = yaml.safe_load(src)
+        if raw is None:
+            continue
+        if not isinstance(raw, dict):
+            raise ConfigError(f"config source must resolve to a mapping, got {type(raw).__name__}")
+        _merge_maps(merged, raw)
+
+    expanded = _expand_value(merged, env, strict_env)
+    if not isinstance(expanded, dict):  # pragma: no cover — defensive
+        raise ConfigError("config root must be a mapping after expansion")
+    return expanded
 
 
 @dataclass
@@ -143,18 +276,18 @@ def _parse_components(section: dict | None) -> dict[str, ComponentConfig]:
     return out
 
 
-def load_config(source: str | dict) -> CollectorConfig:
-    """Load from a YAML string/path or an already-parsed dict."""
-    if isinstance(source, dict):
-        raw = source
-    else:
-        text = source
-        if "\n" not in source and source.endswith((".yaml", ".yml")):
-            with open(source) as f:
-                text = f.read()
-        if yaml is None:
-            raise ConfigError("pyyaml not available; pass a dict")
-        raw = yaml.safe_load(text)
+def load_config(
+    source: str | dict | list,
+    env: dict[str, str] | None = None,
+    strict_env: bool = False,
+) -> CollectorConfig:
+    """Load + resolve from one or more sources (YAML string/path/dict or a
+    list of them — later sources override earlier per Conf.Merge), with
+    ``${env:VAR}`` / ``${file:path}`` / ``${yaml:...}`` / ``${ENVVAR}``
+    expansion (confmap resolver semantics)."""
+    if yaml is None:
+        raise ConfigError("pyyaml not available; pass a dict")
+    raw = resolve_config(source, env=env, strict_env=strict_env)
     if not isinstance(raw, dict):
         raise ConfigError("config root must be a mapping")
 

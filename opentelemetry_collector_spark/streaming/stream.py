@@ -94,8 +94,18 @@ class StreamingPipeline:
         pages_stream: DataFrame,
         checkpoint_dir: str,
         available_now: bool = True,
+        processing_time: str | None = None,
         parse_engine: str = "sql",
     ):
+        """Start the micro-batch loop.
+
+        ``processing_time`` (e.g. ``"5 seconds"``) is the
+        scraper-controller's periodic tick (S3,
+        receiver/scraperhelper/scrapercontroller.go:71-123: a ticker fires
+        every collection_interval and drains whatever the source
+        accumulated); it takes precedence over ``available_now``, which
+        remains the drain-and-stop mode (scrapercontroller.go:179-191).
+        """
         records = parse_pages(pages_stream, engine=parse_engine)
         writer = (
             records.writeStream.foreachBatch(
@@ -104,9 +114,60 @@ class StreamingPipeline:
             .option("checkpointLocation", checkpoint_dir)
             .outputMode("update")
         )
-        if available_now:
+        if processing_time is not None:
+            writer = writer.trigger(processingTime=processing_time)
+        elif available_now:
             writer = writer.trigger(availableNow=True)
         return writer.start()
+
+    @classmethod
+    def from_config(
+        cls,
+        spark: SparkSession,
+        config,
+        pipeline: str,
+        out_root: str,
+        lineage_dir: str | None = None,
+    ) -> "StreamingPipeline":
+        """Build from a CollectorConfig pipeline — the piece the hot-reload
+        loop rebuilds on config change (otelcol/collector.go:189-202,
+        221-251: a watched-config change triggers a full stop → rebuild →
+        restart; state survives in the checkpoint + idempotent sinks, so
+        the rebuilt pipeline resumes exactly-once). Processors other than
+        ``parse`` become the transform chain; exporters become routes.
+        """
+        from ..plans.compiler import _build_processor
+
+        p = config.pipelines[pipeline]
+        stages = []
+        for proc_name in p.processors:
+            c = config.processors[proc_name]
+            if c.kind == "parse":
+                continue  # start() parses the stream itself
+            stages.append(_build_processor(spark, c.kind, c.options))
+
+        def transform(df: DataFrame) -> DataFrame:
+            for s in stages:
+                df = s(df)
+            return df
+
+        routes: list[Route] = []
+        for e in p.exporters:
+            c = config.exporters[e]
+            if c.options.get("all"):
+                routes.append(Route(e, kind="all"))
+            elif c.options.get("default"):
+                routes.append(Route(e, kind="default"))
+            elif "predicate" in c.options:
+                routes.append(Route(e, predicate=c.options["predicate"]))
+            else:
+                routes.append(Route(e, kind="all"))
+        return cls(
+            routes=routes,
+            out_root=out_root,
+            transform=transform if stages else None,
+            lineage_dir=lineage_dir,
+        )
 
     def sink_counts(self) -> dict[str, int]:
         return {name: sink.committed_row_count() for name, sink in self.sinks.items()}

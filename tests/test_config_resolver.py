@@ -1,0 +1,152 @@
+"""confmap resolver tests: ${env:}/${file:}/${yaml:} expansion, legacy
+${ENVVAR}, ordered multi-source merge — the otelcol/testdata config-corpus
+discipline (confmap/resolver.go:42-48, Resolve at resolver.go:145+,
+confmap/converter/expandconverter)."""
+
+from __future__ import annotations
+
+import pytest
+
+from opentelemetry_collector_spark.plans.config import (
+    ConfigError,
+    load_config,
+    resolve_config,
+)
+
+ENV = {"PORT": "4317", "SEVERITY": "17", "NAME": "prod", "FLAG": "true"}
+
+
+# ---------------------------------------------------------------------------
+# expansion
+# ---------------------------------------------------------------------------
+
+def test_env_whole_string_keeps_type():
+    cfg = resolve_config({"a": "${env:PORT}", "b": "${env:FLAG}"}, env=ENV)
+    assert cfg["a"] == 4317  # env provider yaml-parses the value
+    assert cfg["b"] is True
+
+
+def test_env_embedded_becomes_string():
+    cfg = resolve_config({"endpoint": "host:${env:PORT}/v1"}, env=ENV)
+    assert cfg["endpoint"] == "host:4317/v1"
+
+
+def test_env_miss_defaults_to_empty():
+    cfg = resolve_config({"a": "${env:MISSING}"}, env=ENV)
+    assert cfg["a"] == ""
+
+
+def test_env_miss_strict_raises():
+    with pytest.raises(ConfigError, match="MISSING"):
+        resolve_config({"a": "${env:MISSING}"}, env=ENV, strict_env=True)
+
+
+def test_legacy_env_form():
+    cfg = resolve_config({"a": "svc-${NAME}", "b": "${NAME}"}, env=ENV)
+    assert cfg == {"a": "svc-prod", "b": "prod"}
+
+
+def test_file_provider_and_nesting(tmp_path):
+    inner = tmp_path / "inner.yaml"
+    inner.write_text("threshold: ${env:SEVERITY}\n")
+    cfg = resolve_config({"rules": "${file:%s}" % inner}, env=ENV)
+    assert cfg["rules"] == {"threshold": 17}  # typed through two hops
+
+
+def test_file_provider_missing_raises():
+    with pytest.raises(ConfigError, match="not found"):
+        resolve_config({"rules": "${file:/no/such/file.yaml}"}, env=ENV)
+
+
+def test_yaml_provider_inline():
+    cfg = resolve_config({"list": "${yaml:[1, 2, 3]}"}, env=ENV)
+    assert cfg["list"] == [1, 2, 3]
+
+
+def test_recursive_expansion_is_bounded():
+    env = {"A": "${env:A}"}
+    with pytest.raises(ConfigError, match="recursive"):
+        resolve_config({"a": "${env:A}"}, env=env)
+
+
+def test_unknown_scheme_raises():
+    with pytest.raises(ConfigError, match="scheme"):
+        resolve_config({"a": "${http:example.com}"}, env=ENV)
+
+
+# ---------------------------------------------------------------------------
+# multi-source merge (Conf.Merge: maps merge, scalars/lists override)
+# ---------------------------------------------------------------------------
+
+def test_merge_later_source_overrides_scalars():
+    cfg = resolve_config(
+        [{"a": 1, "nest": {"x": 1, "y": 2}}, {"a": 2, "nest": {"y": 3, "z": 4}}],
+        env=ENV,
+    )
+    assert cfg == {"a": 2, "nest": {"x": 1, "y": 3, "z": 4}}
+
+
+def test_merge_lists_replace_not_concat():
+    cfg = resolve_config([{"l": [1, 2]}, {"l": [3]}], env=ENV)
+    assert cfg["l"] == [3]
+
+
+def test_merge_yaml_string_sources(tmp_path):
+    base = tmp_path / "base.yaml"
+    base.write_text("receivers:\n  r: {kind: pages_synthetic, n_rows: 10}\n")
+    overlay = "receivers:\n  r: {n_rows: 99}\n"
+    cfg = resolve_config([str(base), overlay], env=ENV)
+    assert cfg["receivers"]["r"] == {"kind": "pages_synthetic", "n_rows": 99}
+
+
+def test_non_mapping_source_raises():
+    with pytest.raises(ConfigError, match="mapping"):
+        resolve_config(["- just\n- a list\n"], env=ENV)
+
+
+# ---------------------------------------------------------------------------
+# end-to-end through load_config (typed tree + validation still apply)
+# ---------------------------------------------------------------------------
+
+VALID = """
+receivers:
+  pages_synthetic:
+    n_rows: ${env:ROWS}
+processors:
+  filter/err:
+    kind: filter
+    keep_where: "severity_number >= ${env:SEVERITY}"
+exporters:
+  sink_all:
+    kind: parquet
+    all: true
+service:
+  pipelines:
+    logs:
+      receivers: [pages_synthetic]
+      processors: [filter/err]
+      exporters: [sink_all]
+"""
+
+
+def test_load_config_expands_and_validates():
+    cfg = load_config(VALID, env={**ENV, "ROWS": "25"})
+    assert cfg.receivers["pages_synthetic"].options["n_rows"] == 25
+    assert (
+        cfg.processors["filter/err"].options["keep_where"]
+        == "severity_number >= 17"
+    )
+
+
+def test_load_config_merge_overlay_swaps_exporter():
+    overlay = {"service": {"pipelines": {"logs": {"receivers": ["pages_synthetic"],
+                                                  "processors": [],
+                                                  "exporters": ["sink_all"]}}}}
+    cfg = load_config([VALID, overlay], env={**ENV, "ROWS": "5"})
+    assert cfg.pipelines["logs"].processors == []
+
+
+def test_load_config_invalid_reference_still_caught():
+    bad = VALID.replace("exporters: [sink_all]", "exporters: [nope]")
+    with pytest.raises(ConfigError, match="unknown exporter"):
+        load_config(bad, env={**ENV, "ROWS": "5"})

@@ -103,6 +103,83 @@ def test_checkpoint_resume_is_exactly_once(spark, pages_dir, tmp_path):
     assert pipe2.sink_counts() == _batch_expected(spark, pages_dir)
 
 
+def test_processing_time_trigger_drains(spark, pages_dir, tmp_path):
+    """S3 scraper-controller tick (scrapercontroller.go:71-123): a
+    processingTime trigger periodically drains the source; totals converge
+    to the batch expectation, then the query is stopped externally."""
+    import time
+
+    pipe = StreamingPipeline(routes=_routes(), out_root=str(tmp_path / "sinks"))
+    q = pipe.start(
+        stream_pages(spark, pages_dir, max_files_per_trigger=1),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        available_now=False,
+        processing_time="1 second",
+    )
+    expected = _batch_expected(spark, pages_dir)
+    deadline = time.monotonic() + 120
+    while time.monotonic() < deadline:
+        if pipe.sink_counts() == expected:
+            break
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination(60)
+    assert pipe.sink_counts() == expected
+
+
+def test_hot_reload_rebuild_resumes_from_checkpoint(spark, pages_dir, tmp_path):
+    """Config hot-reload analog (otelcol/collector.go:189-202,221-251):
+    stop, rebuild from the CHANGED config, restart on the same checkpoint —
+    already-committed epochs are not reprocessed (the new route sees only
+    post-reload data), and totals stay exact."""
+    from opentelemetry_collector_spark.plans.config import load_config
+
+    cfg_v1 = """
+receivers: {pages: {kind: pages_parquet, path: unused}}
+exporters:
+  audit: {kind: parquet, all: true}
+service:
+  pipelines:
+    logs: {receivers: [pages], processors: [], exporters: [audit]}
+"""
+    cfg_v2 = """
+receivers: {pages: {kind: pages_parquet, path: unused}}
+exporters:
+  audit: {kind: parquet, all: true}
+  errors: {kind: parquet, predicate: "severity_number >= 17"}
+service:
+  pipelines:
+    logs: {receivers: [pages], processors: [], exporters: [audit, errors]}
+"""
+    out, ckpt = str(tmp_path / "sinks"), str(tmp_path / "ckpt")
+    in_dir = str(tmp_path / "pages")
+    _write_pages_files(spark, in_dir, n_files=2)
+
+    pipe1 = StreamingPipeline.from_config(spark, load_config(cfg_v1), "logs", out)
+    q1 = pipe1.start(stream_pages(spark, in_dir), checkpoint_dir=ckpt)
+    q1.awaitTermination(120)
+    first_total = pipe1.sink_counts()["audit"]
+    assert first_total == _batch_expected(spark, in_dir)["audit"]
+
+    # config change: new files arrive, the watcher rebuilds and restarts
+    ids = np.arange(10_000, 10_120, dtype=np.uint64)
+    spark.createDataFrame(generate_pages_pandas(ids), PAGES_SCHEMA).coalesce(
+        1
+    ).write.mode("append").parquet(in_dir)
+    pipe2 = StreamingPipeline.from_config(spark, load_config(cfg_v2), "logs", out)
+    q2 = pipe2.start(stream_pages(spark, in_dir), checkpoint_dir=ckpt)
+    q2.awaitTermination(120)
+
+    counts = pipe2.sink_counts()
+    assert counts["audit"] == _batch_expected(spark, in_dir)["audit"]  # no loss, no dups
+    # the new route only sees post-reload epochs (old epochs not replayed)
+    new_pages = parse_pages(
+        spark.createDataFrame(generate_pages_pandas(ids), PAGES_SCHEMA)
+    )
+    new_errors = new_pages.where(F.col("severity_number") >= 17).count()
+    assert counts["errors"] == new_errors
+
+
 def test_lineage_replay_is_idempotent(spark, pages_dir, tmp_path):
     """A replayed micro-batch (crash between sink commit and checkpoint
     commit) must not duplicate lineage rows: lineage is epoch-keyed
