@@ -9,9 +9,66 @@ whole-stage codegen — no UDF.
 
 from __future__ import annotations
 
+import math
+from decimal import Decimal
+
+import pandas as pd
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+
+def es6_float_str(f: float) -> str:
+    """Go encoding/json's ES6 float rendering, exactly
+    (pdata/pcommon/value.go:398-426 float64AsString):
+
+    - NaN/±Inf → ``json: unsupported value: <g-format>``;
+    - |f| in [1e-6, 1e21) (or 0) → shortest round-trip decimal, no
+      exponent, no trailing ".0" (``3`` not ``3.0``; ``-0`` keeps its
+      sign like Go json);
+    - otherwise shortest mantissa + ``e±XX`` with the single leading
+      exponent zero stripped on negative exponents (``1e-7``, ``1e+21``).
+
+    Shortest round-trip digits are identical across Go and CPython (both
+    emit the unique minimal decimal that round-trips), so this is
+    byte-parity, not approximation.
+    """
+    if math.isnan(f) or math.isinf(f):
+        g = "NaN" if math.isnan(f) else ("+Inf" if f > 0 else "-Inf")
+        return f"json: unsupported value: {g}"
+    a = abs(f)
+    if a != 0 and (a < 1e-6 or a >= 1e21):
+        mant, exp = repr(f).split("e")  # repr is exponent-form in this range
+        sign, digits = exp[0], exp[1:]
+        if sign == "-":
+            digits = digits.lstrip("0") or "0"  # e-07 → e-7 cleanup
+        return f"{mant}e{sign}{digits}"
+    s = format(Decimal(repr(f)), "f")
+    if "." in s:
+        s = s.rstrip("0").rstrip(".")
+    return s
+
+
+_ES6_UDF = None
+
+
+def es6_double_col(col: Column) -> Column:
+    """Arrow-batched ``es6_float_str`` over a double column — the ONE
+    documented Python hop in the repo's text boundary (golden rendering /
+    AsString of doubles). Never on a hot scan path: shortest-round-trip
+    formatting has no Spark built-in, and byte parity with the reference's
+    golden files beats codegen here. Nulls and NaN both render as the
+    Go-json unsupported-NaN string (Arrow folds double nulls into NaN)."""
+    global _ES6_UDF
+    if _ES6_UDF is None:
+
+        @F.pandas_udf("string")
+        def _fmt(s: pd.Series) -> pd.Series:
+            return s.map(lambda x: es6_float_str(float(x)))
+
+        _ES6_UDF = _fmt
+    return _ES6_UDF(col.cast("double"))
 
 
 def as_string(col: Column, dtype: T.DataType) -> Column:
@@ -20,10 +77,8 @@ def as_string(col: Column, dtype: T.DataType) -> Column:
     - string → identity
     - bool → "true"/"false" (value.go:377-378 strconv.FormatBool)
     - int → decimal string
-    - double → ES6 Number#toString approximation (value.go:392-395 /
-      float64AsString, json-iterator ES6 rules): integral doubles within
-      2^53 print without a trailing ".0"; others use Spark's shortest-
-      round-trip rendering
+    - double → exact ES6 Number#toString (value.go:392-395 /
+      float64AsString) via ``es6_double_col`` — text-boundary only
     - bytes → base64 (value.go:385-386)
     - map/array/struct → JSON (value.go:381-390)
     """
@@ -34,9 +89,7 @@ def as_string(col: Column, dtype: T.DataType) -> Column:
     if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
         return col.cast("string")
     if isinstance(dtype, (T.FloatType, T.DoubleType)):
-        d = col.cast("double")
-        integral = (d == F.floor(d)) & (F.abs(d) < F.lit(2.0 ** 53))
-        return F.when(integral, d.cast("long").cast("string")).otherwise(d.cast("string"))
+        return es6_double_col(col)
     if isinstance(dtype, T.BinaryType):
         return F.base64(col)
     if isinstance(dtype, (T.MapType, T.ArrayType, T.StructType)):
