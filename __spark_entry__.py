@@ -535,7 +535,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).alias("resource"),
             F.lit(0).cast("int").alias("line_no"),
         )
-        rt = otlp_json.roundtrip(plog)
+        # bounded envelopes (batch-size-cap analog): parallel marshal/parse
+        rt = otlp_json.roundtrip(plog, salt_buckets=32)
         return rt.select(
             F.substring(F.col("url"), 9, 32).cast("long").alias("event_id"),
             "time_unix_nano",

@@ -123,10 +123,14 @@ BENCH_QUERIES = [
     "q1_pricing_rollup",
     "q3_revenue_topk",
     "window_tumbling",
+    "metrics_temporality",
+    "spanmetrics_spans",
+    "otlp_json_roundtrip",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "ann_topk_bruteforce",
+    "winnowing_fingerprints",
     "quality_score",
     "token_count",
 ]

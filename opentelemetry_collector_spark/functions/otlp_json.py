@@ -142,10 +142,19 @@ def _kv_array_to_map(arr: Column) -> Column:
     )
 
 
-def logs_to_otlp_json(records: DataFrame) -> DataFrame:
-    """LOG_RECORDS_SCHEMA frame → one OTLP/JSON request string per
-    resource: ``(resource, request_json)`` rows (MarshalLogs analog,
-    plog/json.go:31-37)."""
+def logs_to_otlp_json(records: DataFrame, salt_buckets: int | None = None) -> DataFrame:
+    """LOG_RECORDS_SCHEMA frame → OTLP/JSON request strings per resource:
+    ``(resource, request_json)`` rows (MarshalLogs analog,
+    plog/json.go:31-37).
+
+    ``salt_buckets`` bounds envelope size — the batch-size cap analog
+    (processor/batchprocessor splitlogs.go:22-76: requests are split, not
+    unbounded). Without it a hot resource collapses into ONE giant JSON
+    string built and parsed on a single task; salting by a record-hash
+    spreads each resource across ``salt_buckets`` envelopes, so marshal
+    parallelism is (#resources × buckets) instead of #resources. The
+    flattened round-trip result is identical either way.
+    """
     rec_struct = F.struct(
         F.col("time_unix_nano").cast("string").alias("timeUnixNano"),
         (F.unix_micros(F.col("observed_ts").cast("timestamp")) * F.lit(1000))
@@ -166,9 +175,19 @@ def logs_to_otlp_json(records: DataFrame) -> DataFrame:
         F.col("trace_id").alias("traceId"),
         F.col("span_id").alias("spanId"),
     )
-    grouped = records.groupBy("resource").agg(
-        F.collect_list(rec_struct).alias("__records")
-    )
+    if salt_buckets:
+        salt = F.pmod(
+            F.xxhash64(F.col("url"), F.col("line_no")), F.lit(int(salt_buckets))
+        )
+        grouped = (
+            records.groupBy(F.col("resource"), salt.alias("__salt"))
+            .agg(F.collect_list(rec_struct).alias("__records"))
+            .drop("__salt")
+        )
+    else:
+        grouped = records.groupBy("resource").agg(
+            F.collect_list(rec_struct).alias("__records")
+        )
     resource_attrs = F.array(
         _kv("host", F.col("resource.host")), _kv("lang", F.col("resource.lang"))
     )
@@ -233,8 +252,8 @@ def otlp_json_to_logs(requests: DataFrame, json_col: str = "request_json") -> Da
     )
 
 
-def roundtrip(records: DataFrame) -> DataFrame:
+def roundtrip(records: DataFrame, salt_buckets: int | None = None) -> DataFrame:
     """marshal → unmarshal; output frame ≡ input frame (json_test.go
     round-trip equality analog) — the driver query hashes this against
     the identity projection."""
-    return otlp_json_to_logs(logs_to_otlp_json(records))
+    return otlp_json_to_logs(logs_to_otlp_json(records, salt_buckets=salt_buckets))

@@ -83,15 +83,24 @@ def tokenize(text: Column) -> Column:
 
 
 def shingle_array(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of ``text`` as array<string>."""
-    w = tokenize(text)
-    k = F.size(w) - F.lit(n - 1)
-    grams = F.transform(
-        F.sequence(F.lit(1), k),
-        lambda i: F.array_join(F.slice(w, i, n), " "),
-    )
-    empty = F.array().cast("array<string>")
-    return F.array_distinct(F.when(k >= 1, grams).otherwise(empty))
+    """Distinct word n-gram shingles of ``text`` as array<string>.
+
+    The token array is bound through a single-element transform lambda so
+    the split() runs ONCE per row — referencing it from the per-shingle
+    lambda would re-tokenize the whole text for every shingle (no CSE
+    across lambda scopes; same pathology as winnowing's gram hashes).
+    """
+
+    def grams(w: Column) -> Column:
+        k = F.size(w) - F.lit(n - 1)
+        out = F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.array_join(F.slice(w, i, n), " "),
+        )
+        empty = F.array().cast("array<string>")
+        return F.array_distinct(F.when(k >= 1, out).otherwise(empty))
+
+    return F.element_at(F.transform(F.array(tokenize(text)), grams), 1)
 
 
 def exploded_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:

@@ -141,6 +141,13 @@ def winnowing_fingerprints(
     position sequence, then a second transform takes the min over each
     length-``window`` sliding slice; array_distinct of the minima are the
     document's fingerprints. Narrow op — no shuffle, no UDF.
+
+    The gram-hash array is bound through a single-element transform lambda
+    so it is evaluated ONCE per row: referencing the array expression
+    directly from both size() and every window slice re-inlines it per
+    window element (no common-subexpression elimination across lambda
+    scopes), turning |text| md5s into |text|² — minutes instead of
+    milliseconds on a few thousand 300-char docs.
     """
     text = F.col(text_col)
     n_grams = F.length(text) - F.lit(k - 1)
@@ -153,12 +160,21 @@ def winnowing_fingerprints(
             ),
         ),
     ).otherwise(F.array().cast("array<long>"))
-    n_windows = F.size(gram_hashes) - F.lit(window - 1)
-    minima = F.when(
-        n_windows >= 1,
-        F.transform(
-            F.sequence(F.lit(1), n_windows),
-            lambda i: F.array_min(F.slice(gram_hashes, i, window)),
-        ),
-    ).otherwise(gram_hashes)
-    return df.select(F.col(id_col), F.array_distinct(minima).alias("fingerprints"))
+
+    def _minima(gh: Column) -> Column:
+        n_windows = F.size(gh) - F.lit(window - 1)
+        return F.array_distinct(
+            F.when(
+                n_windows >= 1,
+                F.transform(
+                    F.sequence(F.lit(1), n_windows),
+                    lambda i: F.array_min(F.slice(gh, i, window)),
+                ),
+            ).otherwise(gh)
+        )
+
+    # bind once: transform's lambda variable is a materialized value
+    fingerprints = F.element_at(
+        F.transform(F.array(gram_hashes), lambda gh: _minima(gh)), 1
+    )
+    return df.select(F.col(id_col), fingerprints.alias("fingerprints"))
