@@ -481,6 +481,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["metrics_histogram"] = metrics_histogram
 
+    def metrics_gauge(spark, sf):  # pmetric type-1 points (last-value)
+        return met_ops.gauge_points(_t(spark, sf, "events")).withColumnRenamed(
+            "attr_key", "event_type"
+        )
+
+    q["metrics_gauge"] = metrics_gauge
+
+    def metrics_exp_histogram(spark, sf):  # pmetric type-4 points
+        return met_ops.exp_histogram_points(_t(spark, sf, "events")).withColumnRenamed(
+            "attr_key", "event_type"
+        )
+
+    q["metrics_exp_histogram"] = metrics_exp_histogram
+
+    def metrics_summary(spark, sf):  # pmetric type-5 points
+        return met_ops.summary_points(_t(spark, sf, "events")).withColumnRenamed(
+            "attr_key", "event_type"
+        )
+
+    q["metrics_summary"] = metrics_summary
+
     def spans_model(spark, sf):  # ptrace span frame, flat projection
         spans = tr_ops.events_to_spans(_t(spark, sf, "events"))
         return spans.select(
@@ -867,6 +888,49 @@ FROM w
 """
 
     o["metrics_histogram"] = _metrics_histogram_sql(met_ops.DEFAULT_HIST_BOUNDS)
+
+    o["metrics_gauge"] = """
+WITH r AS (
+  SELECT event_type,
+    ((floor(epoch(ts)/300)*300)::BIGINT + 300) AS window_end,
+    value,
+    row_number() OVER (
+      PARTITION BY event_type, floor(epoch(ts)/300)
+      ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT 'events.value.gauge' AS metric_name, 1 AS metric_type,
+  event_type, window_end, round(value, 4) AS value_double
+FROM r WHERE rn = 1
+"""
+
+    # base-2 exponential bucketing with the same 9-dp rounding guard
+    # against 1-ulp libm divergence (metrics.exp_histogram_points)
+    o["metrics_exp_histogram"] = """
+SELECT 'events.value.exphist' AS metric_name, 4 AS metric_type,
+  1 AS aggregation_temporality, 2 AS scale, event_type,
+  CASE WHEN value > 0
+       THEN (ceil(round(log2(value) * 4.0, 9)) - 1)::BIGINT END AS bucket_index,
+  count(*)::BIGINT AS n,
+  round(sum(value), 4) AS bucket_sum
+FROM events GROUP BY event_type, bucket_index
+"""
+
+    # exact linear-interpolation quantiles (quantile_cont ≡ Spark's exact
+    # percentile) — both engines sort the group, so values match at 4 dp
+    o["metrics_summary"] = """
+WITH agg AS (
+  SELECT event_type, count(*)::BIGINT AS summary_count,
+    round(sum(value), 4) AS summary_sum,
+    quantile_cont(value, [0.5, 0.9, 0.99]) AS qs
+  FROM events GROUP BY 1
+)
+SELECT 'events.value.summary' AS metric_name, 5 AS metric_type,
+  event_type, summary_count, summary_sum,
+  q.q AS quantile, round(qs[q.i], 4) AS quantile_value
+FROM agg, (VALUES (1, CAST(0.5 AS DOUBLE)), (2, CAST(0.9 AS DOUBLE)),
+                  (3, CAST(0.99 AS DOUBLE))) AS q(i, q)
+"""
 
     o["spans_model"] = f"""
 WITH s AS (

@@ -227,6 +227,126 @@ def histogram_points(
     )
 
 
+def gauge_points(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    width_seconds: int = 300,
+) -> DataFrame:
+    """Gauge data points (metric_type 1): the LAST observed value per
+    (key, tumbling window) — sampled, not aggregated, which is the gauge
+    semantic (metric_type.go: Gauge). Deterministic tie-break on
+    (ts, id). One window shuffle on (key, window)."""
+    from pyspark.sql import Window
+
+    w = F.window(F.col(ts_col), f"{width_seconds} seconds")
+    ranked = events.select(
+        F.col(key_col).alias("attr_key"),
+        (F.unix_timestamp(w.getField("end"))).cast("long").alias("window_end"),
+        F.col(ts_col).alias("__ts"),
+        F.col(id_col).alias("__id"),
+        F.col(value_col).alias("value_double"),
+    ).withColumn(
+        "__rn",
+        F.row_number().over(
+            Window.partitionBy("attr_key", "window_end").orderBy(
+                F.col("__ts").desc(), F.col("__id").desc()
+            )
+        ),
+    )
+    return ranked.where(F.col("__rn") == 1).select(
+        F.lit("events.value.gauge").alias("metric_name"),
+        F.lit(METRIC_TYPE["Gauge"]).alias("metric_type"),
+        "attr_key",
+        "window_end",
+        F.round("value_double", 4).alias("value_double"),
+    )
+
+
+def exp_histogram_points(
+    events: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    scale: int = 2,
+) -> DataFrame:
+    """ExponentialHistogram data points per key (metric_type 4,
+    pdata/pmetric/generated_metric.go ExponentialHistogram accessors).
+
+    OTLP base-2 exponential bucketing: base = 2^(2^-scale); bucket index
+    for v > 0 is ⌈log₂(v)·2^scale⌉ − 1 (values ≤ 0 land in zero_count).
+    The log product is rounded to 9 dp before the ceil so a 1-ulp libm
+    difference between engines cannot flip a bucket boundary — the DuckDB
+    oracle applies the identical rounding. Long-form output: one row per
+    non-empty bucket (scale, bucket_index, n, hist count/sum per key) via
+    a single explode-free aggregation + unpivot of observed indexes.
+    """
+    v = F.col(value_col)
+    idx = (
+        F.ceil(F.round(F.log2(v) * F.lit(float(2**scale)), 9)) - F.lit(1)
+    ).cast("long")
+    pts = events.select(
+        F.col(key_col).alias("attr_key"),
+        F.when(v > 0, idx).alias("bucket_index"),
+        v.alias("__v"),
+    )
+    return (
+        pts.groupBy("attr_key", "bucket_index")
+        .agg(F.count("*").cast("long").alias("n"), F.round(F.sum("__v"), 4).alias("bucket_sum"))
+        .select(
+            F.lit("events.value.exphist").alias("metric_name"),
+            F.lit(METRIC_TYPE["ExponentialHistogram"]).alias("metric_type"),
+            F.lit(TEMPORALITY_DELTA).alias("aggregation_temporality"),
+            F.lit(scale).alias("scale"),
+            "attr_key",
+            "bucket_index",
+            "n",
+            "bucket_sum",
+        )
+    )
+
+
+def summary_points(
+    events: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Summary data points per key (metric_type 5): count, sum, and the
+    configured quantile values (generated_metric.go Summary accessors).
+
+    Uses Spark's EXACT ``percentile`` (linear interpolation over the
+    sorted group — the same definition as SQL quantile_cont), not the
+    approximate sketch, so the DuckDB oracle matches to the rounding
+    boundary. One hash-aggregate shuffle; long-form one row per quantile.
+    """
+    qlist = ", ".join(str(q) for q in quantiles)
+    wide = events.groupBy(F.col(key_col).alias("attr_key")).agg(
+        F.count("*").cast("long").alias("summary_count"),
+        F.round(F.sum(value_col), 4).alias("summary_sum"),
+        F.expr(f"percentile({value_col}, array({qlist}))").alias("__qs"),
+    )
+    exploded = wide.select(
+        F.lit("events.value.summary").alias("metric_name"),
+        F.lit(METRIC_TYPE["Summary"]).alias("metric_type"),
+        "attr_key",
+        "summary_count",
+        "summary_sum",
+        F.posexplode("__qs").alias("__i", "__qv"),
+    )
+    q_arr = F.array(*[F.lit(float(q)) for q in quantiles])
+    return exploded.select(
+        "metric_name",
+        "metric_type",
+        "attr_key",
+        "summary_count",
+        "summary_sum",
+        F.element_at(q_arr, F.col("__i") + 1).alias("quantile"),
+        F.round(F.col("__qv"), 4).alias("quantile_value"),
+    )
+
+
 def histogram_buckets_long(hist: DataFrame, bounds: tuple[float, ...]) -> DataFrame:
     """Exploded (attr_key, bucket_idx, le, n) rows from histogram points —
     the scalar long form for oracle comparison (+inf rendered as NULL le).

@@ -96,6 +96,40 @@ def test_histogram_long_form_matches_wide(events):
             assert r["le"] is None
 
 
+def test_gauge_points_take_last_value(events):
+    pts = {
+        (r["attr_key"], r["window_end"]): r["value_double"]
+        for r in met.gauge_points(events).collect()
+    }
+    # window [0:00, 0:05): view@0:00:10 then click@0:01:00 — click is last
+    assert pts[("view", 1704067500)] == 1.5
+    assert pts[("click", 1704067500)] == 3.0
+    assert all(r[0] is not None for r in pts)
+
+
+def test_exp_histogram_bucket_math(events):
+    import math
+
+    pts = {
+        (r["attr_key"], r["bucket_index"]): r["n"]
+        for r in met.exp_histogram_points(events, scale=2).collect()
+    }
+    # value 1.5 → ceil(log2(1.5)*4)-1 = ceil(2.3398)-1 = 2
+    assert pts[("view", 2)] == 1
+    # value 120 → ceil(log2(120)*4)-1 = ceil(27.627)-1 = 27
+    assert pts[("purchase", 27)] == 1
+    for (_, idx), _n in pts.items():
+        assert idx is not None  # all fixture values are > 0
+
+
+def test_summary_points_exact_quantiles(events):
+    rows = met.summary_points(events, quantiles=(0.5,)).collect()
+    by_key = {r["attr_key"]: r for r in rows}
+    v = by_key["view"]
+    assert v["summary_count"] == 2 and v["quantile"] == 0.5
+    assert v["quantile_value"] == 1.0  # median of {0.5, 1.5}, interpolated
+
+
 # ---------------------------------------------------------------------------
 # ptrace
 # ---------------------------------------------------------------------------
