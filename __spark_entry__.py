@@ -525,6 +525,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["spanmetrics_spans"] = spanmetrics_spans
 
+    def spanevents_connector(spark, sf):  # T5 traces→logs cell
+        return tr_ops.span_events_to_logs(tr_ops.events_to_spans(_t(spark, sf, "events")))
+
+    q["spanevents_connector"] = spanevents_connector
+
     def otlp_json_roundtrip(spark, sf):  # D8: marshal→unmarshal ≡ identity
         from opentelemetry_collector_spark.functions import otlp_json
 
@@ -950,6 +955,18 @@ SELECT trace_id, span_id,
   CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS n_events,
   'svc-' || (user_id % 4) AS service
 FROM s
+"""
+
+    # only Error spans carry the planted 'exception' span event
+    o["spanevents_connector"] = """
+SELECT md5('trace:' || user_id) AS trace_id,
+  substr(md5('span:' || event_id), 1, 16) AS span_id,
+  'svc-' || (user_id % 4) AS service,
+  epoch_us(ts) * 1000 AS time_unix_nano,
+  'exception' AS body,
+  17 AS severity_number,
+  'PipelineError' AS exception_type
+FROM events WHERE event_type = 'error'
 """
 
     o["spanmetrics_spans"] = f"""

@@ -145,6 +145,33 @@ def span_duration_ms(spans: DataFrame) -> DataFrame:
     )
 
 
+def span_events_to_logs(spans: DataFrame) -> DataFrame:
+    """Connector matrix traces→logs cell (connector/connector.go:324-391):
+    every span Event becomes a log record carrying its span's identity —
+    the exception-to-error-log bridge. Narrow explode; spans without
+    events contribute nothing."""
+    ev = spans.select(
+        "trace_id",
+        "span_id",
+        F.col("resource.service").alias("service"),
+        F.col("status_code"),
+        F.explode("events").alias("ev"),
+    )
+    return ev.select(
+        "trace_id",
+        "span_id",
+        "service",
+        F.col("ev.time_unix_nano").alias("time_unix_nano"),
+        F.col("ev.name").alias("body"),
+        # span events surfacing on Error spans log at ERROR (17)
+        F.when(F.col("status_code") == STATUS_CODE["Error"], F.lit(17))
+        .otherwise(F.lit(9))
+        .cast("int")
+        .alias("severity_number"),
+        F.element_at(F.col("ev.attributes"), "exception.type").alias("exception_type"),
+    )
+
+
 def spanmetrics(spans: DataFrame) -> DataFrame:
     """The real spanmetrics connector (traces→metrics,
     connector/connector.go:324-391): per (service, kind, status_code)
