@@ -111,6 +111,41 @@ def test_epoch_write_is_single_scan(spark, pages, tmp_path):
     assert sink.epoch_meta(0)["per_sink"] == want
 
 
+# max Exchange nodes allowed per new-model query: every shuffle must be
+# accounted for (agg / window), and none may regress into extra passes
+_PLAN_SHUFFLE_BUDGET = {
+    "metrics_gauge": 1,  # window rank on (key, window)
+    "metrics_temporality": 2,  # windowed agg + series window
+    "metrics_histogram": 1,  # one hash aggregate (conditional sums)
+    "metrics_exp_histogram": 1,
+    "metrics_summary": 1,
+    "spans_model": 1,  # parent-chain lag window
+    "spanmetrics_spans": 2,  # lag window + rollup agg
+    "spanevents_connector": 1,  # narrow explode (+ possible lag window)
+    "otlp_json_roundtrip": 1,  # envelope groupBy
+    "winnowing_fingerprints": 0,  # pure narrow scan
+}
+
+
+def test_signal_model_queries_stay_jvm_side_with_bounded_shuffles(spark):
+    """The round-2 signal-model queries must stay in JVM expressions (no
+    Python eval nodes) and within their accounted shuffle budget — the
+    scale contract, locked as a regression test."""
+    import __spark_entry__ as entrymod
+
+    if not os.path.isdir(SF_DIR):
+        pytest.skip("driver testdata absent")
+    qs = entrymod.queries()
+    for name, budget in _PLAN_SHUFFLE_BUDGET.items():
+        plan = plan_of(qs[name](spark, SF_DIR))
+        for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert node not in plan, f"{name}: Python node {node} in plan"
+        n_exchange = plan.count("Exchange hashpartitioning") + plan.count(
+            "Exchange rangepartitioning"
+        )
+        assert n_exchange <= budget, f"{name}: {n_exchange} shuffles > budget {budget}"
+
+
 def test_parse_stays_in_wholestage_codegen(spark, pages):
     df = parse_pages(pages)
     plan = plan_of(df)
