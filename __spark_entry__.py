@@ -659,6 +659,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_minhash_lsh"] = dd_minhash
 
+    def dd_clusters(spark, sf):  # connected components over near-dup pairs
+        docs = _t(spark, sf, "documents")
+        pairs = dedup_ops.jaccard_pairs(docs, threshold=0.8)
+        return dedup_ops.dedup_clusters(docs, pairs)
+
+    q["dedup_clusters"] = dd_clusters
+
     def dd_simhash(spark, sf):
         return dedup_ops.simhash(_t(spark, sf, "documents"), bits=32)
 
@@ -1028,6 +1035,24 @@ FROM documents GROUP BY 1
     # MinHash-LSH with verification converges to the exact (uncapped) pair
     # set (miss probability ≈ 1e-7 at j=0.8 with 16 bands × 2 rows)
     o["dedup_minhash_lsh"] = _jaccard_pairs_sql(None)
+    # transitive closure by recursive reachability; min reachable id per
+    # node ≡ the min-label-propagation fixpoint on the Spark side
+    o["dedup_clusters"] = f"""
+WITH RECURSIVE
+p AS (SELECT d1, d2 FROM ({_jaccard_pairs_sql(DEFAULT_MAX_SHINGLE_FREQ)}) t),
+edges AS (SELECT d1 AS src, d2 AS dst FROM p UNION ALL SELECT d2, d1 FROM p),
+walk(node, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, w.label FROM edges e JOIN walk w ON e.dst = w.node
+),
+comp AS (SELECT node, min(label) AS cluster FROM walk GROUP BY node)
+SELECT d.doc_id,
+  coalesce(c.cluster, d.doc_id) AS cluster_id,
+  (coalesce(c.cluster, d.doc_id) = d.doc_id) AS keep
+FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+"""
+
     o["dedup_simhash"] = _simhash_sql(32)
     o["embedding_neardup"] = _EMB_NEARDUP_SQL
     o["ann_topk_bruteforce"] = _ANN_TOPK_SQL

@@ -277,6 +277,76 @@ def minhash_lsh_pairs(
 
 
 # ---------------------------------------------------------------------------
+# Near-dup clustering: connected components over the pair graph
+# ---------------------------------------------------------------------------
+
+def connected_components(
+    pairs: DataFrame, max_iters: int = 20
+) -> DataFrame:
+    """Connected components of the near-dup pair graph via iterative
+    min-label propagation: each node's label converges to the minimum
+    doc_id of its component.
+
+    The loop is driver-controlled (iterative algorithms are the one place
+    Spark needs a driver loop), but each iteration is a single
+    distributed join+groupBy — no collect of node data. Iterations needed
+    = graph diameter; near-dup clusters are dense and shallow (a dup
+    cluster's diameter is tiny), so convergence is a handful of rounds.
+    ``localCheckpoint`` truncates the growing lineage each round so plan
+    size stays constant. The per-round convergence check is a count on a
+    limit-1 anti-set — O(1) result, one action per round.
+    """
+    edges = pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst")).unionAll(
+        pairs.select(F.col("d2").alias("src"), F.col("d1").alias("dst"))
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        neighbor = edges.join(
+            labels, edges["dst"] == labels["node"]
+        ).select(edges["src"].alias("node"), "label")
+        new_labels = (
+            labels.unionAll(neighbor).groupBy("node").agg(F.min("label").alias("label"))
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cluster assignment for the WHOLE corpus: every doc gets a
+    ``cluster_id`` (the min doc_id of its near-dup component; itself when
+    unpaired) and ``keep`` marks the canonical representative — the
+    standard keep-one-per-cluster dedup decision."""
+    comps = connected_components(pairs)
+    out = df.select(F.col(id_col)).join(
+        comps.withColumnRenamed("node", id_col), id_col, "left"
+    )
+    cluster = F.coalesce(F.col("label"), F.col(id_col))
+    return out.select(
+        F.col(id_col),
+        cluster.alias("cluster_id"),
+        (cluster == F.col(id_col)).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

@@ -86,6 +86,25 @@ def test_lsh_exact_dups_share_all_bands(docs):
     assert (0, 3) in cands
 
 
+def test_connected_components_multi_hop(spark):
+    """A chain 1-2, 2-3, 5-6 plus isolate 9 must yield components
+    {1,2,3}→1, {5,6}→5 — labels propagate across hops, not just pairs."""
+    from opentelemetry_collector_spark.operators.dedup import (
+        connected_components,
+        dedup_clusters,
+    )
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], ["d1", "d2"])
+    comps = {r["node"]: r["label"] for r in connected_components(pairs).collect()}
+    assert comps == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
+
+    docs = spark.createDataFrame([(i, f"t{i}") for i in (1, 2, 3, 5, 6, 9)], ["doc_id", "text"])
+    out = {r["doc_id"]: (r["cluster_id"], r["keep"]) for r in dedup_clusters(docs, pairs).collect()}
+    assert out[9] == (9, True)  # singleton keeps itself
+    assert out[3] == (1, False) and out[1] == (1, True)
+    assert sum(1 for c, k in out.values() if k) == 3  # one keeper per cluster
+
+
 def test_simhash_identical_for_exact_dups(docs):
     fps = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
     assert fps[0] == fps[3]
