@@ -421,6 +421,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ottl_transform"] = ottl_transform
 
+    def ottl_attributes_ops(spark, sf):  # hash/extract/limit editor actions
+        ev = events_to_records(_t(spark, sf, "events")).select(
+            "event_id",
+            F.map_from_arrays(
+                F.array(F.lit("type"), F.lit("k"), F.lit("ua")),
+                F.array(
+                    F.col("event_type"),
+                    F.col("attr_k"),
+                    F.concat(F.lit("Browser/"), F.col("attr_k")),
+                ),
+            ).alias("attributes"),
+        )
+        xform = compile_statements(
+            [
+                'set(attributes["k_hash"], SHA256(attributes["k"]))',
+                'extract_patterns(attributes["ua"], "(?<browser>[A-Za-z]+)/(?<major>[0-9]+)")',
+                "limit(attributes, 4)",
+            ]
+        )
+        out = xform(ev)
+        return out.select(
+            "event_id",
+            F.element_at("attributes", "browser").alias("browser"),
+            F.element_at("attributes", "major").alias("major"),
+            F.element_at("attributes", "k_hash").alias("k_hash"),
+            F.element_at("attributes", "type").alias("dropped_type"),
+            F.size("attributes").alias("n_attrs"),
+        )
+
+    q["ottl_attributes_ops"] = ottl_attributes_ops
+
     def batch_split(spark, sf):  # P2-P4 deterministic split
         records = events_to_records(_t(spark, sf, "events"))
         head, _rest = split_head(records, 100, order_by=["event_id"])
@@ -820,6 +851,18 @@ SELECT event_id,
   'web' AS source,
   json_extract_string(props, '$.k') AS k
 FROM events WHERE NOT (event_type = 'view')
+"""
+
+    # the limit(attributes, 4) keeps the 4 smallest keys of
+    # {browser, k, k_hash, major, type, ua} → type/ua dropped
+    o["ottl_attributes_ops"] = """
+SELECT event_id,
+  'Browser' AS browser,
+  json_extract_string(props, '$.k') AS major,
+  sha256(json_extract_string(props, '$.k')) AS k_hash,
+  CAST(NULL AS VARCHAR) AS dropped_type,
+  4 AS n_attrs
+FROM events
 """
 
     o["batch_split_head"] = """

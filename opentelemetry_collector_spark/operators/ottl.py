@@ -295,6 +295,10 @@ _FUNCS: dict[str, Callable[..., Column]] = {
     ),
     "TraceID": lambda target: _c(target),  # identity in the hex-string model
     "SpanID": lambda target: _c(target),
+    # attributesprocessor "hash" action analogs (attraction.go HASH)
+    "SHA1": lambda target: F.sha1(_c(target).cast("binary")),
+    "SHA256": lambda target: F.sha2(_c(target).cast("binary"), 256),
+    "MD5": lambda target: F.md5(_c(target).cast("binary")),
 }
 
 
@@ -443,6 +447,51 @@ class OTTLCompiler:
             )
             return self._apply_to_col(self.attributes_col, new_attrs, cond)
 
+        if ed.name == "limit":
+            # attributesprocessor limit action: keep at most n attributes.
+            # pcommon.Map is insertion-ordered; our normalized map has no
+            # order, so "first n" is defined as the n smallest keys —
+            # deterministic and consistent with the sorted text renderer.
+            n = int(ed.args[1].value)
+            new_attrs = F.map_from_entries(
+                F.slice(F.sort_array(F.map_entries(F.col(self.attributes_col))), 1, n)
+            )
+            return self._apply_to_col(self.attributes_col, new_attrs, cond)
+
+        if ed.name == "extract_patterns":
+            # upsert one attribute per named capture group on match
+            # (transformprocessor ExtractPatterns); Java (?<name>...)
+            # syntax — group names/indexes discovered with a scanner
+            # (Python re only accepts (?P<name>), so no re.compile here)
+            target, pattern = ed.args[0], ed.args[1].value
+            tcol = self.path(target)
+            groups = _named_groups(pattern)
+            if not groups:
+                raise OTTLSyntaxError("extract_patterns needs named capture groups")
+            names_arr = F.array(*[F.lit(g) for g in groups])
+            extracted = F.map_from_entries(
+                F.filter(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(name).alias("key"),
+                                F.regexp_extract(tcol, pattern, idx).alias("value"),
+                            )
+                            for name, idx in groups.items()
+                        ]
+                    ),
+                    lambda s: s.getField("value") != F.lit(""),
+                )
+            )
+            new_attrs = F.map_concat(
+                F.map_filter(
+                    F.col(self.attributes_col),
+                    lambda k, v: ~F.array_contains(names_arr, k),
+                ),
+                extracted,
+            )
+            return self._apply_to_col(self.attributes_col, new_attrs, cond)
+
         raise OTTLSyntaxError(f"unknown editor {ed.name!r}")
 
     def _set_path(self, target: Path, value: Column, cond: Column | None):
@@ -466,6 +515,43 @@ class OTTLCompiler:
             return df.withColumn(col_name, val)
 
         return apply
+
+
+def _named_groups(pattern: str) -> dict[str, int]:
+    """Java-regex named-group discovery: name → overall capture-group
+    index. Skips escapes, character classes and (?: (?= (?! non-capturing
+    constructs; unnamed capturing groups still consume an index."""
+    out: dict[str, int] = {}
+    idx = 0
+    i = 0
+    in_class = False
+    while i < len(pattern):
+        c = pattern[i]
+        if c == "\\":
+            i += 2
+            continue
+        if in_class:
+            if c == "]":
+                in_class = False
+            i += 1
+            continue
+        if c == "[":
+            in_class = True
+            i += 1
+            continue
+        if c == "(":
+            if pattern.startswith("(?<", i) and not pattern.startswith("(?<=", i) and not pattern.startswith("(?<!", i):
+                end = pattern.index(">", i)
+                idx += 1
+                out[pattern[i + 3 : end]] = idx
+                i = end + 1
+                continue
+            if pattern.startswith("(?", i):
+                i += 2  # non-capturing / lookaround: no index
+                continue
+            idx += 1
+        i += 1
+    return out
 
 
 def _is_nil(v) -> bool:

@@ -122,6 +122,47 @@ def test_truncate_all(records):
     ).count() == 0
 
 
+def test_hash_extract_limit_editors(spark):
+    """attributesprocessor hash / ExtractPatterns / limit actions."""
+    import hashlib
+
+    df = spark.createDataFrame(
+        [(1, {"k": "42", "ua": "Browser/42", "type": "view"})],
+        "id long, attributes map<string,string>",
+    )
+    run = compile_statements(
+        [
+            'set(attributes["k_hash"], SHA256(attributes["k"]))',
+            'extract_patterns(attributes["ua"], "(?<browser>[A-Za-z]+)/(?<major>[0-9]+)")',
+            "limit(attributes, 4)",
+        ]
+    )
+    attrs = run(df).collect()[0]["attributes"]
+    # limit keeps the 4 smallest keys: browser, k, k_hash, major
+    assert sorted(attrs) == ["browser", "k", "k_hash", "major"]
+    assert attrs["browser"] == "Browser" and attrs["major"] == "42"
+    assert attrs["k_hash"] == hashlib.sha256(b"42").hexdigest()
+
+
+def test_extract_patterns_no_match_leaves_map(spark):
+    df = spark.createDataFrame(
+        [(1, {"ua": "no-slash-here"})], "id long, attributes map<string,string>"
+    )
+    run = compile_statements(
+        ['extract_patterns(attributes["ua"], "(?<browser>[A-Za-z]+)/(?<major>[0-9]+)")']
+    )
+    attrs = run(df).collect()[0]["attributes"]
+    assert sorted(attrs) == ["ua"]  # no groups upserted on miss
+
+
+def test_named_group_scanner():
+    from opentelemetry_collector_spark.operators.ottl import _named_groups
+
+    # unnamed group consumes index 1; class/lookbehind don't
+    assert _named_groups(r"([a-z(]+)-(?<x>\d+)(?:z)(?<y>\w)") == {"x": 2, "y": 3}
+    assert _named_groups(r"(?<=pre)(?<only>\d+)") == {"only": 1}
+
+
 def test_filter_pushdown_through_parse(spark, tmp_path):
     """A compiled drop()/keep() predicate on a scan column must reach the
     parquet reader as a pushed filter (SURVEY.md §4: OTTL compiles to
