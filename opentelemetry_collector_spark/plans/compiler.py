@@ -123,6 +123,7 @@ class BatchPipelineRunner:
         self.telemetry = PipelineTelemetry()
         self._connector_frames: dict[str, list[DataFrame]] = {}
         self._epoch_sinks: dict[str, IdempotentParquetSink] = {}
+        self._stage_chains: dict[str, list[tuple[str, bool]]] = {}
 
     # -- receivers: shared instance per name (S4) --
     def _receiver_frames(self) -> dict[str, DataFrame]:
@@ -163,11 +164,20 @@ class BatchPipelineRunner:
                 df = df.unionByName(other)
             df = self.telemetry.observe(df, f"receiver/{pname}")
 
-            # per-pipeline processor instances (T6)
+            # per-pipeline processor instances (T6); each stage boundary is
+            # observed so per-processor accepted/dropped counters ride the
+            # same job (obsreport_processor.go:237-295 grain)
+            chain: list[tuple[str, bool]] = [(f"receiver/{pname}", True)]
             for proc_name in p.processors:
                 c = self.config.processors[proc_name]
                 df = _build_processor(self.spark, c.kind, c.options)(df)
+                stage = f"processor/{pname}/{proc_name}"
+                df = self.telemetry.observe(df, stage)
+                # parse changes the accounting unit (pages → records), so
+                # dropped is only derivable across unit-preserving stages
+                chain.append((stage, c.kind != "parse"))
             df = self.telemetry.observe(df, f"processor/{pname}")
+            self._stage_chains[pname] = chain
 
             # split exporters into connectors vs sinks
             routes: list[Route] = []
@@ -210,6 +220,16 @@ class BatchPipelineRunner:
             result.pipelines[pname] = PipelineResult(pname, sink_root, counts)
 
         self.telemetry.harvest()
+        # derive per-processor dropped = in − out across unit-preserving
+        # boundaries (a filter's drop count; enrich/batch stages show 0)
+        for chain in self._stage_chains.values():
+            for (prev, _), (cur, unit_preserving) in zip(chain, chain[1:]):
+                if unit_preserving:
+                    delta = (
+                        self.telemetry.counters(prev).accepted
+                        - self.telemetry.counters(cur).accepted
+                    )
+                    self.telemetry.counters(cur).dropped = max(delta, 0)
         for df in receivers.values():
             df.unpersist()
         return result

@@ -125,6 +125,28 @@ def test_telemetry_counters(run):
         assert t["stages"][f"exporter/{s}"]["sent"] == want[s]
 
 
+def test_processor_dropped_counter(run):
+    """O2: per-processor dropped = in − out across unit-preserving
+    stages, independently checked against the pandas oracle's 403-line
+    count (obsreporttest.CheckProcessorLogs analog)."""
+    runner, result = run
+    st = result.telemetry.as_dict()["stages"]
+    pdf = generate_pages_pandas(np.arange(N))
+    n403 = 0
+    for text in pdf["text"]:
+        for line in text.split("\n"):
+            if not line:
+                continue
+            if re.match(r'^\d+\.\d+\.\d+\.\d+ - - \[[^\]]+\] "\w+ \S+ HTTP/[0-9.]+" 403 \d+$', line):
+                n403 += 1
+            elif re.match(r'^key1=\S+ key2="[^"]*" status=403$', line):
+                n403 += 1
+    filt = st["processor/logs/filter/drop403"]
+    assert filt["dropped"] == n403 > 0
+    assert st["processor/logs/transform/normalize"]["dropped"] == 0
+    assert st["processor/logs/enrich_geo"]["dropped"] == 0
+
+
 def test_lineage_written(spark, run):
     runner, result = run
     lin = spark.read.parquet(f"{runner.out_root}/_lineage")
