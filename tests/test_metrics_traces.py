@@ -130,6 +130,42 @@ def test_summary_points_exact_quantiles(events):
     assert v["quantile_value"] == 1.0  # median of {0.5, 1.5}, interpolated
 
 
+def test_sum_points_work_under_streaming(spark, tmp_path):
+    """The same events_to_sum_points expression runs under Structured
+    Streaming with a watermark (metrics-receiver boundary as a stream);
+    emitted watermark-closed points equal the batch evaluation."""
+    import pyspark.sql.functions as F
+
+    d = str(tmp_path / "ev")
+    for i, batch in enumerate([EVENTS[:3], EVENTS[3:]]):
+        spark.createDataFrame(batch, COLS).coalesce(1).write.mode("append").parquet(d)
+    schema = spark.read.parquet(d).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    pts = met.events_to_sum_points(stream.withWatermark("ts", "0 seconds"))
+    q = (
+        pts.writeStream.format("memory")
+        .queryName("sum_pts")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["attr_key"], r["time_unix_nano"]): (r["point_count"], r["value_double"])
+        for r in spark.sql("SELECT * FROM sum_pts").collect()
+    }
+    batch_pts = {
+        (r["attr_key"], r["time_unix_nano"]): (r["point_count"], r["value_double"])
+        for r in met.events_to_sum_points(spark.read.parquet(d)).collect()
+    }
+    assert got  # at least the watermark-closed windows emitted
+    for k, v in got.items():
+        assert batch_pts[k] == v
+
+
 # ---------------------------------------------------------------------------
 # ptrace
 # ---------------------------------------------------------------------------
