@@ -52,6 +52,15 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _cosine_pre(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """Cosine with PRE-COMPUTED norms: the pairwise verifiers attach each
+    vector's norm once per row before the join, so a pair costs one dot
+    fold instead of three (norms are the same fold as the dot — computing
+    them per pair tripled the O(n²) verifier's work). Numerically
+    identical to :func:`cosine`: same fold order, same division shape."""
+    return dot(a, b) / (na * nb)
+
+
 def cosine_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -71,9 +80,14 @@ def cosine_topk(
     ``sim`` is reported at 4 dp.
     """
     q = F.broadcast(
-        queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
+        queries.select(
+            F.col(query_id_col),
+            F.col(vec_col).alias("__qvec"),
+            norm(F.col(vec_col)).alias("__qn"),
+        )
     )
-    sim = cosine(F.col(vec_col), F.col("__qvec"))
+    emb = emb.withColumn("__n", norm(F.col(vec_col)))
+    sim = _cosine_pre(F.col(vec_col), F.col("__qvec"), F.col("__n"), F.col("__qn"))
     scored = (
         emb.crossJoin(q)
         .where(F.col(id_col) != F.col(query_id_col))
@@ -112,10 +126,19 @@ def cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """All pairs (v1 < v2) with cosine ≥ threshold — exact O(n²) baseline."""
-    a = emb.select(F.col(id_col).alias("v1"), F.col(vec_col).alias("__a"))
-    b = emb.select(F.col(id_col).alias("v2"), F.col(vec_col).alias("__b"))
-    sim = cosine(F.col("__a"), F.col("__b"))
+    """All pairs (v1 < v2) with cosine ≥ threshold — exact O(n²) baseline
+    (norms precomputed per vector, not per pair)."""
+    a = emb.select(
+        F.col(id_col).alias("v1"),
+        F.col(vec_col).alias("__a"),
+        norm(F.col(vec_col)).alias("__na"),
+    )
+    b = emb.select(
+        F.col(id_col).alias("v2"),
+        F.col(vec_col).alias("__b"),
+        norm(F.col(vec_col)).alias("__nb"),
+    )
+    sim = _cosine_pre(F.col("__a"), F.col("__b"), F.col("__na"), F.col("__nb"))
     return (
         a.crossJoin(b)
         .where(F.col("v1") < F.col("v2"))
@@ -171,7 +194,9 @@ def rp_lsh_pairs(
     """
     bits_per_band = planes // bands
     sig = rp_signature(F.col(vec_col), dim, planes, seed)
-    with_sig = emb.select(F.col(id_col), F.col(vec_col), sig.alias("__sig"))
+    with_sig = emb.select(
+        F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("__n"), sig.alias("__sig")
+    )
     band_cols = [
         F.struct(
             F.lit(c).alias("band"),
@@ -182,8 +207,10 @@ def rp_lsh_pairs(
         for c in range(bands)
     ]
     banded = with_sig.select(
-        F.col(id_col), F.col(vec_col), F.explode(F.array(*band_cols)).alias("bk")
-    ).select(id_col, vec_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+        F.col(id_col), F.col(vec_col), F.col("__n"), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(
+        id_col, vec_col, "__n", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -196,12 +223,14 @@ def rp_lsh_pairs(
         .select(
             F.col(f"a.{id_col}").alias("v1"),
             F.col(f"a.{vec_col}").alias("__a"),
+            F.col("a.__n").alias("__na"),
             F.col(f"b.{id_col}").alias("v2"),
             F.col(f"b.{vec_col}").alias("__b"),
+            F.col("b.__n").alias("__nb"),
         )
         .dropDuplicates(["v1", "v2"])
     )
-    sim = cosine(F.col("__a"), F.col("__b"))
+    sim = _cosine_pre(F.col("__a"), F.col("__b"), F.col("__na"), F.col("__nb"))
     return cand.where(sim >= threshold).select("v1", "v2", F.round(sim, 4).alias("sim"))
 
 
@@ -235,7 +264,9 @@ def ivf_topk(
     )
     km = KMeans(k=n_cells, seed=seed, featuresCol="__fv", predictionCol="__cell")
     model = km.fit(corpus)
-    assigned = model.transform(corpus).select(id_col, vec_col, "__cell")
+    assigned = model.transform(corpus).select(
+        id_col, vec_col, norm(F.col(vec_col)).alias("__n"), "__cell"
+    )
 
     centers = [
         (int(i), [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
@@ -256,10 +287,10 @@ def ivf_topk(
     probed = (
         qc.withColumn("__rk", F.row_number().over(w))
         .where(F.col("__rk") <= nprobe)
-        .select(query_id_col, "__qvec", "__cell")
+        .select(query_id_col, "__qvec", norm(F.col("__qvec")).alias("__qn"), "__cell")
     )
 
-    sim = cosine(F.col(vec_col), F.col("__qvec"))
+    sim = _cosine_pre(F.col(vec_col), F.col("__qvec"), F.col("__n"), F.col("__qn"))
     scored = (
         assigned.join(F.broadcast(probed), "__cell")
         .where(F.col(id_col) != F.col(query_id_col))
