@@ -776,6 +776,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_fingerprint"] = tfp
 
+    def sample_hash(spark, sf):  # deterministic 10% hash sample, per-source counts
+        sampled = ts_ops.hash_sample(_t(spark, sf, "documents"), pct=0.10)
+        return sampled.groupBy("source").agg(
+            F.count("*").alias("n_sampled"), F.min("doc_id").alias("first_doc")
+        )
+
+    q["sample_hash"] = sample_hash
+
     def twinnow(spark, sf):  # exploded (doc, fingerprint) rows → full oracle
         return ts_ops.winnowing_fingerprints(_t(spark, sf, "documents")).select(
             "doc_id", F.explode("fingerprints").alias("fingerprint")
@@ -1117,6 +1125,13 @@ FROM documents
 
     o["quality_score"] = _QUALITY_SQL
     o["lang_id"] = _LANGID_SQL
+
+    o["sample_hash"] = f"""
+SELECT source, count(*) AS n_sampled, min(doc_id) AS first_doc
+FROM documents
+WHERE {_dd_hexlong("'sample:' || doc_id")} % 10000 < 1000
+GROUP BY 1
+"""
 
     o["doc_fingerprint"] = """
 SELECT doc_id, md5(text) AS md5_raw,

@@ -127,6 +127,25 @@ def fingerprint(
     )
 
 
+def hash_sample(
+    df: DataFrame,
+    pct: float,
+    id_col: str = "doc_id",
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic hash sampling: keep rows whose salted md5 bucket
+    falls below ``pct`` (0..1). The right sampler for corpus curation at
+    scale — reproducible across runs/engines (unlike RNG `sample()`),
+    stable under repartitioning, and composable (different salts give
+    independent samples). Narrow op: no shuffle, filter pushes to scan."""
+    if not 0.0 <= pct <= 1.0:
+        raise ValueError(f"pct must be in [0, 1], got {pct}")
+    bucket = F.pmod(
+        md5_long(F.concat(F.lit(salt), F.lit(":"), F.col(id_col))), F.lit(10_000)
+    )
+    return df.where(bucket < int(round(pct * 10_000)))
+
+
 def winnowing_fingerprints(
     df: DataFrame,
     id_col: str = "doc_id",

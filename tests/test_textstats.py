@@ -69,3 +69,26 @@ def test_winnowing_overlap_detection(spark):
     shared_ac = len(rows[0] & rows[2]) / len(rows[0] | rows[2])
     assert shared_ab > shared_ac
     assert shared_ab > 0.5
+
+
+def test_hash_sample_deterministic_and_proportional(spark):
+    import hashlib
+
+    from opentelemetry_collector_spark.operators.textstats import hash_sample
+
+    df = spark.createDataFrame([(i, f"doc {i}") for i in range(2000)], ["doc_id", "text"])
+    s1 = {r["doc_id"] for r in hash_sample(df, 0.10).collect()}
+    s2 = {r["doc_id"] for r in hash_sample(df, 0.10).collect()}
+    assert s1 == s2  # reproducible across runs
+    assert 120 <= len(s1) <= 280  # ~10% of 2000, hash-uniform
+    # matches the reference Python computation exactly (engine-independent)
+    def keep(i):
+        h = int(hashlib.md5(f"sample:{i}".encode()).hexdigest()[17:32], 16)
+        return h % 10_000 < 1000
+    assert s1 == {i for i in range(2000) if keep(i)}
+    # a larger pct is a superset (nested samples, same salt)
+    s20 = {r["doc_id"] for r in hash_sample(df, 0.20).collect()}
+    assert s1 <= s20
+    # different salt gives an independent sample
+    other = {r["doc_id"] for r in hash_sample(df, 0.10, salt="other").collect()}
+    assert other != s1
