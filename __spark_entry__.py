@@ -556,6 +556,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["spanmetrics_spans"] = spanmetrics_spans
 
+    def otlp_json_spans_roundtrip(spark, sf):  # ptrace JSON codec ≡ identity
+        from opentelemetry_collector_spark.functions import otlp_json
+
+        spans = tr_ops.events_to_spans(_t(spark, sf, "events"))
+        back = otlp_json.otlp_json_to_spans(
+            otlp_json.spans_to_otlp_json(spans, salt_buckets=32)
+        )
+        return back.select(
+            "trace_id",
+            "span_id",
+            "parent_span_id",
+            "name",
+            "kind",
+            "start_time_unix_nano",
+            "end_time_unix_nano",
+            "status_code",
+            "status_message",
+            F.size("events").alias("n_events"),
+            F.col("resource.service").alias("service"),
+        )
+
+    q["otlp_json_spans_roundtrip"] = otlp_json_spans_roundtrip
+
     def spanevents_connector(spark, sf):  # T5 traces→logs cell
         return tr_ops.span_events_to_logs(tr_ops.events_to_spans(_t(spark, sf, "events")))
 
@@ -1026,6 +1049,9 @@ SELECT md5('trace:' || user_id) AS trace_id,
   'PipelineError' AS exception_type
 FROM events WHERE event_type = 'error'
 """
+
+    # traces JSON round-trip is lossless → identical oracle to spans_model
+    o["otlp_json_spans_roundtrip"] = o["spans_model"]
 
     o["spanmetrics_spans"] = f"""
 WITH s AS (

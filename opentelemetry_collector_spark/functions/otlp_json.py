@@ -252,6 +252,191 @@ def otlp_json_to_logs(requests: DataFrame, json_col: str = "request_json") -> Da
     )
 
 
+# ---------------------------------------------------------------------------
+# Traces (ExportTraceServiceRequest — same proto3-JSON conventions)
+# ---------------------------------------------------------------------------
+
+_SPAN_EVENT_JSON = T.StructType(
+    [
+        T.StructField("timeUnixNano", T.StringType(), True),
+        T.StructField("name", T.StringType(), True),
+        T.StructField("attributes", T.ArrayType(_KV_SCHEMA), True),
+    ]
+)
+
+_SPAN_JSON = T.StructType(
+    [
+        T.StructField("traceId", T.StringType(), True),
+        T.StructField("spanId", T.StringType(), True),
+        T.StructField("parentSpanId", T.StringType(), True),
+        T.StructField("name", T.StringType(), True),
+        T.StructField("kind", T.IntegerType(), True),
+        T.StructField("startTimeUnixNano", T.StringType(), True),
+        T.StructField("endTimeUnixNano", T.StringType(), True),
+        T.StructField("attributes", T.ArrayType(_KV_SCHEMA), True),
+        T.StructField(
+            "status",
+            T.StructType(
+                [
+                    T.StructField("code", T.IntegerType(), True),
+                    T.StructField("message", T.StringType(), True),
+                ]
+            ),
+            True,
+        ),
+        T.StructField("events", T.ArrayType(_SPAN_EVENT_JSON), True),
+    ]
+)
+
+OTLP_TRACES_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            "resourceSpans",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField(
+                            "resource",
+                            T.StructType(
+                                [T.StructField("attributes", T.ArrayType(_KV_SCHEMA), True)]
+                            ),
+                            True,
+                        ),
+                        T.StructField(
+                            "scopeSpans",
+                            T.ArrayType(
+                                T.StructType(
+                                    [
+                                        T.StructField(
+                                            "scope",
+                                            T.StructType(
+                                                [
+                                                    T.StructField("name", T.StringType(), True),
+                                                    T.StructField("version", T.StringType(), True),
+                                                ]
+                                            ),
+                                            True,
+                                        ),
+                                        T.StructField("spans", T.ArrayType(_SPAN_JSON), True),
+                                    ]
+                                )
+                            ),
+                            True,
+                        ),
+                    ]
+                )
+            ),
+            True,
+        )
+    ]
+)
+
+
+def spans_to_otlp_json(spans: DataFrame, salt_buckets: int | None = None) -> DataFrame:
+    """SPANS_SCHEMA frame → OTLP/JSON trace-export request strings per
+    resource (ptrace JSONMarshaler analog — same envelope conventions as
+    the logs codec; `resourceSpans → scopeSpans → spans`)."""
+    ev_struct = F.transform(
+        F.col("events"),
+        lambda e: F.struct(
+            e.getField("time_unix_nano").cast("string").alias("timeUnixNano"),
+            e.getField("name").alias("name"),
+            F.transform(
+                F.map_entries(e.getField("attributes")),
+                lambda kv: _kv(kv.getField("key"), kv.getField("value")),
+            ).alias("attributes"),
+        ),
+    )
+    span_struct = F.struct(
+        F.col("trace_id").alias("traceId"),
+        F.col("span_id").alias("spanId"),
+        F.col("parent_span_id").alias("parentSpanId"),
+        F.col("name").alias("name"),
+        F.col("kind").alias("kind"),
+        F.col("start_time_unix_nano").cast("string").alias("startTimeUnixNano"),
+        F.col("end_time_unix_nano").cast("string").alias("endTimeUnixNano"),
+        _attrs_to_kv_array(F.col("attributes")).alias("attributes"),
+        F.struct(
+            F.col("status_code").alias("code"), F.col("status_message").alias("message")
+        ).alias("status"),
+        ev_struct.alias("events"),
+    )
+    if salt_buckets:
+        salt = F.pmod(F.xxhash64(F.col("span_id")), F.lit(int(salt_buckets)))
+        grouped = (
+            spans.groupBy(F.col("resource"), salt.alias("__salt"))
+            .agg(F.collect_list(span_struct).alias("__spans"))
+            .drop("__salt")
+        )
+    else:
+        grouped = spans.groupBy("resource").agg(
+            F.collect_list(span_struct).alias("__spans")
+        )
+    resource_attrs = F.array(_kv("service", F.col("resource.service")))
+    request = F.struct(
+        F.array(
+            F.struct(
+                F.struct(resource_attrs.alias("attributes")).alias("resource"),
+                F.array(
+                    F.struct(
+                        F.struct(
+                            F.lit(SCOPE_NAME).alias("name"),
+                            F.lit(SCOPE_VERSION).alias("version"),
+                        ).alias("scope"),
+                        F.col("__spans").alias("spans"),
+                    )
+                ).alias("scopeSpans"),
+            )
+        ).alias("resourceSpans")
+    )
+    return grouped.select(F.col("resource"), F.to_json(request).alias("request_json"))
+
+
+def otlp_json_to_spans(requests: DataFrame, json_col: str = "request_json") -> DataFrame:
+    """OTLP/JSON trace requests → SPANS_SCHEMA frame."""
+    parsed = requests.select(F.from_json(F.col(json_col), OTLP_TRACES_SCHEMA).alias("req"))
+    rs = parsed.select(F.explode("req.resourceSpans").alias("rs"))
+    res_map = _kv_array_to_map(F.col("rs.resource.attributes"))
+    ss = rs.select(res_map.alias("__res"), F.explode("rs.scopeSpans").alias("ss"))
+    sp = ss.select("__res", F.explode("ss.spans").alias("s"))
+    events = F.transform(
+        F.col("s.events"),
+        lambda e: F.struct(
+            e.getField("timeUnixNano").cast("long").alias("time_unix_nano"),
+            e.getField("name").alias("name"),
+            F.map_from_entries(
+                F.transform(
+                    e.getField("attributes"),
+                    lambda kv: F.struct(
+                        kv.getField("key").alias("key"),
+                        kv.getField("value").getField("stringValue").alias("value"),
+                    ),
+                )
+            ).alias("attributes"),
+        ),
+    )
+    return sp.select(
+        F.col("s.traceId").alias("trace_id"),
+        F.col("s.spanId").alias("span_id"),
+        F.col("s.parentSpanId").alias("parent_span_id"),
+        F.col("s.name").alias("name"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.startTimeUnixNano").cast("long").alias("start_time_unix_nano"),
+        F.col("s.endTimeUnixNano").cast("long").alias("end_time_unix_nano"),
+        _kv_array_to_map(F.col("s.attributes")).alias("attributes"),
+        F.col("s.status.code").alias("status_code"),
+        F.col("s.status.message").alias("status_message"),
+        F.coalesce(
+            events,
+            F.array().cast(
+                "array<struct<time_unix_nano:bigint,name:string,attributes:map<string,string>>>"
+            ),
+        ).alias("events"),
+        F.array().cast("array<string>").alias("links"),
+        F.struct(F.element_at(F.col("__res"), "service").alias("service")).alias("resource"),
+    )
+
+
 def roundtrip(records: DataFrame, salt_buckets: int | None = None) -> DataFrame:
     """marshal → unmarshal; output frame ≡ input frame (json_test.go
     round-trip equality analog) — the driver query hashes this against

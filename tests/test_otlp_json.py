@@ -68,6 +68,42 @@ def test_wire_shape_is_proto3_json(records):
     assert "stringValue" in rec["body"]
 
 
+def test_spans_roundtrip_equals_identity(spark):
+    """ptrace codec: full-field round-trip equality over the span frame
+    incl. nested span events (ptrace json marshal/unmarshal analog)."""
+    import datetime as dt
+
+    from opentelemetry_collector_spark.operators.traces import events_to_spans
+
+    ev = spark.createDataFrame(
+        [
+            (0, dt.datetime(2024, 1, 1, 0, 0, 10), 1, "view", 1.5, '{"k": 1}'),
+            (1, dt.datetime(2024, 1, 1, 0, 1, 0), 1, "error", 3.0, '{"k": 2}'),
+            (2, dt.datetime(2024, 1, 1, 0, 2, 0), 2, "purchase", 9.0, '{"k": 3}'),
+        ],
+        ["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    spans = events_to_spans(ev)
+    back = otlp_json.otlp_json_to_spans(otlp_json.spans_to_otlp_json(spans))
+    assert back.columns == spans.columns
+
+    def canon(rows):
+        out = []
+        for r in rows:
+            d = r.asDict(recursive=True)
+            d["attributes"] = tuple(sorted(d["attributes"].items()))
+            d["resource"] = tuple(sorted(d["resource"].items()))
+            d["events"] = tuple(
+                (e["time_unix_nano"], e["name"], tuple(sorted(e["attributes"].items())))
+                for e in d["events"]
+            )
+            d["links"] = tuple(d["links"])
+            out.append(tuple(sorted(d.items())))
+        return sorted(out)
+
+    assert canon(back.collect()) == canon(spans.collect())
+
+
 def test_unmarshal_tolerates_minimal_record(spark):
     """proto3 JSON null-fills missing fields — a minimal record parses
     without error (permanent-error classification happens downstream)."""
