@@ -533,6 +533,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["metrics_summary"] = metrics_summary
 
+    def otlp_json_metrics_roundtrip(spark, sf):  # pmetric JSON codec ≡ identity
+        from opentelemetry_collector_spark.functions import otlp_json
+
+        pts = met_ops.events_to_sum_points(_t(spark, sf, "events"))
+        back = otlp_json.otlp_json_to_sum_points(
+            otlp_json.sum_points_to_otlp_json(pts, salt_buckets=16)
+        )
+        return back.select(
+            "metric_name",
+            "aggregation_temporality",
+            F.element_at("attributes", "event_type").alias("event_type"),
+            "start_time_unix_nano",
+            "time_unix_nano",
+            "value_double",
+        )
+
+    q["otlp_json_metrics_roundtrip"] = otlp_json_metrics_roundtrip
+
     def spans_model(spark, sf):  # ptrace span frame, flat projection
         spans = tr_ops.events_to_spans(_t(spark, sf, "events"))
         return spans.select(
@@ -1048,6 +1066,15 @@ SELECT md5('trace:' || user_id) AS trace_id,
   17 AS severity_number,
   'PipelineError' AS exception_type
 FROM events WHERE event_type = 'error'
+"""
+
+    o["otlp_json_metrics_roundtrip"] = """
+SELECT 'events.value' AS metric_name, 1 AS aggregation_temporality,
+  event_type,
+  (floor(epoch(ts)/300)*300)::BIGINT * 1000000000 AS start_time_unix_nano,
+  ((floor(epoch(ts)/300)*300)::BIGINT + 300) * 1000000000 AS time_unix_nano,
+  round(sum(value), 4) AS value_double
+FROM events GROUP BY 1, 2, 3, 4, 5
 """
 
     # traces JSON round-trip is lossless → identical oracle to spans_model

@@ -437,6 +437,169 @@ def otlp_json_to_spans(requests: DataFrame, json_col: str = "request_json") -> D
     )
 
 
+# ---------------------------------------------------------------------------
+# Metrics (ExportMetricsServiceRequest — Sum points; same conventions)
+# ---------------------------------------------------------------------------
+
+_NUM_DP_JSON = T.StructType(
+    [
+        T.StructField("startTimeUnixNano", T.StringType(), True),
+        T.StructField("timeUnixNano", T.StringType(), True),
+        T.StructField("asDouble", T.DoubleType(), True),
+        T.StructField("attributes", T.ArrayType(_KV_SCHEMA), True),
+    ]
+)
+
+OTLP_METRICS_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            "resourceMetrics",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField(
+                            "resource",
+                            T.StructType(
+                                [T.StructField("attributes", T.ArrayType(_KV_SCHEMA), True)]
+                            ),
+                            True,
+                        ),
+                        T.StructField(
+                            "scopeMetrics",
+                            T.ArrayType(
+                                T.StructType(
+                                    [
+                                        T.StructField(
+                                            "scope",
+                                            T.StructType(
+                                                [
+                                                    T.StructField("name", T.StringType(), True),
+                                                    T.StructField("version", T.StringType(), True),
+                                                ]
+                                            ),
+                                            True,
+                                        ),
+                                        T.StructField(
+                                            "metrics",
+                                            T.ArrayType(
+                                                T.StructType(
+                                                    [
+                                                        T.StructField("name", T.StringType(), True),
+                                                        T.StructField(
+                                                            "sum",
+                                                            T.StructType(
+                                                                [
+                                                                    T.StructField(
+                                                                        "aggregationTemporality",
+                                                                        T.IntegerType(),
+                                                                        True,
+                                                                    ),
+                                                                    T.StructField(
+                                                                        "isMonotonic",
+                                                                        T.BooleanType(),
+                                                                        True,
+                                                                    ),
+                                                                    T.StructField(
+                                                                        "dataPoints",
+                                                                        T.ArrayType(_NUM_DP_JSON),
+                                                                        True,
+                                                                    ),
+                                                                ]
+                                                            ),
+                                                            True,
+                                                        ),
+                                                    ]
+                                                )
+                                            ),
+                                            True,
+                                        ),
+                                    ]
+                                )
+                            ),
+                            True,
+                        ),
+                    ]
+                )
+            ),
+            True,
+        )
+    ]
+)
+
+
+def sum_points_to_otlp_json(points: DataFrame, salt_buckets: int | None = None) -> DataFrame:
+    """Sum data points (metrics.events_to_sum_points shape) → OTLP/JSON
+    metric-export request strings, one Sum metric per (metric_name
+    [, salt]) envelope (pmetric JSONMarshaler analog)."""
+    dp = F.struct(
+        F.col("start_time_unix_nano").cast("string").alias("startTimeUnixNano"),
+        F.col("time_unix_nano").cast("string").alias("timeUnixNano"),
+        F.col("value_double").alias("asDouble"),
+        _attrs_to_kv_array(F.col("attributes")).alias("attributes"),
+    )
+    keys: list = [F.col("metric_name"), F.col("aggregation_temporality"), F.col("is_monotonic")]
+    if salt_buckets:
+        keys.append(
+            F.pmod(F.xxhash64(F.col("time_unix_nano"), F.col("attr_key")), F.lit(int(salt_buckets))).alias(
+                "__salt"
+            )
+        )
+    grouped = points.groupBy(*keys).agg(F.collect_list(dp).alias("__dps"))
+    request = F.struct(
+        F.array(
+            F.struct(
+                F.struct(F.array().cast(T.ArrayType(_KV_SCHEMA)).alias("attributes")).alias(
+                    "resource"
+                ),
+                F.array(
+                    F.struct(
+                        F.struct(
+                            F.lit(SCOPE_NAME).alias("name"),
+                            F.lit(SCOPE_VERSION).alias("version"),
+                        ).alias("scope"),
+                        F.array(
+                            F.struct(
+                                F.col("metric_name").alias("name"),
+                                F.struct(
+                                    F.col("aggregation_temporality").alias(
+                                        "aggregationTemporality"
+                                    ),
+                                    F.col("is_monotonic").alias("isMonotonic"),
+                                    F.col("__dps").alias("dataPoints"),
+                                ).alias("sum"),
+                            )
+                        ).alias("metrics"),
+                    )
+                ).alias("scopeMetrics"),
+            )
+        ).alias("resourceMetrics")
+    )
+    return grouped.select(F.to_json(request).alias("request_json"))
+
+
+def otlp_json_to_sum_points(requests: DataFrame, json_col: str = "request_json") -> DataFrame:
+    """OTLP/JSON metric requests → long-format Sum data-point rows."""
+    parsed = requests.select(F.from_json(F.col(json_col), OTLP_METRICS_SCHEMA).alias("req"))
+    rm = parsed.select(F.explode("req.resourceMetrics").alias("rm"))
+    sm = rm.select(F.explode("rm.scopeMetrics").alias("sm"))
+    m = sm.select(F.explode("sm.metrics").alias("m"))
+    dp = m.select(
+        F.col("m.name").alias("metric_name"),
+        F.col("m.sum.aggregationTemporality").alias("aggregation_temporality"),
+        F.col("m.sum.isMonotonic").alias("is_monotonic"),
+        F.explode("m.sum.dataPoints").alias("p"),
+    )
+    return dp.select(
+        "metric_name",
+        "aggregation_temporality",
+        "is_monotonic",
+        F.col("p.startTimeUnixNano").cast("long").alias("start_time_unix_nano"),
+        F.col("p.timeUnixNano").cast("long").alias("time_unix_nano"),
+        F.col("p.asDouble").alias("value_double"),
+        _kv_array_to_map(F.col("p.attributes")).alias("attributes"),
+    )
+
+
 def roundtrip(records: DataFrame, salt_buckets: int | None = None) -> DataFrame:
     """marshal → unmarshal; output frame ≡ input frame (json_test.go
     round-trip equality analog) — the driver query hashes this against

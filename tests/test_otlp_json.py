@@ -104,6 +104,47 @@ def test_spans_roundtrip_equals_identity(spark):
     assert canon(back.collect()) == canon(spans.collect())
 
 
+def test_metrics_sum_points_roundtrip(spark):
+    """pmetric codec: Sum data points round-trip losslessly, including
+    the double values (shortest-round-trip JSON rendering)."""
+    import datetime as dt
+
+    from opentelemetry_collector_spark.operators.metrics import events_to_sum_points
+
+    ev = spark.createDataFrame(
+        [
+            (0, dt.datetime(2024, 1, 1, 0, 0, 10), 1, "view", 1.57, '{"k": 1}'),
+            (1, dt.datetime(2024, 1, 1, 0, 1, 0), 1, "view", 3.03, '{"k": 2}'),
+            (2, dt.datetime(2024, 1, 1, 0, 9, 0), 2, "click", 9.99, '{"k": 3}'),
+        ],
+        ["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    pts = events_to_sum_points(ev)
+    back = otlp_json.otlp_json_to_sum_points(otlp_json.sum_points_to_otlp_json(pts))
+
+    def canon(df):
+        return sorted(
+            (
+                r["metric_name"],
+                r["aggregation_temporality"],
+                tuple(sorted(r["attributes"].items())),
+                r["start_time_unix_nano"],
+                r["time_unix_nano"],
+                r["value_double"],
+            )
+            for r in df.collect()
+        )
+
+    want = canon(
+        pts.select(
+            "metric_name", "aggregation_temporality", "attributes",
+            "start_time_unix_nano", "time_unix_nano", "value_double",
+        )
+    )
+    got = canon(back)
+    assert got == want and len(got) == 3
+
+
 def test_unmarshal_tolerates_minimal_record(spark):
     """proto3 JSON null-fills missing fields — a minimal record parses
     without error (permanent-error classification happens downstream)."""
