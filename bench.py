@@ -170,7 +170,7 @@ def host_cpu_efficiency(lo_procs: int = 2, hi_procs: int = 8) -> dict:
     import multiprocessing as mp
 
     work = _md5_loop
-    total = 16_000_000
+    total = 8_000_000
     rates = {}
     for procs in (lo_procs, hi_procs):
         t0 = time.monotonic()
@@ -250,7 +250,7 @@ def main() -> None:
         # 400k pages keeps a full scaling round ~2 min (so the whole bench
         # stays under ~8 min) while fixed per-job overhead stays <15% of
         # the 8-core runtime; raise via env for longer, steadier evidence
-        n_scale = int(os.environ.get("SPARK_GRAFT_SCALE_PAGES", "400000"))
+        n_scale = int(os.environ.get("SPARK_GRAFT_SCALE_PAGES", "300000"))
         rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "2"))
         best = None
         history = []
@@ -267,14 +267,25 @@ def main() -> None:
                     "host_ceiling": cal["efficiency"],
                 }
             )
-            if best is None or eff > best["efficiency"]:
+            # report the CALMEST-host round, not the max efficiency: a
+            # throttled 2-core run yields super-linear "efficiency" that
+            # is noise, not evidence — the round whose same-window host
+            # ceiling is highest is the most interpretable measurement
+            if best is None or cal["efficiency"] > best["host_ceiling"]:
                 best = history[-1]
+        effs = sorted(r["efficiency"] for r in history)
+        median_eff = effs[len(effs) // 2] if len(effs) % 2 else round(
+            (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2, 3
+        )
         result["scaling"] = {
             "n_pages": n_scale,
             "local2_docs_per_sec": best["local2"],
             "local8_docs_per_sec": best["local8"],
             "cores_ratio": 4,
             "efficiency": best["efficiency"],
+            # cross-round median — the drift-robust summary (single rounds
+            # swing 0.6-1.2 with the shared host's ±40% capacity drift)
+            "efficiency_median": median_eff,
             # the host's own pure-CPU multiprocess scaling measured in the
             # same window — the upper bound any engine could reach here
             # (this shared VM drifts between ~0.6 and ~0.95)
