@@ -202,6 +202,9 @@ def scaling_run(cpus: int, sf_dir: str, n_pages: int) -> dict:
     return json.loads(line)
 
 
+_T0 = time.monotonic()
+
+
 def main() -> None:
     sf = sf_from_dir(SF_DIR)
     pipeline_only = "--pipeline-only" in sys.argv
@@ -252,9 +255,16 @@ def main() -> None:
         # the 8-core runtime; raise via env for longer, steadier evidence
         n_scale = int(os.environ.get("SPARK_GRAFT_SCALE_PAGES", "300000"))
         rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "2"))
+        # soft wall-clock budget: on a degraded host window a scaling
+        # round can take 2-3× its calm-window time; rather than risk the
+        # whole bench being killed, later rounds are skipped once the
+        # deadline approaches (one round of evidence beats zero)
+        deadline = _T0 + float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "480"))
         best = None
         history = []
         for _ in range(rounds):
+            if history and time.monotonic() > deadline - 120:
+                break
             cal = host_cpu_efficiency(2, 8)
             lo = scaling_run(2, SF_DIR, n_scale)
             hi = scaling_run(8, SF_DIR, n_scale)
