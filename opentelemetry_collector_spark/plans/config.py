@@ -40,6 +40,16 @@ _LEGACY_ENV_RE = re.compile(r"\$\{([A-Za-z_][A-Za-z0-9_]*)\}")
 _MAX_EXPANSIONS = 100  # errTooManyRecursiveExpansions analog
 
 
+def _yaml_load(text: str):
+    """yaml.safe_load with parse failures wrapped as ConfigError — a bad
+    config must produce a diagnosable config error, not a YAML stack
+    trace (found by the parser fuzz tests)."""
+    try:
+        return yaml.safe_load(text)
+    except yaml.YAMLError as e:
+        raise ConfigError(f"invalid YAML in config source: {e}") from e
+
+
 def _retrieve(scheme: str, value: str, env: dict[str, str], strict_env: bool):
     """Scheme providers (confmap/provider/*): env / file / yaml."""
     if scheme == "env":
@@ -50,14 +60,14 @@ def _retrieve(scheme: str, value: str, env: dict[str, str], strict_env: bool):
         # the env provider yaml-parses the content, so numeric/bool values
         # keep their type when the URI is the whole string
         raw = env[value]
-        return yaml.safe_load(raw) if raw.strip() else ""
+        return _yaml_load(raw) if raw.strip() else ""
     if scheme == "file":
         if not os.path.exists(value):
             raise ConfigError(f"file {value!r} referenced by file: provider not found")
         with open(value) as f:
-            return yaml.safe_load(f.read())
+            return _yaml_load(f.read())
     if scheme == "yaml":
-        return yaml.safe_load(value)
+        return _yaml_load(value)
     raise ConfigError(f"unsupported config scheme {scheme!r}")
 
 
@@ -143,7 +153,7 @@ def resolve_config(
             elif "\n" not in src and src.endswith((".yaml", ".yml")):
                 raw = _retrieve("file", src, env, strict_env)
             else:
-                raw = yaml.safe_load(src)
+                raw = _yaml_load(src)
         if raw is None:
             continue
         if not isinstance(raw, dict):
