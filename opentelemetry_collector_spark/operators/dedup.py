@@ -296,9 +296,12 @@ def connected_components(
     size stays constant. The per-round convergence check is a count on a
     limit-1 anti-set — O(1) result, one action per round.
     """
+    # materialize the edge list ONCE — it is re-joined every round, and
+    # without the checkpoint each iteration would recompute the (possibly
+    # expensive) pair-generation plan feeding it
     edges = pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst")).unionAll(
         pairs.select(F.col("d2").alias("src"), F.col("d1").alias("dst"))
-    )
+    ).localCheckpoint()
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
