@@ -826,9 +826,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["sample_hash"] = sample_hash
 
     def twinnow(spark, sf):  # exploded (doc, fingerprint) rows → full oracle
-        return ts_ops.winnowing_fingerprints(_t(spark, sf, "documents")).select(
-            "doc_id", F.explode("fingerprints").alias("fingerprint")
-        )
+        # explode_OUTER + post-filter, not plain explode: Catalyst's
+        # InferFiltersFromGenerate pushes size()>0 AND isnotnull() below a
+        # non-outer Generate, duplicating the whole gram-hash expression —
+        # 3× the md5 work per row. The outer variant infers nothing; the
+        # null-filter on the GENERATED column is a cheap post-Generate op.
+        fp = ts_ops.winnowing_fingerprints(_t(spark, sf, "documents"))
+        return fp.select(
+            "doc_id", F.explode_outer("fingerprints").alias("fingerprint")
+        ).where(F.col("fingerprint").isNotNull())
 
     q["winnowing_fingerprints"] = twinnow
 
