@@ -146,6 +146,35 @@ def test_metrics_sum_points_roundtrip(spark):
     assert got == want and len(got) == 2
 
 
+def test_streaming_otlp_json_ingest(spark, records, tmp_path):
+    """OTLP/HTTP-receiver story end to end: a stream of OTLP/JSON request
+    strings is unmarshaled on the fly (from_json is streaming-safe) and
+    the flat records recovered equal the original frame."""
+    reqs = otlp_json.logs_to_otlp_json(records, salt_buckets=4)
+    in_dir = str(tmp_path / "requests")
+    reqs.select("request_json").coalesce(2).write.text(in_dir)
+
+    stream = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", 1)
+        .load(in_dir)
+        .withColumnRenamed("value", "request_json")
+    )
+    back = otlp_json.otlp_json_to_logs(stream)
+    q = (
+        back.writeStream.format("memory")
+        .queryName("otlp_ingest")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM otlp_ingest")
+    assert got.count() == records.count()
+    assert _canon(got.collect()) == _canon(records.collect())
+
+
 def test_unmarshal_tolerates_minimal_record(spark):
     """proto3 JSON null-fills missing fields — a minimal record parses
     without error (permanent-error classification happens downstream)."""
