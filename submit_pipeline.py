@@ -25,9 +25,62 @@ def main() -> None:
     ap.add_argument("--streaming", action="store_true", help="run as a file stream")
     ap.add_argument("--repartition", type=int, default=0, help="url-hash repartition width")
     ap.add_argument("--parse-engine", default="sql", choices=["sql", "arrow"])
+    ap.add_argument(
+        "--config",
+        action="append",
+        help="collector config source (path / file:/env:/yaml: URI / inline "
+        "YAML); repeatable — later sources merge over earlier ones, and "
+        "${env:VAR}/${file:...} references expand (confmap resolver)",
+    )
+    ap.add_argument(
+        "--trigger",
+        default=None,
+        help='streaming processingTime interval, e.g. "5 seconds" '
+        "(default: drain-and-stop availableNow)",
+    )
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName("otel-collector-spark-pipeline").getOrCreate()
+
+    if args.config:
+        # config-driven mode: the YAML IS the pipeline (T1); the pages
+        # path is injected as the receiver unless the config names one
+        from opentelemetry_collector_spark.plans import BatchPipelineRunner, load_config
+        from opentelemetry_collector_spark.streaming.stream import (
+            StreamingPipeline,
+            stream_pages,
+        )
+
+        cfg = load_config(list(args.config))
+        for rc in cfg.receivers.values():
+            if rc.kind in ("pages_parquet", "records_parquet") and not rc.options.get("path"):
+                rc.options["path"] = args.pages_path
+        if args.streaming:
+            pname = cfg.topo_order()[0]
+            pipe = StreamingPipeline.from_config(
+                spark, cfg, pname, args.out_root, lineage_dir=f"{args.out_root}/_lineage"
+            )
+            q = pipe.start(
+                stream_pages(spark, args.pages_path),
+                checkpoint_dir=f"{args.out_root}/_checkpoint",
+                available_now=args.trigger is None,
+                processing_time=args.trigger,
+                parse_engine=args.parse_engine,
+            )
+            q.awaitTermination()
+            print(json.dumps({"sinks": pipe.sink_counts()}))
+        else:
+            runner = BatchPipelineRunner(spark, cfg, args.out_root)
+            result = runner.run()
+            print(
+                json.dumps(
+                    {
+                        "sinks": result.sink_counts(),
+                        "telemetry": result.telemetry.as_dict(),
+                    }
+                )
+            )
+        return
 
     from opentelemetry_collector_spark.fixtures.lookups import lkp_geo, lkp_lang
     from opentelemetry_collector_spark.operators.batch import batch_repartition
