@@ -67,6 +67,76 @@ def render_log_record(prefix_index: Column | None = None) -> Column:
     )
 
 
+def render_span(prefix_index: Column | None = None) -> Column:
+    """Canonical text block for one span — mirrors the trace renderer's
+    field order (exporter/loggingexporter/internal/otlptext/traces.go:
+    Trace ID, Parent ID, ID, Name, Kind, Start/End time, Status
+    code/message, Attributes), with Kind/StatusCode rendered via their
+    enum String() names (span_kind.go:28-45, status_code.go:32-43)."""
+    from ..operators.traces import SPAN_KIND, STATUS_CODE
+
+    def enum_str(col: Column, mapping: dict[str, int]) -> Column:
+        expr = F.lit("")
+        out = None
+        for name, num in mapping.items():
+            branch = F.when(col == F.lit(num), F.lit(name))
+            out = branch if out is None else out.when(col == F.lit(num), F.lit(name))
+        return out.otherwise(expr)
+
+    header = (
+        F.concat(F.lit("Span #"), prefix_index.cast("string"), F.lit("\n"))
+        if prefix_index is not None
+        else F.lit("Span\n")
+    )
+    ts_fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS 'UTC'"
+    start = F.date_format(
+        F.timestamp_micros((F.col("start_time_unix_nano") / 1000).cast("long")), ts_fmt
+    )
+    end = F.date_format(
+        F.timestamp_micros((F.col("end_time_unix_nano") / 1000).cast("long")), ts_fmt
+    )
+    return F.concat(
+        header,
+        F.lit("Trace ID: "), F.col("trace_id"), F.lit("\n"),
+        F.lit("Parent ID: "), F.col("parent_span_id"), F.lit("\n"),
+        F.lit("ID: "), F.col("span_id"), F.lit("\n"),
+        F.lit("Name: "), F.col("name"), F.lit("\n"),
+        F.lit("Kind: "), enum_str(F.col("kind"), SPAN_KIND), F.lit("\n"),
+        F.lit("Start time: "), start, F.lit("\n"),
+        F.lit("End time: "), end, F.lit("\n"),
+        F.lit("Status code: "), enum_str(F.col("status_code"), STATUS_CODE), F.lit("\n"),
+        F.lit("Status message: "), F.col("status_message"), F.lit("\n"),
+        _attr_lines(F.col("attributes")),
+    )
+
+
+def render_number_data_point(prefix_index: Column | None = None) -> Column:
+    """Canonical text block for one Sum/Gauge data point
+    (databuffer.go:102-117 logNumberDataPoints: attributes,
+    StartTimestamp, Timestamp, Value)."""
+    header = (
+        F.concat(F.lit("NumberDataPoints #"), prefix_index.cast("string"), F.lit("\n"))
+        if prefix_index is not None
+        else F.lit("NumberDataPoints\n")
+    )
+    ts_fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS 'UTC'"
+    start = F.date_format(
+        F.timestamp_micros((F.col("start_time_unix_nano") / 1000).cast("long")), ts_fmt
+    )
+    ts = F.date_format(
+        F.timestamp_micros((F.col("time_unix_nano") / 1000).cast("long")), ts_fmt
+    )
+    from .values import es6_double_col
+
+    return F.concat(
+        header,
+        _attr_lines(F.col("attributes")),
+        F.lit("StartTimestamp: "), start, F.lit("\n"),
+        F.lit("Timestamp: "), ts, F.lit("\n"),
+        F.lit("Value: "), es6_double_col(F.col("value_double")), F.lit("\n"),
+    )
+
+
 def render_records(records: DataFrame) -> DataFrame:
     """records → (url, line_no, rendered) — the debug-sink projection."""
     return records.select(

@@ -44,3 +44,69 @@ def test_golden_bytes(records):
 
 def test_rendering_is_deterministic(records):
     assert render_to_string(records, limit=5) == render_to_string(records, limit=5)
+
+
+SPAN_GOLDEN = (
+    "Span #0\n"
+    "Trace ID: aaaa\n"
+    "Parent ID: \n"
+    "ID: bbbb\n"
+    "Name: purchase\n"
+    "Kind: Client\n"
+    "Start time: 2024-01-01 00:00:00.000000 UTC\n"
+    "End time: 2024-01-01 00:00:01.500000 UTC\n"
+    "Status code: Ok\n"
+    "Status message: \n"
+    "Attributes:\n"
+    "     -> k: Str(v)\n"
+)
+
+
+def test_span_golden_bytes(spark):
+    """Span text block, hand-written expected bytes (traces.go field
+    order, enum String() names)."""
+    import pyspark.sql.functions as F
+
+    from opentelemetry_collector_spark.functions.otlptext import render_span
+
+    df = spark.range(1).select(
+        F.lit("aaaa").alias("trace_id"),
+        F.lit("bbbb").alias("span_id"),
+        F.lit("").alias("parent_span_id"),
+        F.lit("purchase").alias("name"),
+        F.lit(3).cast("int").alias("kind"),
+        F.lit(1704067200_000_000_000).alias("start_time_unix_nano"),
+        F.lit(1704067201_500_000_000).alias("end_time_unix_nano"),
+        F.create_map(F.lit("k"), F.lit("v")).alias("attributes"),
+        F.lit(1).cast("int").alias("status_code"),
+        F.lit("").alias("status_message"),
+    )
+    got = df.select(render_span(F.lit(0)).alias("r")).first()["r"]
+    assert got == SPAN_GOLDEN
+
+
+NUM_DP_GOLDEN = (
+    "NumberDataPoints #0\n"
+    "Attributes:\n"
+    "     -> event_type: Str(view)\n"
+    "StartTimestamp: 2024-01-01 00:00:00.000000 UTC\n"
+    "Timestamp: 2024-01-01 00:05:00.000000 UTC\n"
+    "Value: 4.6\n"
+)
+
+
+def test_number_data_point_golden_bytes(spark):
+    import pyspark.sql.functions as F
+
+    from opentelemetry_collector_spark.functions.otlptext import (
+        render_number_data_point,
+    )
+
+    df = spark.range(1).select(
+        F.lit(1704067200_000_000_000).alias("start_time_unix_nano"),
+        F.lit(1704067500_000_000_000).alias("time_unix_nano"),
+        F.create_map(F.lit("event_type"), F.lit("view")).alias("attributes"),
+        F.lit(4.6).alias("value_double"),
+    )
+    got = df.select(render_number_data_point(F.lit(0)).alias("r")).first()["r"]
+    assert got == NUM_DP_GOLDEN
