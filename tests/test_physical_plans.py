@@ -111,31 +111,68 @@ def test_epoch_write_is_single_scan(spark, pages, tmp_path):
     assert sink.epoch_meta(0)["per_sink"] == want
 
 
-# max Exchange nodes allowed per new-model query: every shuffle must be
-# accounted for (agg / window), and none may regress into extra passes
+# max Exchange nodes allowed per driver query (static plan; AQE exchange
+# reuse may collapse repeats at runtime): every shuffle must be accounted
+# for (agg / window / join), and none may regress into extra passes.
 _PLAN_SHUFFLE_BUDGET = {
+    "pipeline_e2e": 1,
+    "events_parse_json": 0,  # narrow decode
+    "severity_rollup": 2,  # count-distinct expands to two aggregates
+    "router_counts": 0,  # single global conditional aggregation
+    "ottl_transform": 0,
+    "ottl_attributes_ops": 0,
+    "batch_split_head": 1,  # per-partition candidates (balanced)
+    "window_tumbling": 1,
+    "spanmetrics_connector": 1,
+    "sessionize_users": 1,
     "metrics_gauge": 1,  # window rank on (key, window)
     "metrics_temporality": 2,  # windowed agg + series window
     "metrics_histogram": 1,  # one hash aggregate (conditional sums)
     "metrics_exp_histogram": 1,
     "metrics_summary": 1,
+    "otlp_json_metrics_roundtrip": 2,  # point agg + envelope groupBy
     "spans_model": 1,  # parent-chain lag window
     "spanmetrics_spans": 2,  # lag window + rollup agg
-    "spanevents_connector": 1,  # narrow explode (+ possible lag window)
+    "otlp_json_spans_roundtrip": 2,
+    "spanevents_connector": 1,
     "otlp_json_roundtrip": 1,  # envelope groupBy
+    "salted_rollup": 2,  # two-phase by design
+    "enrich_broadcast_geo": 1,  # dims broadcast; one rollup agg
+    "q1_pricing_rollup": 1,
+    "q3_revenue_topk": 2,  # fact join + agg (customer broadcast)
+    "dedup_exact": 1,  # one digest groupBy
+    "dedup_ngram_jaccard": 7,  # freq cut + self-join + sizes (AQE reuses)
+    "dedup_minhash_lsh": 3,
+    "dedup_clusters": 3,  # per-round plans are checkpointed separately
+    "dedup_simhash": 1,
+    "embedding_neardup": 0,  # broadcast nested-loop cross join
+    "ann_topk_bruteforce": 2,  # partial + final top-k
+    "ann_lsh_pairs": 1,
+    "ann_ivf_topk": 8,  # KMeans pipeline + rank windows
+    "token_count": 0,
+    "quality_score": 0,
+    "lang_id": 0,
+    "doc_fingerprint": 0,
+    "sample_hash": 1,
     "winnowing_fingerprints": 0,  # pure narrow scan
+    "multimodal_blob_meta": 0,
 }
 
+# the ONLY queries allowed Python eval nodes: the declared Arrow surfaces
+_PYTHON_ALLOWED = {"multimodal_decode_stub", "parse_arrow_engine"}
 
-def test_signal_model_queries_stay_jvm_side_with_bounded_shuffles(spark):
-    """The round-2 signal-model queries must stay in JVM expressions (no
-    Python eval nodes) and within their accounted shuffle budget — the
-    scale contract, locked as a regression test."""
+
+def test_all_queries_stay_jvm_side_with_bounded_shuffles(spark):
+    """Every driver query must stay in JVM expressions (no Python eval
+    nodes, except the two declared Arrow surfaces) and within its
+    accounted shuffle budget — the scale contract, locked end to end."""
     import __spark_entry__ as entrymod
 
     if not os.path.isdir(SF_DIR):
         pytest.skip("driver testdata absent")
     qs = entrymod.queries()
+    missing = set(qs) - set(_PLAN_SHUFFLE_BUDGET) - _PYTHON_ALLOWED
+    assert not missing, f"queries without a plan budget: {sorted(missing)}"
     for name, budget in _PLAN_SHUFFLE_BUDGET.items():
         plan = plan_of(qs[name](spark, SF_DIR))
         for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
