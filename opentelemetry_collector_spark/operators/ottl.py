@@ -541,7 +541,12 @@ def _named_groups(pattern: str) -> dict[str, int]:
             continue
         if c == "(":
             if pattern.startswith("(?<", i) and not pattern.startswith("(?<=", i) and not pattern.startswith("(?<!", i):
-                end = pattern.index(">", i)
+                end = pattern.find(">", i)
+                if end == -1:
+                    # unterminated group name — malformed regex; the Java
+                    # runtime will reject it, nothing to index here
+                    i += 3
+                    continue
                 idx += 1
                 out[pattern[i + 3 : end]] = idx
                 i = end + 1
