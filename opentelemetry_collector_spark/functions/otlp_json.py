@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..schemas import LOG_RECORDS_SCHEMA, RESOURCE_SCHEMA
+from .values import ns_to_micros
 
 # proto3 JSON form of common.v1.KeyValue with a string value
 _KV_SCHEMA = T.StructType(
@@ -233,9 +234,9 @@ def otlp_json_to_logs(requests: DataFrame, json_col: str = "request_json") -> Da
     return lr.select(
         F.element_at(attrs_map, URL_ATTR).alias("url"),
         F.col("r.timeUnixNano").cast("long").alias("time_unix_nano"),
-        F.timestamp_micros(
-            (F.col("r.observedTimeUnixNano").cast("long") / F.lit(1000)).cast("long")
-        ).alias("observed_ts"),
+        F.timestamp_micros(ns_to_micros(F.col("r.observedTimeUnixNano"))).alias(
+            "observed_ts"
+        ),
         F.col("r.severityNumber").alias("severity_number"),
         F.col("r.severityText").alias("severity_text"),
         F.col("r.body.stringValue").alias("body"),

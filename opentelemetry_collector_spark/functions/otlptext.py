@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .values import ns_to_micros
+
 
 def _attr_lines(attributes: Column) -> Column:
     """Render `     -> key: Str(value)` lines, sorted by key."""
@@ -47,7 +49,7 @@ def render_log_record(prefix_index: Column | None = None) -> Column:
     ts = F.when(
         F.col("time_unix_nano") > 0,
         F.date_format(
-            F.timestamp_micros((F.col("time_unix_nano") / 1000).cast("long")),
+            F.timestamp_micros(ns_to_micros(F.col("time_unix_nano"))),
             "yyyy-MM-dd HH:mm:ss.SSSSSS 'UTC'",
         ),
     ).otherwise(F.lit("1970-01-01 00:00:00 +0000 UTC"))
@@ -90,10 +92,10 @@ def render_span(prefix_index: Column | None = None) -> Column:
     )
     ts_fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS 'UTC'"
     start = F.date_format(
-        F.timestamp_micros((F.col("start_time_unix_nano") / 1000).cast("long")), ts_fmt
+        F.timestamp_micros(ns_to_micros(F.col("start_time_unix_nano"))), ts_fmt
     )
     end = F.date_format(
-        F.timestamp_micros((F.col("end_time_unix_nano") / 1000).cast("long")), ts_fmt
+        F.timestamp_micros(ns_to_micros(F.col("end_time_unix_nano"))), ts_fmt
     )
     return F.concat(
         header,
@@ -121,10 +123,10 @@ def render_number_data_point(prefix_index: Column | None = None) -> Column:
     )
     ts_fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS 'UTC'"
     start = F.date_format(
-        F.timestamp_micros((F.col("start_time_unix_nano") / 1000).cast("long")), ts_fmt
+        F.timestamp_micros(ns_to_micros(F.col("start_time_unix_nano"))), ts_fmt
     )
     ts = F.date_format(
-        F.timestamp_micros((F.col("time_unix_nano") / 1000).cast("long")), ts_fmt
+        F.timestamp_micros(ns_to_micros(F.col("time_unix_nano"))), ts_fmt
     )
     from .values import es6_double_col
 

@@ -58,8 +58,10 @@ def es6_double_col(col: Column) -> Column:
     documented Python hop in the repo's text boundary (golden rendering /
     AsString of doubles). Never on a hot scan path: shortest-round-trip
     formatting has no Spark built-in, and byte parity with the reference's
-    golden files beats codegen here. Nulls and NaN both render as the
-    Go-json unsupported-NaN string (Arrow folds double nulls into NaN)."""
+    golden files beats codegen here. SQL NULL stays NULL (masked at the
+    Column level — Arrow folds double nulls into NaN inside the UDF, so
+    nullity must be decided before the hop; ADVICE r2); genuine NaN/±Inf
+    render as the Go-json unsupported-value string."""
     global _ES6_UDF
     if _ES6_UDF is None:
 
@@ -68,7 +70,8 @@ def es6_double_col(col: Column) -> Column:
             return s.map(lambda x: es6_float_str(float(x)))
 
         _ES6_UDF = _fmt
-    return _ES6_UDF(col.cast("double"))
+    c = col.cast("double")
+    return F.when(c.isNotNull(), _ES6_UDF(c))
 
 
 def as_string(col: Column, dtype: T.DataType) -> Column:
@@ -95,6 +98,17 @@ def as_string(col: Column, dtype: T.DataType) -> Column:
     if isinstance(dtype, (T.MapType, T.ArrayType, T.StructType)):
         return F.to_json(col)
     return col.cast("string")
+
+
+def ns_to_micros(col: Column) -> Column:
+    """uint64-ns epoch → µs with INTEGER division (SQL ``div``).
+
+    Ns epochs (~1.7e18) exceed 2^53, so double-precision ``/ 1000`` can be
+    off by 1 µs after truncation — which would break the documented
+    lossless round-trip (pdata Timestamp is uint64 ns,
+    pdata/pcommon/timestamp.go:21-24) and golden-text byte parity.
+    """
+    return F.call_function("div", col.cast("long"), F.lit(1000))
 
 
 # Log-record flags: uint32 bitfield, bit 0 = sampled

@@ -77,9 +77,17 @@ def split_head(df: DataFrame, n: int, order_by: list[str] = ("url", "line_no")) 
     )
     w = Window.orderBy(*cols)
     head = cand.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") <= n).drop("__rn")
-    rest = df.join(
-        F.broadcast(head.select(*[F.col(c) for c in order_by])), list(order_by), "left_anti"
+    # null-safe equality: a NULL-keyed row chosen into head must still be
+    # excluded from rest (plain anti-join conditions never match NULLs,
+    # breaking the head/rest partition invariant — ADVICE r2)
+    head_keys = F.broadcast(
+        head.select(*[F.col(c).alias(f"__hk_{c}") for c in order_by])
     )
+    cond = None
+    for c in order_by:
+        eq = df[c].eqNullSafe(F.col(f"__hk_{c}"))
+        cond = eq if cond is None else cond & eq
+    rest = df.join(head_keys, cond, "left_anti")
     return head, rest
 
 

@@ -290,7 +290,7 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 
 def connected_components(
-    pairs: DataFrame, max_iters: int = 20
+    pairs: DataFrame, max_iters: int = 50
 ) -> DataFrame:
     """Connected components of the near-dup pair graph via iterative
     min-label propagation: each node's label converges to the minimum
@@ -317,6 +317,7 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
+    changed = 1
     for _ in range(max_iters):
         neighbor = edges.join(
             labels, edges["dst"] == labels["node"]
@@ -334,6 +335,13 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # returning last-round labels silently would yield WRONG cluster ids
+        # for any component with diameter > max_iters (ADVICE r2) — refuse
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iters} rounds "
+            "(component diameter exceeds max_iters); raise max_iters"
+        )
     return labels
 
 

@@ -469,27 +469,34 @@ class OTTLCompiler:
             if not groups:
                 raise OTTLSyntaxError("extract_patterns needs named capture groups")
             names_arr = F.array(*[F.lit(g) for g in groups])
+            # gate on the full pattern matching (rlike): when it does, ALL
+            # named groups are set — a group that legitimately captures ''
+            # is upserted as '' instead of dropped; on a miss the map is
+            # untouched. (regexp_extract cannot distinguish a
+            # non-participating group from an empty match — both set '';
+            # that residual deviation is inherent to the builtin.)
+            matched = tcol.rlike(pattern)
             extracted = F.map_from_entries(
-                F.filter(
-                    F.array(
-                        *[
-                            F.struct(
-                                F.lit(name).alias("key"),
-                                F.regexp_extract(tcol, pattern, idx).alias("value"),
-                            )
-                            for name, idx in groups.items()
-                        ]
-                    ),
-                    lambda s: s.getField("value") != F.lit(""),
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(name).alias("key"),
+                            F.regexp_extract(tcol, pattern, idx).alias("value"),
+                        )
+                        for name, idx in groups.items()
+                    ]
                 )
             )
-            new_attrs = F.map_concat(
-                F.map_filter(
-                    F.col(self.attributes_col),
-                    lambda k, v: ~F.array_contains(names_arr, k),
+            new_attrs = F.when(
+                matched,
+                F.map_concat(
+                    F.map_filter(
+                        F.col(self.attributes_col),
+                        lambda k, v: ~F.array_contains(names_arr, k),
+                    ),
+                    extracted,
                 ),
-                extracted,
-            )
+            ).otherwise(F.col(self.attributes_col))
             return self._apply_to_col(self.attributes_col, new_attrs, cond)
 
         raise OTTLSyntaxError(f"unknown editor {ed.name!r}")

@@ -32,6 +32,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from ..functions.values import ns_to_micros
+
 TRACE_SUMMARY_SCHEMA = T.StructType(
     [
         T.StructField("trace_id", T.StringType(), False),
@@ -129,7 +131,7 @@ def with_event_ts(spans: DataFrame, watermark_delay: str = "0 seconds") -> DataF
     (end time of each span)."""
     return spans.withColumn(
         "event_ts",
-        F.timestamp_micros((F.col("end_time_unix_nano") / F.lit(1000)).cast("long")),
+        F.timestamp_micros(ns_to_micros(F.col("end_time_unix_nano"))),
     ).withWatermark("event_ts", watermark_delay)
 
 

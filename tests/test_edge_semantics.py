@@ -1,0 +1,117 @@
+"""Regression tests for boundary semantics (r2 advisor findings):
+
+- ns→µs conversion must use integer division (ns epochs exceed 2^53, so a
+  double-precision /1000 rounds sub-ms digits — pdata Timestamp is uint64
+  ns, pdata/pcommon/timestamp.go:21-24);
+- split_head's head/rest partition invariant must hold for NULL order keys
+  (anti-join conditions never match NULL without eqNullSafe);
+- AsString of a SQL NULL double stays NULL (Arrow folds nulls into NaN
+  inside the UDF, so nullity is decided at the Column level);
+- extract_patterns sets a named group that legitimately captures '' once
+  the full pattern matches;
+- connected_components refuses to return silently-wrong labels when the
+  component diameter exceeds max_iters.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+# a ns epoch where float(ns)/1000 truncates to the WRONG microsecond
+NASTY_NS = 1768037415580038837  # → 1768037415580038 µs (double div gives ...039)
+
+
+def test_ns_to_micros_integer_division(spark):
+    from opentelemetry_collector_spark.functions.values import ns_to_micros
+
+    df = spark.createDataFrame([(NASTY_NS,)], "ns long")
+    got = df.select(ns_to_micros(F.col("ns")).alias("us")).collect()[0]["us"]
+    assert got == NASTY_NS // 1000 == 1768037415580038
+
+
+def test_otlp_json_roundtrip_preserves_sub_ms_observed_ts(spark):
+    from opentelemetry_collector_spark.functions.otlp_json import roundtrip
+    from opentelemetry_collector_spark.schemas import LOG_RECORDS_SCHEMA
+
+    row = {
+        "url": "https://example.com/a",
+        "time_unix_nano": NASTY_NS,
+        "observed_ts": __import__("datetime").datetime(
+            2026, 1, 10, 9, 30, 15, 580038
+        ),
+        "severity_number": 9,
+        "severity_text": "INFO",
+        "body": "b",
+        "attributes": {"k": "v"},
+        "trace_id": "a" * 32,
+        "span_id": "b" * 16,
+        "flags": 1,
+        "dropped_attributes_count": 0,
+        "resource": {"host": "example.com", "lang": "en"},
+        "line_no": 1,
+    }
+    df = spark.createDataFrame([row], LOG_RECORDS_SCHEMA)
+    out = roundtrip(df).collect()[0]
+    assert out["observed_ts"] == row["observed_ts"]  # µs preserved exactly
+    assert out["time_unix_nano"] == NASTY_NS
+
+
+def test_split_head_null_keys_partition_invariant(spark):
+    from opentelemetry_collector_spark.operators.batch import split_head
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", None), ("b", 2), (None, 3), ("c", 4)],
+        "url string, line_no int",
+    )
+    head, rest = split_head(df, 3, order_by=["url", "line_no"])
+    h = head.collect()
+    r = rest.collect()
+    assert len(h) == 3
+    # invariant: head ∪ rest == df exactly, no overlap, NULL keys included
+    assert len(h) + len(r) == df.count()
+    hs = {(x["url"], x["line_no"]) for x in h}
+    rs = {(x["url"], x["line_no"]) for x in r}
+    assert hs.isdisjoint(rs)
+
+
+def test_as_string_null_double_stays_null(spark):
+    from opentelemetry_collector_spark.functions.values import es6_double_col
+
+    df = spark.createDataFrame(
+        [(1.5,), (None,), (float("nan"),)], "v double"
+    )
+    got = [r["s"] for r in df.select(es6_double_col(F.col("v")).alias("s")).collect()]
+    assert got[0] == "1.5"
+    assert got[1] is None  # SQL NULL preserved
+    assert got[2] == "json: unsupported value: NaN"  # genuine NaN still renders
+
+
+def test_extract_patterns_sets_empty_capture_on_match(spark):
+    from opentelemetry_collector_spark.operators.ottl import compile_statements
+
+    df = spark.createDataFrame(
+        [(1, {"ua": "X42"})], "id long, attributes map<string,string>"
+    )
+    run = compile_statements(
+        ['extract_patterns(attributes["ua"], "(?<a>[a-z]*)X(?<b>[0-9]+)")']
+    )
+    attrs = run(df).collect()[0]["attributes"]
+    # full pattern matches with group a capturing '' — it is SET, not dropped
+    assert attrs["a"] == "" and attrs["b"] == "42"
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    from opentelemetry_collector_spark.operators.dedup import connected_components
+
+    # a path graph 0-1-2-...-9: min-label needs ~9 rounds to reach the end
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "d1 int, d2 int"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iters=2)
+    # and with enough rounds it converges to the single min label
+    labels = connected_components(pairs, max_iters=20).collect()
+    assert {r["label"] for r in labels} == {0}
