@@ -538,7 +538,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         pts = met_ops.events_to_sum_points(_t(spark, sf, "events"))
         back = otlp_json.otlp_json_to_sum_points(
-            otlp_json.sum_points_to_otlp_json(pts, salt_buckets=16)
+            otlp_json.sum_points_to_otlp_json(
+                pts, salt_buckets=16, max_records_per_envelope=200
+            )
         )
         return back.select(
             "metric_name",
@@ -579,7 +581,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         spans = tr_ops.events_to_spans(_t(spark, sf, "events"))
         back = otlp_json.otlp_json_to_spans(
-            otlp_json.spans_to_otlp_json(spans, salt_buckets=32)
+            otlp_json.spans_to_otlp_json(
+                spans, salt_buckets=32, max_records_per_envelope=200
+            )
         )
         return back.select(
             "trace_id",
@@ -633,8 +637,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).alias("resource"),
             F.lit(0).cast("int").alias("line_no"),
         )
-        # bounded envelopes (batch-size-cap analog): parallel marshal/parse
-        rt = otlp_json.roundtrip(plog, salt_buckets=32)
+        # record-count-bounded envelopes (send_batch_max_size analog):
+        # salt for task parallelism, cap for per-request record count
+        rt = otlp_json.roundtrip(plog, salt_buckets=32, max_records_per_envelope=200)
         return rt.select(
             F.substring(F.col("url"), 9, 32).cast("long").alias("event_id"),
             "time_unix_nano",

@@ -10,8 +10,9 @@ partition / output file, so:
   (unique per row) instead of the host spreads Zipf-skewed hosts evenly
   across partitions — the salting strategy: a hot host's rows land on all
   partitions, and per-host aggregation is done two-phase (see
-  ``salted_groupby_count``). ``maxRecordsPerFile`` caps output batch size
-  (send_batch_max_size analog, batch_processor.go:240-258).
+  ``salted_groupby_count``). The output-batch-size cap
+  (send_batch_max_size analog, batch_processor.go:240-258) is applied as
+  a per-write ``maxRecordsPerFile`` option by the runner, not here.
 - ``split_head``: carve exactly N records deterministically
   (splitlogs.go:22-76 analog) — flat rows make nesting-preserving split
   trivial (SURVEY.md P2-P4).
@@ -34,20 +35,23 @@ from pyspark.sql import functions as F
 def batch_repartition(
     partitions: int | None = None,
     key: str | Column = "url",
-    max_records_per_file: int | None = None,
 ) -> Callable[[DataFrame], DataFrame]:
-    """P1: explicit hash repartition on ``key`` (+ output file size cap)."""
+    """P1: explicit hash repartition on ``key``.
+
+    The output-batch-size cap (send_batch_max_size,
+    batch_processor.go:240-258) is NOT set here: mutating the session-wide
+    ``spark.sql.files.maxRecordsPerFile`` from inside a stage would leak
+    the cap into every other pipeline sharing the session (the reference's
+    per-pipeline processor instances are explicitly isolated,
+    docs/design.md:121-152). The cap is a per-WRITE option — the runner
+    passes it to the sink write (``.option("maxRecordsPerFile", n)``).
+    """
 
     def apply(df: DataFrame) -> DataFrame:
         out = df
         keycol = F.col(key) if isinstance(key, str) else key
         if partitions:
             out = out.repartition(int(partitions), F.xxhash64(keycol))
-        if max_records_per_file:
-            # honored by all file writes downstream of this stage
-            out.sparkSession.conf.set(
-                "spark.sql.files.maxRecordsPerFile", int(max_records_per_file)
-            )
         return out
 
     return apply

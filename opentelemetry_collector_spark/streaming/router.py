@@ -151,7 +151,11 @@ class FanoutRouter:
     # -- write strategies ---------------------------------------------------
 
     def write_partitioned(
-        self, assigned: DataFrame, sink: IdempotentParquetSink, epoch_id: int = 0
+        self,
+        assigned: DataFrame,
+        sink: IdempotentParquetSink,
+        epoch_id: int = 0,
+        max_records_per_file: int | None = None,
     ) -> int:
         """Single-job fan-out: explode sink membership, partitionBy(sink).
 
@@ -177,7 +181,13 @@ class FanoutRouter:
         ]
         observed = exploded.observe(obs, F.count(F.lit(1)).alias("__total"), *per_sink)
         epoch_dir = f"{sink.data_dir}/epoch={epoch_id}"
-        observed.write.mode("overwrite").partitionBy("sink").parquet(epoch_dir)
+        writer = observed.write.mode("overwrite").partitionBy("sink")
+        if max_records_per_file:
+            # per-WRITE output-batch cap (send_batch_max_size analog) —
+            # never the session-global conf, which would leak across
+            # pipelines sharing the session
+            writer = writer.option("maxRecordsPerFile", int(max_records_per_file))
+        writer.parquet(epoch_dir)
         metrics = obs.get
         n = int(metrics["__total"])
         counts = {r.name: int(metrics[r.name]) for r in self.routes}

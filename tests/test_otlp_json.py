@@ -197,3 +197,32 @@ def test_unmarshal_tolerates_minimal_record(spark):
     assert out[0]["body"] == "hello"
     assert out[0]["resource"]["host"] == "h"
     assert out[0]["time_unix_nano"] is None
+
+
+def test_envelope_record_cap_on_skewed_fixture(spark, records):
+    """send_batch_max_size semantics (splitlogs.go:22-76 + config.go:25-46):
+    with ``max_records_per_envelope`` no request carries more records than
+    the cap, even when one resource dominates — and the flattened
+    round-trip result is unchanged."""
+    # skew: collapse every record onto ONE hot resource
+    hot = records.withColumn(
+        "resource",
+        F.struct(F.lit("hot.example.com").alias("host"), F.lit("en").alias("lang")),
+    )
+    cap = 64
+    marshaled = otlp_json.logs_to_otlp_json(
+        hot, salt_buckets=4, max_records_per_envelope=cap
+    )
+    sizes = [
+        sum(
+            len(sl["logRecords"])
+            for rl in json.loads(r["request_json"])["resourceLogs"]
+            for sl in rl["scopeLogs"]
+        )
+        for r in marshaled.collect()
+    ]
+    assert max(sizes) <= cap
+    assert sum(sizes) == hot.count()  # no record lost by the split
+    # round-trip identity holds with the cap active
+    back = otlp_json.otlp_json_to_logs(marshaled)
+    assert back.count() == hot.count()

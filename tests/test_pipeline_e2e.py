@@ -266,3 +266,94 @@ def test_shared_receiver_instance(spark, tmp_path):
     runner = BatchPipelineRunner(spark, cfg, str(tmp_path / "shared"))
     result = runner.run()
     assert result.pipelines["a"].sink_counts["s1"] == result.pipelines["b"].sink_counts["s2"]
+
+
+def test_runner_epoch_single_scan_of_routed_plan(spark, tmp_path, monkeypatch):
+    """The runner's lineage write must read the PERSISTED routed frame —
+    not re-run parse→enrich→route end to end (a second full input scan
+    per epoch at 100 TB). Locked by spying on write_lineage: at call time
+    the routed frame is persisted and the lineage plan reads
+    InMemoryRelation, not the source scan."""
+    import opentelemetry_collector_spark.plans.compiler as compiler_mod
+    from opentelemetry_collector_spark.streaming.telemetry import lineage_frame
+
+    captured = {}
+    orig = compiler_mod.write_lineage
+
+    def spy(assigned, path, run_id, epoch_id):
+        captured["persisted"] = assigned.storageLevel.useMemory
+        plan = (
+            lineage_frame(assigned, run_id, epoch_id)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        captured["plan"] = plan
+        return orig(assigned, path, run_id, epoch_id)
+
+    monkeypatch.setattr(compiler_mod, "write_lineage", spy)
+    cfg = load_config(CFG.format(n=100))
+    runner = BatchPipelineRunner(spark, cfg, str(tmp_path / "epoch-jobs"))
+    result = runner.run()
+    assert captured["persisted"], "routed frame not persisted across write+lineage"
+    assert "InMemoryRelation" in captured["plan"]
+    # counters still exact
+    assert result.sink_counts() == oracle_counts(100)
+
+
+def test_per_pipeline_write_caps_are_isolated(spark, tmp_path):
+    """Two pipelines with different send_batch_max_size in ONE session get
+    independently-capped output files — the cap is a per-write option,
+    never a session-conf mutation that leaks across pipelines
+    (per-pipeline processor isolation, docs/design.md:121-152)."""
+    import pyarrow.parquet as pq
+    import glob
+
+    cfg_txt = """
+receivers:
+  pages_synthetic:
+    n_rows: 60
+processors:
+  parse:
+    engine: sql
+  batch/small:
+    kind: batch
+    partitions: 4
+    send_batch_max_size: 10
+  batch/big:
+    kind: batch
+    partitions: 4
+    send_batch_max_size: 500
+exporters:
+  sink_a:
+    kind: parquet
+    all: true
+  sink_b:
+    kind: parquet
+    all: true
+service:
+  pipelines:
+    capped:
+      receivers: [pages_synthetic]
+      processors: [parse, batch/small]
+      exporters: [sink_a]
+    roomy:
+      receivers: [pages_synthetic]
+      processors: [parse, batch/big]
+      exporters: [sink_b]
+"""
+    runner = BatchPipelineRunner(spark, load_config(cfg_txt), str(tmp_path / "caps"))
+    runner.run()
+
+    def rows_per_file(pipeline):
+        d = runner._epoch_sinks[pipeline].data_dir
+        files = glob.glob(f"{d}/epoch=0/sink=*/part-*.parquet")
+        assert files
+        return [pq.read_metadata(f).num_rows for f in files]
+
+    capped = rows_per_file("capped")
+    roomy = rows_per_file("roomy")
+    assert max(capped) <= 10
+    # the small cap did NOT leak into the sibling pipeline's write
+    assert max(roomy) > 10
+    assert max(roomy) <= 500
