@@ -553,6 +553,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["otlp_json_metrics_roundtrip"] = otlp_json_metrics_roundtrip
 
+    def otlp_json_gauge_roundtrip(spark, sf):  # Gauge JSON codec ≡ identity
+        from opentelemetry_collector_spark.functions import otlp_json
+
+        g = met_ops.gauge_points(_t(spark, sf, "events"))
+        back = otlp_json.otlp_json_to_gauge_points(otlp_json.gauge_points_to_otlp_json(g))
+        return back.withColumnRenamed("attr_key", "event_type")
+
+    q["otlp_json_gauge_roundtrip"] = otlp_json_gauge_roundtrip
+
+    def otlp_json_hist_roundtrip(spark, sf):  # Histogram JSON codec ≡ identity
+        from opentelemetry_collector_spark.functions import otlp_json
+
+        bounds = met_ops.DEFAULT_HIST_BOUNDS
+        hist = met_ops.histogram_points(_t(spark, sf, "events"), bounds=bounds)
+        back = otlp_json.otlp_json_to_histogram_points(
+            otlp_json.histogram_points_to_otlp_json(hist)
+        )
+        return met_ops.histogram_buckets_long(back, bounds).withColumnRenamed(
+            "attr_key", "event_type"
+        )
+
+    q["otlp_json_hist_roundtrip"] = otlp_json_hist_roundtrip
+
+    def otlp_json_exphist_roundtrip(spark, sf):  # ExpHistogram JSON codec
+        from opentelemetry_collector_spark.functions import otlp_json
+
+        pts = met_ops.exp_histogram_points(_t(spark, sf, "events"))
+        back = otlp_json.otlp_json_to_exp_histogram_points(
+            otlp_json.exp_histogram_points_to_otlp_json(pts)
+        )
+        return back.select(
+            "metric_name",
+            "scale",
+            F.col("attr_key").alias("event_type"),
+            "bucket_index",
+            "n",
+            "dp_count",
+            "dp_sum",
+        )
+
+    q["otlp_json_exphist_roundtrip"] = otlp_json_exphist_roundtrip
+
+    def otlp_json_summary_roundtrip(spark, sf):  # Summary JSON codec ≡ identity
+        from opentelemetry_collector_spark.functions import otlp_json
+
+        s = met_ops.summary_points(_t(spark, sf, "events"))
+        back = otlp_json.otlp_json_to_summary_points(
+            otlp_json.summary_points_to_otlp_json(s)
+        )
+        return back.withColumnRenamed("attr_key", "event_type")
+
+    q["otlp_json_summary_roundtrip"] = otlp_json_summary_roundtrip
+
     def spans_model(spark, sf):  # ptrace span frame, flat projection
         spans = tr_ops.events_to_spans(_t(spark, sf, "events"))
         return spans.select(
@@ -1090,6 +1143,31 @@ FROM events GROUP BY 1, 2, 3, 4, 5
 
     # traces JSON round-trip is lossless → identical oracle to spans_model
     o["otlp_json_spans_roundtrip"] = o["spans_model"]
+
+    # the remaining point-type codecs are lossless over their frames →
+    # identical oracles to the base metric queries (json_test.go
+    # round-trip-equality at the driver surface, all 5 union members)
+    o["otlp_json_gauge_roundtrip"] = o["metrics_gauge"]
+    o["otlp_json_hist_roundtrip"] = o["metrics_histogram"]
+    o["otlp_json_summary_roundtrip"] = o["metrics_summary"]
+
+    # exp-histogram wire form carries DP totals but no per-bucket sums —
+    # the oracle recomputes the long form + windowed totals directly
+    o["otlp_json_exphist_roundtrip"] = """
+WITH b AS (
+  SELECT event_type,
+    CASE WHEN value > 0
+         THEN (ceil(round(log2(value) * 4.0, 9)) - 1)::BIGINT END AS bucket_index,
+    count(*)::BIGINT AS n,
+    round(sum(value), 4) AS bsum
+  FROM events GROUP BY 1, 2
+)
+SELECT 'events.value.exphist' AS metric_name, 2 AS scale, event_type,
+  bucket_index, n,
+  (sum(n) OVER (PARTITION BY event_type))::BIGINT AS dp_count,
+  round(sum(bsum) OVER (PARTITION BY event_type), 4) AS dp_sum
+FROM b
+"""
 
     o["spanmetrics_spans"] = f"""
 WITH s AS (

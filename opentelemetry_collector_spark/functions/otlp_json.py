@@ -487,7 +487,11 @@ def otlp_json_to_spans(requests: DataFrame, json_col: str = "request_json") -> D
 
 
 # ---------------------------------------------------------------------------
-# Metrics (ExportMetricsServiceRequest — Sum points; same conventions)
+# Metrics (ExportMetricsServiceRequest — the FULL 5-type union
+# Gauge | Sum | Histogram | ExponentialHistogram | Summary, matching
+# pdata/pmetric/json.go:31-47 via pmetricjson and the point accessors
+# generated_metric.go:109-222; proto3-JSON conventions: camelCase fields,
+# uint64 counts/times as decimal strings, bucketCounts as string arrays)
 # ---------------------------------------------------------------------------
 
 _NUM_DP_JSON = T.StructType(
@@ -496,6 +500,111 @@ _NUM_DP_JSON = T.StructType(
         T.StructField("timeUnixNano", T.StringType(), True),
         T.StructField("asDouble", T.DoubleType(), True),
         T.StructField("attributes", T.ArrayType(_KV_SCHEMA), True),
+    ]
+)
+
+_HIST_DP_JSON = T.StructType(
+    [
+        T.StructField("startTimeUnixNano", T.StringType(), True),
+        T.StructField("timeUnixNano", T.StringType(), True),
+        T.StructField("count", T.StringType(), True),  # uint64 → string
+        T.StructField("sum", T.DoubleType(), True),
+        T.StructField("bucketCounts", T.ArrayType(T.StringType()), True),
+        T.StructField("explicitBounds", T.ArrayType(T.DoubleType()), True),
+        T.StructField("attributes", T.ArrayType(_KV_SCHEMA), True),
+    ]
+)
+
+_EXP_BUCKETS_JSON = T.StructType(
+    [
+        T.StructField("offset", T.IntegerType(), True),
+        T.StructField("bucketCounts", T.ArrayType(T.StringType()), True),
+    ]
+)
+
+_EXP_DP_JSON = T.StructType(
+    [
+        T.StructField("startTimeUnixNano", T.StringType(), True),
+        T.StructField("timeUnixNano", T.StringType(), True),
+        T.StructField("count", T.StringType(), True),
+        T.StructField("sum", T.DoubleType(), True),
+        T.StructField("scale", T.IntegerType(), True),
+        T.StructField("zeroCount", T.StringType(), True),
+        T.StructField("positive", _EXP_BUCKETS_JSON, True),
+        T.StructField("negative", _EXP_BUCKETS_JSON, True),
+        T.StructField("attributes", T.ArrayType(_KV_SCHEMA), True),
+    ]
+)
+
+_SUMMARY_DP_JSON = T.StructType(
+    [
+        T.StructField("startTimeUnixNano", T.StringType(), True),
+        T.StructField("timeUnixNano", T.StringType(), True),
+        T.StructField("count", T.StringType(), True),
+        T.StructField("sum", T.DoubleType(), True),
+        T.StructField(
+            "quantileValues",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("quantile", T.DoubleType(), True),
+                        T.StructField("value", T.DoubleType(), True),
+                    ]
+                )
+            ),
+            True,
+        ),
+        T.StructField("attributes", T.ArrayType(_KV_SCHEMA), True),
+    ]
+)
+
+# the Metric tagged union (pdata/pmetric/metric_type.go:21-27): exactly one
+# of the five point-type fields is present per metric
+_METRIC_JSON = T.StructType(
+    [
+        T.StructField("name", T.StringType(), True),
+        T.StructField("unit", T.StringType(), True),
+        T.StructField(
+            "gauge",
+            T.StructType([T.StructField("dataPoints", T.ArrayType(_NUM_DP_JSON), True)]),
+            True,
+        ),
+        T.StructField(
+            "sum",
+            T.StructType(
+                [
+                    T.StructField("aggregationTemporality", T.IntegerType(), True),
+                    T.StructField("isMonotonic", T.BooleanType(), True),
+                    T.StructField("dataPoints", T.ArrayType(_NUM_DP_JSON), True),
+                ]
+            ),
+            True,
+        ),
+        T.StructField(
+            "histogram",
+            T.StructType(
+                [
+                    T.StructField("aggregationTemporality", T.IntegerType(), True),
+                    T.StructField("dataPoints", T.ArrayType(_HIST_DP_JSON), True),
+                ]
+            ),
+            True,
+        ),
+        T.StructField(
+            "exponentialHistogram",
+            T.StructType(
+                [
+                    T.StructField("aggregationTemporality", T.IntegerType(), True),
+                    T.StructField("dataPoints", T.ArrayType(_EXP_DP_JSON), True),
+                ]
+            ),
+            True,
+        ),
+        T.StructField(
+            "summary",
+            T.StructType([T.StructField("dataPoints", T.ArrayType(_SUMMARY_DP_JSON), True)]),
+            True,
+        ),
     ]
 )
 
@@ -530,36 +639,7 @@ OTLP_METRICS_SCHEMA = T.StructType(
                                         ),
                                         T.StructField(
                                             "metrics",
-                                            T.ArrayType(
-                                                T.StructType(
-                                                    [
-                                                        T.StructField("name", T.StringType(), True),
-                                                        T.StructField(
-                                                            "sum",
-                                                            T.StructType(
-                                                                [
-                                                                    T.StructField(
-                                                                        "aggregationTemporality",
-                                                                        T.IntegerType(),
-                                                                        True,
-                                                                    ),
-                                                                    T.StructField(
-                                                                        "isMonotonic",
-                                                                        T.BooleanType(),
-                                                                        True,
-                                                                    ),
-                                                                    T.StructField(
-                                                                        "dataPoints",
-                                                                        T.ArrayType(_NUM_DP_JSON),
-                                                                        True,
-                                                                    ),
-                                                                ]
-                                                            ),
-                                                            True,
-                                                        ),
-                                                    ]
-                                                )
-                                            ),
+                                            T.ArrayType(_METRIC_JSON),
                                             True,
                                         ),
                                     ]
@@ -574,6 +654,44 @@ OTLP_METRICS_SCHEMA = T.StructType(
         )
     ]
 )
+
+
+def _dp_attrs(attr_name: str) -> Column:
+    """Data-point attributes array from the frame's ``attr_key`` column."""
+    return F.array(_kv(attr_name, F.col("attr_key")))
+
+
+def _metrics_request(grouped: DataFrame, metric_struct: Column) -> DataFrame:
+    """Wrap one Metric struct per input row into the full
+    ExportMetricsServiceRequest envelope and serialize (to_json omits the
+    union's absent point-type fields — exactly one is set per metric)."""
+    request = F.struct(
+        F.array(
+            F.struct(
+                F.struct(F.array().cast(T.ArrayType(_KV_SCHEMA)).alias("attributes")).alias(
+                    "resource"
+                ),
+                F.array(
+                    F.struct(
+                        F.struct(
+                            F.lit(SCOPE_NAME).alias("name"),
+                            F.lit(SCOPE_VERSION).alias("version"),
+                        ).alias("scope"),
+                        F.array(metric_struct).alias("metrics"),
+                    )
+                ).alias("scopeMetrics"),
+            )
+        ).alias("resourceMetrics")
+    )
+    return grouped.select(F.to_json(request).alias("request_json"))
+
+
+def _exploded_metrics(requests: DataFrame, json_col: str = "request_json") -> DataFrame:
+    """requests → one row per Metric (column ``m`` typed _METRIC_JSON)."""
+    parsed = requests.select(F.from_json(F.col(json_col), OTLP_METRICS_SCHEMA).alias("req"))
+    rm = parsed.select(F.explode("req.resourceMetrics").alias("rm"))
+    sm = rm.select(F.explode("rm.scopeMetrics").alias("sm"))
+    return sm.select(F.explode("sm.metrics").alias("m"))
 
 
 def sum_points_to_otlp_json(
@@ -600,44 +718,20 @@ def sum_points_to_otlp_json(
         )
     grouped = points.groupBy(*keys).agg(F.collect_list(dp).alias("__dps"))
     grouped = _chunk_envelopes(grouped, "__dps", max_records_per_envelope)
-    request = F.struct(
-        F.array(
-            F.struct(
-                F.struct(F.array().cast(T.ArrayType(_KV_SCHEMA)).alias("attributes")).alias(
-                    "resource"
-                ),
-                F.array(
-                    F.struct(
-                        F.struct(
-                            F.lit(SCOPE_NAME).alias("name"),
-                            F.lit(SCOPE_VERSION).alias("version"),
-                        ).alias("scope"),
-                        F.array(
-                            F.struct(
-                                F.col("metric_name").alias("name"),
-                                F.struct(
-                                    F.col("aggregation_temporality").alias(
-                                        "aggregationTemporality"
-                                    ),
-                                    F.col("is_monotonic").alias("isMonotonic"),
-                                    F.col("__dps").alias("dataPoints"),
-                                ).alias("sum"),
-                            )
-                        ).alias("metrics"),
-                    )
-                ).alias("scopeMetrics"),
-            )
-        ).alias("resourceMetrics")
+    metric = F.struct(
+        F.col("metric_name").alias("name"),
+        F.struct(
+            F.col("aggregation_temporality").alias("aggregationTemporality"),
+            F.col("is_monotonic").alias("isMonotonic"),
+            F.col("__dps").alias("dataPoints"),
+        ).alias("sum"),
     )
-    return grouped.select(F.to_json(request).alias("request_json"))
+    return _metrics_request(grouped, metric)
 
 
 def otlp_json_to_sum_points(requests: DataFrame, json_col: str = "request_json") -> DataFrame:
     """OTLP/JSON metric requests → long-format Sum data-point rows."""
-    parsed = requests.select(F.from_json(F.col(json_col), OTLP_METRICS_SCHEMA).alias("req"))
-    rm = parsed.select(F.explode("req.resourceMetrics").alias("rm"))
-    sm = rm.select(F.explode("rm.scopeMetrics").alias("sm"))
-    m = sm.select(F.explode("sm.metrics").alias("m"))
+    m = _exploded_metrics(requests, json_col)
     dp = m.select(
         F.col("m.name").alias("metric_name"),
         F.col("m.sum.aggregationTemporality").alias("aggregation_temporality"),
@@ -652,6 +746,309 @@ def otlp_json_to_sum_points(requests: DataFrame, json_col: str = "request_json")
         F.col("p.timeUnixNano").cast("long").alias("time_unix_nano"),
         F.col("p.asDouble").alias("value_double"),
         _kv_array_to_map(F.col("p.attributes")).alias("attributes"),
+    )
+
+
+def gauge_points_to_otlp_json(
+    points: DataFrame, attr_name: str = "event_type"
+) -> DataFrame:
+    """Gauge data points (metrics.gauge_points shape: attr_key,
+    window_end seconds, value_double) → OTLP/JSON requests, one Gauge
+    metric per metric_name (generated_metric.go:109-121 Gauge accessor)."""
+    dp = F.struct(
+        (F.col("window_end") * F.lit(1_000_000_000))
+        .cast("long")
+        .cast("string")
+        .alias("timeUnixNano"),
+        F.col("value_double").alias("asDouble"),
+        _dp_attrs(attr_name).alias("attributes"),
+    )
+    grouped = points.groupBy("metric_name").agg(F.collect_list(dp).alias("__dps"))
+    metric = F.struct(
+        F.col("metric_name").alias("name"),
+        F.struct(F.col("__dps").alias("dataPoints")).alias("gauge"),
+    )
+    return _metrics_request(grouped, metric)
+
+
+def otlp_json_to_gauge_points(
+    requests: DataFrame, attr_name: str = "event_type", json_col: str = "request_json"
+) -> DataFrame:
+    """OTLP/JSON requests → gauge_points frame shape."""
+    from ..operators.metrics import METRIC_TYPE
+
+    m = _exploded_metrics(requests, json_col).where(F.col("m.gauge").isNotNull())
+    dp = m.select(F.col("m.name").alias("metric_name"), F.explode("m.gauge.dataPoints").alias("p"))
+    return dp.select(
+        "metric_name",
+        F.lit(METRIC_TYPE["Gauge"]).alias("metric_type"),
+        F.element_at(_kv_array_to_map(F.col("p.attributes")), attr_name).alias("attr_key"),
+        # integer division: ns epoch → whole seconds (the gauge frame's
+        # window_end grain)
+        F.call_function(
+            "div", F.col("p.timeUnixNano").cast("long"), F.lit(1_000_000_000)
+        ).alias("window_end"),
+        F.col("p.asDouble").alias("value_double"),
+    )
+
+
+def histogram_points_to_otlp_json(
+    hist: DataFrame, attr_name: str = "event_type"
+) -> DataFrame:
+    """Explicit-bounds Histogram points (metrics.histogram_points shape) →
+    OTLP/JSON requests, one Histogram metric per (metric_name,
+    temporality). Proto3-JSON: uint64 count/bucketCounts as strings
+    (generated_metric.go:142-157 Histogram accessor)."""
+    dp = F.struct(
+        F.col("hist_count").cast("string").alias("count"),
+        F.col("hist_sum").alias("sum"),
+        F.transform(F.col("hist_bucket_counts"), lambda x: x.cast("string")).alias(
+            "bucketCounts"
+        ),
+        F.col("hist_explicit_bounds").alias("explicitBounds"),
+        _dp_attrs(attr_name).alias("attributes"),
+    )
+    grouped = hist.groupBy("metric_name", "aggregation_temporality").agg(
+        F.collect_list(dp).alias("__dps")
+    )
+    metric = F.struct(
+        F.col("metric_name").alias("name"),
+        F.struct(
+            F.col("aggregation_temporality").alias("aggregationTemporality"),
+            F.col("__dps").alias("dataPoints"),
+        ).alias("histogram"),
+    )
+    return _metrics_request(grouped, metric)
+
+
+def otlp_json_to_histogram_points(
+    requests: DataFrame, attr_name: str = "event_type", json_col: str = "request_json"
+) -> DataFrame:
+    """OTLP/JSON requests → histogram_points frame shape."""
+    from ..operators.metrics import METRIC_TYPE
+
+    m = _exploded_metrics(requests, json_col).where(F.col("m.histogram").isNotNull())
+    dp = m.select(
+        F.col("m.name").alias("metric_name"),
+        F.col("m.histogram.aggregationTemporality").alias("aggregation_temporality"),
+        F.explode("m.histogram.dataPoints").alias("p"),
+    )
+    return dp.select(
+        "metric_name",
+        F.lit(METRIC_TYPE["Histogram"]).alias("metric_type"),
+        "aggregation_temporality",
+        F.element_at(_kv_array_to_map(F.col("p.attributes")), attr_name).alias("attr_key"),
+        F.col("p.count").cast("long").alias("hist_count"),
+        F.col("p.sum").alias("hist_sum"),
+        F.transform(F.col("p.bucketCounts"), lambda x: x.cast("long")).alias(
+            "hist_bucket_counts"
+        ),
+        F.col("p.explicitBounds").alias("hist_explicit_bounds"),
+    )
+
+
+def exp_histogram_points_to_otlp_json(
+    points: DataFrame, attr_name: str = "event_type"
+) -> DataFrame:
+    """Long-form ExponentialHistogram buckets (metrics.
+    exp_histogram_points shape: one row per (attr_key, bucket_index) with
+    NULL index = the zero bucket) → OTLP/JSON requests
+    (generated_metric.go:159-174 ExponentialHistogram accessor): per key
+    one data point with dense ``positive.bucketCounts`` from ``offset``,
+    ``zeroCount``, and the DP-level count/sum totals. Per-bucket sums are
+    not part of the OTLP shape and are not carried.
+
+    Two bounded aggregations (per-key rollup + dense-array build) over a
+    #keys×#buckets-sized frame — nothing here scales with row count. The
+    zero bucket rides the SAME aggregation as conditional sums
+    (collect_list skips NULL elements), so the input is scanned once —
+    no second branch, no join.
+    """
+    idx = F.col("bucket_index")
+    is_pos = idx.isNotNull()
+    joined = points.groupBy(
+        "metric_name", "aggregation_temporality", "scale", "attr_key"
+    ).agg(
+        F.min(F.when(is_pos, idx)).cast("int").alias("__offset"),
+        F.max(F.when(is_pos, idx)).cast("int").alias("__maxidx"),
+        F.map_from_entries(
+            F.collect_list(
+                F.when(is_pos, F.struct(idx.cast("int"), F.col("n")))
+            )
+        ).alias("__bmap"),
+        F.sum(F.when(is_pos, F.col("n"))).cast("long").alias("__pos_count"),
+        F.round(F.sum(F.when(is_pos, F.col("bucket_sum"))), 4).alias("__pos_sum"),
+        F.sum(F.when(~is_pos, F.col("n"))).cast("long").alias("__zero_count"),
+        F.round(F.sum(F.when(~is_pos, F.col("bucket_sum"))), 4).alias("__zero_sum"),
+    )
+    dense = F.transform(
+        F.sequence(F.col("__offset"), F.col("__maxidx")),
+        lambda i: F.coalesce(F.element_at(F.col("__bmap"), i), F.lit(0)).cast("string"),
+    )
+    positive = F.when(
+        F.col("__offset").isNotNull(),
+        F.struct(F.col("__offset").alias("offset"), dense.alias("bucketCounts")),
+    ).otherwise(
+        F.struct(
+            F.lit(0).alias("offset"),
+            F.array().cast("array<string>").alias("bucketCounts"),
+        )
+    )
+    dp = F.struct(
+        (F.coalesce(F.col("__pos_count"), F.lit(0)) + F.coalesce(F.col("__zero_count"), F.lit(0)))
+        .cast("string")
+        .alias("count"),
+        F.round(
+            F.coalesce(F.col("__pos_sum"), F.lit(0.0))
+            + F.coalesce(F.col("__zero_sum"), F.lit(0.0)),
+            4,
+        ).alias("sum"),
+        F.col("scale").cast("int").alias("scale"),
+        F.coalesce(F.col("__zero_count"), F.lit(0)).cast("string").alias("zeroCount"),
+        positive.alias("positive"),
+        F.struct(
+            F.lit(0).alias("offset"),
+            F.array().cast("array<string>").alias("bucketCounts"),
+        ).alias("negative"),
+        _dp_attrs(attr_name).alias("attributes"),
+    )
+    grouped = joined.groupBy("metric_name", "aggregation_temporality").agg(
+        F.collect_list(dp).alias("__dps")
+    )
+    metric = F.struct(
+        F.col("metric_name").alias("name"),
+        F.struct(
+            F.col("aggregation_temporality").alias("aggregationTemporality"),
+            F.col("__dps").alias("dataPoints"),
+        ).alias("exponentialHistogram"),
+    )
+    return _metrics_request(grouped, metric)
+
+
+def otlp_json_to_exp_histogram_points(
+    requests: DataFrame, attr_name: str = "event_type", json_col: str = "request_json"
+) -> DataFrame:
+    """OTLP/JSON requests → long-form exp-histogram bucket rows (one per
+    non-empty positive bucket + one NULL-index row per non-zero zeroCount)
+    with the DP totals ``dp_count``/``dp_sum`` on every row."""
+    from ..operators.metrics import METRIC_TYPE
+
+    m = _exploded_metrics(requests, json_col).where(
+        F.col("m.exponentialHistogram").isNotNull()
+    )
+    dp = m.select(
+        F.col("m.name").alias("metric_name"),
+        F.col("m.exponentialHistogram.aggregationTemporality").alias(
+            "aggregation_temporality"
+        ),
+        F.explode("m.exponentialHistogram.dataPoints").alias("p"),
+    ).select(
+        "metric_name",
+        "aggregation_temporality",
+        F.col("p.scale").alias("scale"),
+        F.element_at(_kv_array_to_map(F.col("p.attributes")), attr_name).alias("attr_key"),
+        F.col("p.count").cast("long").alias("dp_count"),
+        F.col("p.sum").alias("dp_sum"),
+        F.col("p.zeroCount").cast("long").alias("__zero"),
+        F.col("p.positive.offset").alias("__offset"),
+        F.col("p.positive.bucketCounts").alias("__counts"),
+    )
+    base = [
+        "metric_name",
+        "aggregation_temporality",
+        "scale",
+        "attr_key",
+        "dp_count",
+        "dp_sum",
+    ]
+    # ONE generator per data point: the positive buckets and the optional
+    # zero-bucket entry are concatenated into one array and exploded once
+    # (a pos/zero union would duplicate the whole upstream marshal plan)
+    entries = F.concat(
+        F.transform(
+            F.col("__counts"),
+            lambda c, i: F.struct(
+                (F.col("__offset").cast("long") + i).alias("bucket_index"),
+                c.cast("long").alias("n"),
+            ),
+        ),
+        F.when(
+            F.col("__zero") > 0,
+            F.array(
+                F.struct(
+                    F.lit(None).cast("long").alias("bucket_index"),
+                    F.col("__zero").alias("n"),
+                )
+            ),
+        ).otherwise(
+            F.array().cast("array<struct<bucket_index:bigint,n:bigint>>")
+        ),
+    )
+    rows = dp.select(*base, F.explode_outer(entries).alias("e")).where(
+        F.col("e").isNotNull() & (F.col("e.n") > 0)
+    )
+    return rows.select(
+        *base,
+        F.lit(METRIC_TYPE["ExponentialHistogram"]).alias("metric_type"),
+        F.col("e.bucket_index").alias("bucket_index"),
+        F.col("e.n").alias("n"),
+    )
+
+
+def summary_points_to_otlp_json(
+    points: DataFrame, attr_name: str = "event_type"
+) -> DataFrame:
+    """Long-form Summary quantiles (metrics.summary_points shape: one row
+    per (attr_key, quantile)) → OTLP/JSON requests, one Summary metric per
+    metric_name with sorted quantileValues per data point
+    (generated_metric.go:209-222 Summary accessor)."""
+    per_key = points.groupBy(
+        "metric_name", "attr_key", "summary_count", "summary_sum"
+    ).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(F.col("quantile"), F.col("quantile_value").alias("value"))
+            )
+        ).alias("__qvs")
+    )
+    dp = F.struct(
+        F.col("summary_count").cast("string").alias("count"),
+        F.col("summary_sum").alias("sum"),
+        F.col("__qvs").alias("quantileValues"),
+        _dp_attrs(attr_name).alias("attributes"),
+    )
+    grouped = per_key.groupBy("metric_name").agg(F.collect_list(dp).alias("__dps"))
+    metric = F.struct(
+        F.col("metric_name").alias("name"),
+        F.struct(F.col("__dps").alias("dataPoints")).alias("summary"),
+    )
+    return _metrics_request(grouped, metric)
+
+
+def otlp_json_to_summary_points(
+    requests: DataFrame, attr_name: str = "event_type", json_col: str = "request_json"
+) -> DataFrame:
+    """OTLP/JSON requests → long-form summary_points frame shape."""
+    from ..operators.metrics import METRIC_TYPE
+
+    m = _exploded_metrics(requests, json_col).where(F.col("m.summary").isNotNull())
+    dp = m.select(F.col("m.name").alias("metric_name"), F.explode("m.summary.dataPoints").alias("p"))
+    qv = dp.select(
+        "metric_name",
+        F.lit(METRIC_TYPE["Summary"]).alias("metric_type"),
+        F.element_at(_kv_array_to_map(F.col("p.attributes")), attr_name).alias("attr_key"),
+        F.col("p.count").cast("long").alias("summary_count"),
+        F.col("p.sum").alias("summary_sum"),
+        F.explode("p.quantileValues").alias("q"),
+    )
+    return qv.select(
+        "metric_name",
+        "metric_type",
+        "attr_key",
+        "summary_count",
+        "summary_sum",
+        F.col("q.quantile").alias("quantile"),
+        F.col("q.value").alias("quantile_value"),
     )
 
 

@@ -226,3 +226,74 @@ def test_envelope_record_cap_on_skewed_fixture(spark, records):
     # round-trip identity holds with the cap active
     back = otlp_json.otlp_json_to_logs(marshaled)
     assert back.count() == hot.count()
+
+
+def test_full_metric_union_roundtrips(spark):
+    """All five Metric union members round-trip through one JSON codec
+    (pdata/pmetric/json.go:31-47; point accessors
+    generated_metric.go:109-222): Gauge/Histogram/ExponentialHistogram/
+    Summary here, Sum covered above — each marshal → unmarshal over a
+    deterministic event frame reproduces the operator frame exactly."""
+    from opentelemetry_collector_spark.operators import metrics as M
+
+    rows = [
+        (i, ["view", "click", "error"][i % 3], float(1 + (i * 7) % 40) / 2.0)
+        for i in range(60)
+    ]
+    ev = spark.createDataFrame(
+        [
+            (i, t, v, __import__("datetime").datetime(2026, 1, 1, 0, i % 50, i % 60))
+            for (i, t, v) in rows
+        ],
+        "event_id long, event_type string, value double, ts timestamp",
+    )
+
+    g = M.gauge_points(ev)
+    gb = otlp_json.otlp_json_to_gauge_points(otlp_json.gauge_points_to_otlp_json(g))
+    cols = ["metric_name", "attr_key", "window_end", "value_double"]
+    assert {tuple(r) for r in g.select(*cols).collect()} == {
+        tuple(r) for r in gb.select(*cols).collect()
+    }
+
+    h = M.histogram_points(ev)
+    hb = otlp_json.otlp_json_to_histogram_points(otlp_json.histogram_points_to_otlp_json(h))
+    canon = lambda df: {
+        (r.attr_key, r.hist_count, r.hist_sum, tuple(r.hist_bucket_counts), tuple(r.hist_explicit_bounds))
+        for r in df.collect()
+    }
+    assert canon(h) == canon(hb)
+
+    e = M.exp_histogram_points(ev)
+    eb = otlp_json.otlp_json_to_exp_histogram_points(
+        otlp_json.exp_histogram_points_to_otlp_json(e)
+    )
+    assert {(r.attr_key, r.bucket_index, r.n) for r in e.collect()} == {
+        (r.attr_key, r.bucket_index, r.n) for r in eb.collect()
+    }
+    # DP totals consistent with the long form
+    totals = {
+        (r.attr_key): (r.dp_count,) for r in eb.select("attr_key", "dp_count").distinct().collect()
+    }
+    from collections import Counter
+
+    want = Counter()
+    for _, t, _ in rows:
+        want[t] += 1
+    assert {k: v[0] for k, v in totals.items()} == dict(want)
+
+    s = M.summary_points(ev)
+    sb = otlp_json.otlp_json_to_summary_points(otlp_json.summary_points_to_otlp_json(s))
+    cols = ["attr_key", "summary_count", "summary_sum", "quantile", "quantile_value"]
+    assert {tuple(r) for r in s.select(*cols).collect()} == {
+        tuple(r) for r in sb.select(*cols).collect()
+    }
+
+    # the union is well-formed on the wire: exactly one point-type field
+    req = json.loads(
+        otlp_json.histogram_points_to_otlp_json(h).first()["request_json"]
+    )
+    metric = req["resourceMetrics"][0]["scopeMetrics"][0]["metrics"][0]
+    assert "histogram" in metric and "sum" not in metric and "gauge" not in metric
+    dp0 = metric["histogram"]["dataPoints"][0]
+    assert isinstance(dp0["count"], str)  # uint64 → decimal string
+    assert all(isinstance(c, str) for c in dp0["bucketCounts"])

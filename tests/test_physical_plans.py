@@ -131,6 +131,10 @@ _PLAN_SHUFFLE_BUDGET = {
     "metrics_exp_histogram": 1,
     "metrics_summary": 1,
     "otlp_json_metrics_roundtrip": 2,  # point agg + envelope groupBy
+    "otlp_json_gauge_roundtrip": 2,  # gauge window + envelope groupBy
+    "otlp_json_hist_roundtrip": 2,  # hist agg + envelope groupBy
+    "otlp_json_exphist_roundtrip": 3,  # bucket agg + dense-array agg + envelope
+    "otlp_json_summary_roundtrip": 2,  # summary agg reused + per-key/envelope
     "spans_model": 1,  # parent-chain lag window
     "spanmetrics_spans": 2,  # lag window + rollup agg
     "otlp_json_spans_roundtrip": 2,
