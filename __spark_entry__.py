@@ -612,6 +612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "trace_id",
             "span_id",
             "parent_span_id",
+            "trace_state",
             "name",
             "kind",
             "start_time_unix_nano",
@@ -619,6 +620,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "status_code",
             "status_message",
             F.size("events").alias("n_events"),
+            F.size("links").alias("n_links"),
+            F.try_element_at(F.col("links"), F.lit(1)).getField("span_id").alias("link_span_id"),
             F.col("resource.service").alias("service"),
         )
 
@@ -642,6 +645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "trace_id",
             "span_id",
             "parent_span_id",
+            "trace_state",
             "name",
             "kind",
             "start_time_unix_nano",
@@ -649,6 +653,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "status_code",
             "status_message",
             F.size("events").alias("n_events"),
+            F.size("links").alias("n_links"),
+            F.try_element_at(F.col("links"), F.lit(1)).getField("span_id").alias("link_span_id"),
             F.col("resource.service").alias("service"),
         )
 
@@ -1109,6 +1115,7 @@ WITH s AS (
 )
 SELECT trace_id, span_id,
   coalesce(lag(span_id) OVER (PARTITION BY user_id ORDER BY ts, event_id), '') AS parent_span_id,
+  'ot=svc-' || (user_id % 4) AS trace_state,
   event_type AS name,
   {_SPAN_KIND_CASE} AS kind,
   epoch_us(ts) * 1000 AS start_time_unix_nano,
@@ -1116,6 +1123,12 @@ SELECT trace_id, span_id,
   CASE WHEN event_type = 'error' THEN 2 ELSE 1 END AS status_code,
   CASE WHEN event_type = 'error' THEN 'event processing failed' ELSE '' END AS status_message,
   CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS n_events,
+  CASE WHEN event_type = 'error'
+        AND first_value(span_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) != span_id
+       THEN 1 ELSE 0 END AS n_links,
+  CASE WHEN event_type = 'error'
+        AND first_value(span_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) != span_id
+       THEN first_value(span_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) END AS link_span_id,
   'svc-' || (user_id % 4) AS service
 FROM s
 """

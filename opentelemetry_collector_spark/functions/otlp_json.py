@@ -307,11 +307,22 @@ _SPAN_EVENT_JSON = T.StructType(
     ]
 )
 
+# Span.Link proto3-JSON shape (generated_span.go:163-170)
+_SPAN_LINK_JSON = T.StructType(
+    [
+        T.StructField("traceId", T.StringType(), True),
+        T.StructField("spanId", T.StringType(), True),
+        T.StructField("traceState", T.StringType(), True),
+        T.StructField("attributes", T.ArrayType(_KV_SCHEMA), True),
+    ]
+)
+
 _SPAN_JSON = T.StructType(
     [
         T.StructField("traceId", T.StringType(), True),
         T.StructField("spanId", T.StringType(), True),
         T.StructField("parentSpanId", T.StringType(), True),
+        T.StructField("traceState", T.StringType(), True),
         T.StructField("name", T.StringType(), True),
         T.StructField("kind", T.IntegerType(), True),
         T.StructField("startTimeUnixNano", T.StringType(), True),
@@ -328,6 +339,7 @@ _SPAN_JSON = T.StructType(
             True,
         ),
         T.StructField("events", T.ArrayType(_SPAN_EVENT_JSON), True),
+        T.StructField("links", T.ArrayType(_SPAN_LINK_JSON), True),
     ]
 )
 
@@ -395,10 +407,23 @@ def spans_to_otlp_json(
             ).alias("attributes"),
         ),
     )
+    link_struct = F.transform(
+        F.col("links"),
+        lambda l: F.struct(
+            l.getField("trace_id").alias("traceId"),
+            l.getField("span_id").alias("spanId"),
+            l.getField("trace_state").alias("traceState"),
+            F.transform(
+                F.map_entries(l.getField("attributes")),
+                lambda kv: _kv(kv.getField("key"), kv.getField("value")),
+            ).alias("attributes"),
+        ),
+    )
     span_struct = F.struct(
         F.col("trace_id").alias("traceId"),
         F.col("span_id").alias("spanId"),
         F.col("parent_span_id").alias("parentSpanId"),
+        F.col("trace_state").alias("traceState"),
         F.col("name").alias("name"),
         F.col("kind").alias("kind"),
         F.col("start_time_unix_nano").cast("string").alias("startTimeUnixNano"),
@@ -408,6 +433,7 @@ def spans_to_otlp_json(
             F.col("status_code").alias("code"), F.col("status_message").alias("message")
         ).alias("status"),
         ev_struct.alias("events"),
+        link_struct.alias("links"),
     )
     if salt_buckets:
         salt = F.pmod(F.xxhash64(F.col("span_id")), F.lit(int(salt_buckets)))
@@ -464,10 +490,28 @@ def otlp_json_to_spans(requests: DataFrame, json_col: str = "request_json") -> D
             ).alias("attributes"),
         ),
     )
+    links = F.transform(
+        F.col("s.links"),
+        lambda l: F.struct(
+            l.getField("traceId").alias("trace_id"),
+            l.getField("spanId").alias("span_id"),
+            l.getField("traceState").alias("trace_state"),
+            F.map_from_entries(
+                F.transform(
+                    l.getField("attributes"),
+                    lambda kv: F.struct(
+                        kv.getField("key").alias("key"),
+                        kv.getField("value").getField("stringValue").alias("value"),
+                    ),
+                )
+            ).alias("attributes"),
+        ),
+    )
     return sp.select(
         F.col("s.traceId").alias("trace_id"),
         F.col("s.spanId").alias("span_id"),
         F.col("s.parentSpanId").alias("parent_span_id"),
+        F.coalesce(F.col("s.traceState"), F.lit("")).alias("trace_state"),
         F.col("s.name").alias("name"),
         F.col("s.kind").alias("kind"),
         F.col("s.startTimeUnixNano").cast("long").alias("start_time_unix_nano"),
@@ -481,7 +525,13 @@ def otlp_json_to_spans(requests: DataFrame, json_col: str = "request_json") -> D
                 "array<struct<time_unix_nano:bigint,name:string,attributes:map<string,string>>>"
             ),
         ).alias("events"),
-        F.array().cast("array<string>").alias("links"),
+        F.coalesce(
+            links,
+            F.array().cast(
+                "array<struct<trace_id:string,span_id:string,trace_state:string,"
+                "attributes:map<string,string>>>"
+            ),
+        ).alias("links"),
         F.struct(F.element_at(F.col("__res"), "service").alias("service")).alias("resource"),
     )
 

@@ -19,8 +19,69 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
-from .values import ns_to_micros
+from .values import as_string, ns_to_micros
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS 'UTC'"
+_EPOCH_ZERO = "1970-01-01 00:00:00 +0000 UTC"
+
+
+def _ts_str(col: Column) -> Column:
+    """ns timestamp → rendered string; 0/NULL → the epoch-zero form the
+    reference prints for unset timestamps (pcommon.Timestamp.String())."""
+    return F.when(
+        col.isNotNull() & (col > 0),
+        F.date_format(F.timestamp_micros(ns_to_micros(col)), _TS_FMT),
+    ).otherwise(F.lit(_EPOCH_ZERO))
+
+
+def _f6(col: Column) -> Column:
+    """Go ``%f`` — 6-decimal fixed (databuffer.go logEntry float fields)."""
+    return F.format_string("%f", col.cast("double"))
+
+
+# pcommon.Value.Type().String() names (pdata/pcommon/value.go:177-195)
+_TYPE_NAMES = {
+    T.StringType: "Str",
+    T.BooleanType: "Bool",
+    T.ByteType: "Int",
+    T.ShortType: "Int",
+    T.IntegerType: "Int",
+    T.LongType: "Int",
+    T.FloatType: "Double",
+    T.DoubleType: "Double",
+    T.BinaryType: "Bytes",
+    T.MapType: "Map",
+    T.StructType: "Map",
+    T.ArrayType: "Slice",
+}
+
+
+def typed_value(col: Column, dtype: T.DataType) -> Column:
+    """``Type(AsString)`` rendering of a typed value — the reference's
+    valueToString (databuffer.go:272-274): Str(x), Int(42), Double via
+    ES6 shortest round-trip, Map/Slice as JSON (embedded_maps.out
+    pattern), Bytes as base64."""
+    name = _TYPE_NAMES.get(type(dtype), "Str")
+    return F.concat(F.lit(f"{name}("), as_string(col, dtype), F.lit(")"))
+
+
+def typed_attr_lines(
+    pairs: list[tuple[str, Column, T.DataType]], prefix: str = "     -> "
+) -> Column:
+    """``Attributes:`` block over TYPED values, one line per (key, value,
+    type), sorted by key — non-Str values render via ``typed_value``
+    (Map→JSON, Double→ES6, the databuffer.go logAttributes shape)."""
+    lines = [
+        F.concat(F.lit(prefix), F.lit(k), F.lit(": "), typed_value(c, t))
+        for k, c, t in sorted(pairs, key=lambda p: p[0])
+    ]
+    if not lines:
+        return F.lit("")
+    return F.concat(
+        F.lit("Attributes:\n"), F.array_join(F.array(*lines), "\n"), F.lit("\n")
+    )
 
 
 def _attr_lines(attributes: Column) -> Column:
@@ -109,7 +170,72 @@ def render_span(prefix_index: Column | None = None) -> Column:
         F.lit("Status code: "), enum_str(F.col("status_code"), STATUS_CODE), F.lit("\n"),
         F.lit("Status message: "), F.col("status_message"), F.lit("\n"),
         _attr_lines(F.col("attributes")),
+        _span_events_block(F.col("events")),
+        _span_links_block(F.col("links")),
     )
+
+
+def _nested_attr_lines(attrs: Column) -> Column:
+    """``     -> Attributes::`` block nested inside an event/link entry
+    (databuffer.go logAttributes offsets the prefix to ``          ->``
+    when the header itself is an arrow line — see two_spans.out)."""
+    entries = F.sort_array(F.map_entries(attrs))
+    lines = F.transform(
+        entries,
+        lambda e: F.concat(
+            F.lit("          -> "),
+            e.getField("key"),
+            F.lit(": Str("),
+            e.getField("value"),
+            F.lit(")"),
+        ),
+    )
+    return F.when(
+        F.size(entries) > 0,
+        F.concat(F.lit("\n     -> Attributes::\n"), F.array_join(lines, "\n")),
+    ).otherwise(F.lit(""))
+
+
+def _span_events_block(events: Column) -> Column:
+    """``Events:`` section — SpanEvent #i blocks with Name/Timestamp and
+    nested attributes (databuffer.go:231-249 logEvents)."""
+    blocks = F.transform(
+        events,
+        lambda e, i: F.concat(
+            F.format_string("SpanEvent #%d", i),
+            F.lit("\n     -> Name: "),
+            e.getField("name"),
+            F.lit("\n     -> Timestamp: "),
+            _ts_str(e.getField("time_unix_nano")),
+            _nested_attr_lines(e.getField("attributes")),
+        ),
+    )
+    return F.when(
+        F.size(events) > 0,
+        F.concat(F.lit("Events:\n"), F.array_join(blocks, "\n"), F.lit("\n")),
+    ).otherwise(F.lit(""))
+
+
+def _span_links_block(links: Column) -> Column:
+    """``Links:`` section — SpanLink #i blocks with Trace ID/ID/TraceState
+    and nested attributes (databuffer.go:251-270 logLinks)."""
+    blocks = F.transform(
+        links,
+        lambda l, i: F.concat(
+            F.format_string("SpanLink #%d", i),
+            F.lit("\n     -> Trace ID: "),
+            l.getField("trace_id"),
+            F.lit("\n     -> ID: "),
+            l.getField("span_id"),
+            F.lit("\n     -> TraceState: "),
+            l.getField("trace_state"),
+            _nested_attr_lines(l.getField("attributes")),
+        ),
+    )
+    return F.when(
+        F.size(links) > 0,
+        F.concat(F.lit("Links:\n"), F.array_join(blocks, "\n"), F.lit("\n")),
+    ).otherwise(F.lit(""))
 
 
 def render_number_data_point(prefix_index: Column | None = None) -> Column:
@@ -137,6 +263,128 @@ def render_number_data_point(prefix_index: Column | None = None) -> Column:
         F.lit("Timestamp: "), ts, F.lit("\n"),
         F.lit("Value: "), es6_double_col(F.col("value_double")), F.lit("\n"),
     )
+
+
+def render_histogram_data_point(
+    prefix_index: Column | None = None, attr_name: str = "event_type"
+) -> Column:
+    """Canonical text block for one explicit-bounds Histogram data point
+    (databuffer.go:119-151 logHistogramDataPoints): attributes,
+    Start/Timestamp, Count, Sum, then ``ExplicitBounds #i`` and
+    ``Buckets #j, Count`` lines. Operates on the histogram_points frame
+    (attr_key, hist_count, hist_sum, hist_explicit_bounds,
+    hist_bucket_counts); the frame carries no per-point timestamps, so
+    the reference's zero-value rendering is used."""
+    header = (
+        F.concat(F.lit("HistogramDataPoints #"), prefix_index.cast("string"), F.lit("\n"))
+        if prefix_index is not None
+        else F.lit("HistogramDataPoints\n")
+    )
+    bounds = F.array_join(
+        F.transform(
+            F.col("hist_explicit_bounds"),
+            lambda b, i: F.format_string("ExplicitBounds #%d: %f", i, b),
+        ),
+        "\n",
+    )
+    buckets = F.array_join(
+        F.transform(
+            F.col("hist_bucket_counts"),
+            lambda c, i: F.format_string("Buckets #%d, Count: %d", i, c),
+        ),
+        "\n",
+    )
+    return F.concat(
+        header,
+        F.lit("Data point attributes:\n"),
+        F.lit(f"     -> {attr_name}: Str("), F.col("attr_key"), F.lit(")\n"),
+        F.lit(f"StartTimestamp: {_EPOCH_ZERO}\n"),
+        F.lit(f"Timestamp: {_EPOCH_ZERO}\n"),
+        F.lit("Count: "), F.col("hist_count").cast("string"), F.lit("\n"),
+        F.lit("Sum: "), _f6(F.col("hist_sum")), F.lit("\n"),
+        bounds, F.lit("\n"),
+        buckets, F.lit("\n"),
+    )
+
+
+def render_exp_histogram_points(
+    points: DataFrame, attr_name: str = "event_type"
+) -> DataFrame:
+    """(attr_key, rendered) blocks from long-form exponential-histogram
+    bucket rows (databuffer.go:152-206): per key one
+    ``ExponentialHistogramDataPoints`` block with Count/Sum/zero-bucket/
+    positive ``Bucket [lower, upper), Count: n`` lines, boundaries
+    exp(index·ln2·2⁻ˢᶜᵃˡᵉ). Bounded by #keys × #buckets."""
+    per_key = points.groupBy("attr_key", "scale").agg(
+        F.sum("n").cast("long").alias("__count"),
+        F.round(F.sum("bucket_sum"), 4).alias("__sum"),
+        F.sort_array(
+            F.collect_list(F.struct(F.col("bucket_index"), F.col("n")))
+        ).alias("__buckets"),
+    )
+    factor = F.log(F.lit(2.0)) * F.pow(F.lit(2.0), -F.col("scale"))
+    bucket_lines = F.array_join(
+        F.transform(
+            F.col("__buckets"),
+            lambda b: F.when(
+                b.getField("bucket_index").isNull(),
+                F.format_string("Bucket [0, 0], Count: %d", b.getField("n")),
+            ).otherwise(
+                F.format_string(
+                    "Bucket [%f, %f), Count: %d",
+                    F.exp(b.getField("bucket_index") * factor),
+                    F.exp((b.getField("bucket_index") + F.lit(1)) * factor),
+                    b.getField("n"),
+                )
+            ),
+        ),
+        "\n",
+    )
+    rendered = F.concat(
+        F.lit("ExponentialHistogramDataPoints\n"),
+        F.lit("Data point attributes:\n"),
+        F.lit(f"     -> {attr_name}: Str("), F.col("attr_key"), F.lit(")\n"),
+        F.lit(f"StartTimestamp: {_EPOCH_ZERO}\n"),
+        F.lit(f"Timestamp: {_EPOCH_ZERO}\n"),
+        F.lit("Count: "), F.col("__count").cast("string"), F.lit("\n"),
+        F.lit("Sum: "), _f6(F.col("__sum")), F.lit("\n"),
+        bucket_lines, F.lit("\n"),
+    )
+    return per_key.select("attr_key", rendered.alias("rendered"))
+
+
+def render_summary_points(points: DataFrame, attr_name: str = "event_type") -> DataFrame:
+    """(attr_key, rendered) blocks from long-form Summary quantile rows
+    (databuffer.go:208-229 logDoubleSummaryDataPoints): Count, Sum, then
+    ``QuantileValue #i: Quantile q, Value v`` lines sorted by quantile."""
+    per_key = points.groupBy("attr_key", "summary_count", "summary_sum").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("quantile"), F.col("quantile_value")))
+        ).alias("__qs")
+    )
+    q_lines = F.array_join(
+        F.transform(
+            F.col("__qs"),
+            lambda q, i: F.format_string(
+                "QuantileValue #%d: Quantile %f, Value %f",
+                i,
+                q.getField("quantile"),
+                q.getField("quantile_value"),
+            ),
+        ),
+        "\n",
+    )
+    rendered = F.concat(
+        F.lit("SummaryDataPoints\n"),
+        F.lit("Data point attributes:\n"),
+        F.lit(f"     -> {attr_name}: Str("), F.col("attr_key"), F.lit(")\n"),
+        F.lit(f"StartTimestamp: {_EPOCH_ZERO}\n"),
+        F.lit(f"Timestamp: {_EPOCH_ZERO}\n"),
+        F.lit("Count: "), F.col("summary_count").cast("string"), F.lit("\n"),
+        F.lit("Sum: "), _f6(F.col("summary_sum")), F.lit("\n"),
+        q_lines, F.lit("\n"),
+    )
+    return per_key.select("attr_key", rendered.alias("rendered"))
 
 
 def render_records(records: DataFrame) -> DataFrame:

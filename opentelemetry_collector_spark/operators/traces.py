@@ -60,11 +60,25 @@ SPAN_EVENT_SCHEMA = T.StructType(
     ]
 )
 
+# Span.Links(): each link carries target trace/span ids, a W3C trace state
+# and attributes (pdata/ptrace/generated_span.go:163-170 + SpanLink proto)
+SPAN_LINK_SCHEMA = T.StructType(
+    [
+        T.StructField("trace_id", T.StringType(), False),
+        T.StructField("span_id", T.StringType(), False),
+        T.StructField("trace_state", T.StringType(), False),
+        T.StructField("attributes", T.MapType(T.StringType(), T.StringType()), False),
+    ]
+)
+
 SPANS_SCHEMA = T.StructType(
     [
         T.StructField("trace_id", T.StringType(), False),  # 32-char hex
         T.StructField("span_id", T.StringType(), False),  # 16-char hex
         T.StructField("parent_span_id", T.StringType(), False),  # "" = root
+        # W3C tracestate string (generated_span.go:78-80,
+        # pdata/pcommon/trace_state.go:28-55)
+        T.StructField("trace_state", T.StringType(), False),
         T.StructField("name", T.StringType(), False),
         T.StructField("kind", T.IntegerType(), False),
         T.StructField("start_time_unix_nano", T.LongType(), False),
@@ -73,7 +87,7 @@ SPANS_SCHEMA = T.StructType(
         T.StructField("status_code", T.IntegerType(), False),
         T.StructField("status_message", T.StringType(), False),
         T.StructField("events", T.ArrayType(SPAN_EVENT_SCHEMA), False),
-        T.StructField("links", T.ArrayType(T.StringType()), False),
+        T.StructField("links", T.ArrayType(SPAN_LINK_SCHEMA), False),
         T.StructField("resource", T.StructType([T.StructField("service", T.StringType(), False)]), False),
     ]
 )
@@ -89,6 +103,12 @@ def events_to_spans(events: DataFrame) -> DataFrame:
     - duration = value ms → end = start + value·10⁶ ns;
     - kind/status from event_type (error → Internal/Error + an
       'exception' span event, everything else → Ok);
+    - trace_state = 'ot=svc-' + (user_id mod 4) — a deterministic W3C
+      tracestate entry (trace_state.go:28-55 carries the raw string);
+    - links: every NON-ROOT error span links back to its trace's root
+      span (first span of the user in time order) with a
+      link.type=trace_root attribute — the error→origin breadcrumb
+      (generated_span.go:163-170);
     - resource.service = 'svc-' + (user_id mod 4).
     """
     start_ns = (F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)).cast("long")
@@ -105,10 +125,22 @@ def events_to_spans(events: DataFrame) -> DataFrame:
         F.lit("exception").alias("name"),
         F.create_map(F.lit("exception.type"), F.lit("PipelineError")).alias("attributes"),
     )
+    trace_id = F.md5(F.concat(F.lit("trace:"), F.col("user_id")))
+    trace_state = F.concat(
+        F.lit("ot=svc-"), (F.col("user_id") % F.lit(4)).cast("string")
+    )
+    root_span_id = F.first(span_id).over(w)
+    root_link = F.struct(
+        trace_id.alias("trace_id"),
+        root_span_id.alias("span_id"),
+        trace_state.alias("trace_state"),
+        F.create_map(F.lit("link.type"), F.lit("trace_root")).alias("attributes"),
+    )
     return events.select(
-        F.md5(F.concat(F.lit("trace:"), F.col("user_id"))).alias("trace_id"),
+        trace_id.alias("trace_id"),
         span_id.alias("span_id"),
         F.coalesce(F.lag(span_id).over(w), F.lit("")).alias("parent_span_id"),
+        trace_state.alias("trace_state"),
         F.col("event_type").alias("name"),
         kind.alias("kind"),
         start_ns.alias("start_time_unix_nano"),
@@ -127,7 +159,9 @@ def events_to_spans(events: DataFrame) -> DataFrame:
         F.when(is_err, F.array(exc_event))
         .otherwise(F.array().cast(T.ArrayType(SPAN_EVENT_SCHEMA)))
         .alias("events"),
-        F.array().cast("array<string>").alias("links"),
+        F.when(is_err & (root_span_id != span_id), F.array(root_link))
+        .otherwise(F.array().cast(T.ArrayType(SPAN_LINK_SCHEMA)))
+        .alias("links"),
         F.struct(
             F.concat(F.lit("svc-"), (F.col("user_id") % F.lit(4)).cast("string")).alias(
                 "service"

@@ -80,9 +80,86 @@ def test_span_golden_bytes(spark):
         F.create_map(F.lit("k"), F.lit("v")).alias("attributes"),
         F.lit(1).cast("int").alias("status_code"),
         F.lit("").alias("status_message"),
+        F.array().cast(
+            "array<struct<time_unix_nano:bigint,name:string,attributes:map<string,string>>>"
+        ).alias("events"),
+        F.array().cast(
+            "array<struct<trace_id:string,span_id:string,trace_state:string,"
+            "attributes:map<string,string>>>"
+        ).alias("links"),
     )
     got = df.select(render_span(F.lit(0)).alias("r")).first()["r"]
     assert got == SPAN_GOLDEN
+
+
+SPAN_WITH_EVENTS_LINKS_GOLDEN = (
+    "Span #0\n"
+    "Trace ID: aaaa\n"
+    "Parent ID: cccc\n"
+    "ID: bbbb\n"
+    "Name: error\n"
+    "Kind: Internal\n"
+    "Start time: 2024-01-01 00:00:00.000000 UTC\n"
+    "End time: 2024-01-01 00:00:01.500000 UTC\n"
+    "Status code: Error\n"
+    "Status message: event processing failed\n"
+    "Events:\n"
+    "SpanEvent #0\n"
+    "     -> Name: exception\n"
+    "     -> Timestamp: 2024-01-01 00:00:00.000000 UTC\n"
+    "     -> Attributes::\n"
+    "          -> exception.type: Str(PipelineError)\n"
+    "Links:\n"
+    "SpanLink #0\n"
+    "     -> Trace ID: aaaa\n"
+    "     -> ID: dddd\n"
+    "     -> TraceState: ot=svc-1\n"
+    "     -> Attributes::\n"
+    "          -> link.type: Str(trace_root)\n"
+)
+
+
+def test_span_events_links_golden_bytes(spark):
+    """Span with an event and a link renders the Events:/Links: sections
+    (databuffer.go:231-270 logEvents/logLinks shape — SpanEvent/SpanLink
+    blocks with the nested double-colon attributes indent from
+    two_spans.out)."""
+    import pyspark.sql.functions as F
+
+    from opentelemetry_collector_spark.functions.otlptext import render_span
+
+    start_ns = 1704067200_000_000_000
+    df = spark.range(1).select(
+        F.lit("aaaa").alias("trace_id"),
+        F.lit("bbbb").alias("span_id"),
+        F.lit("cccc").alias("parent_span_id"),
+        F.lit("error").alias("name"),
+        F.lit(1).cast("int").alias("kind"),
+        F.lit(start_ns).alias("start_time_unix_nano"),
+        F.lit(start_ns + 1_500_000_000).alias("end_time_unix_nano"),
+        F.create_map().cast("map<string,string>").alias("attributes"),
+        F.lit(2).cast("int").alias("status_code"),
+        F.lit("event processing failed").alias("status_message"),
+        F.array(
+            F.struct(
+                F.lit(start_ns).alias("time_unix_nano"),
+                F.lit("exception").alias("name"),
+                F.create_map(F.lit("exception.type"), F.lit("PipelineError")).alias(
+                    "attributes"
+                ),
+            )
+        ).alias("events"),
+        F.array(
+            F.struct(
+                F.lit("aaaa").alias("trace_id"),
+                F.lit("dddd").alias("span_id"),
+                F.lit("ot=svc-1").alias("trace_state"),
+                F.create_map(F.lit("link.type"), F.lit("trace_root")).alias("attributes"),
+            )
+        ).alias("links"),
+    )
+    got = df.select(render_span(F.lit(0)).alias("r")).first()["r"]
+    assert got == SPAN_WITH_EVENTS_LINKS_GOLDEN
 
 
 NUM_DP_GOLDEN = (
@@ -110,3 +187,136 @@ def test_number_data_point_golden_bytes(spark):
     )
     got = df.select(render_number_data_point(F.lit(0)).alias("r")).first()["r"]
     assert got == NUM_DP_GOLDEN
+
+
+HIST_DP_GOLDEN = (
+    "HistogramDataPoints #0\n"
+    "Data point attributes:\n"
+    "     -> event_type: Str(view)\n"
+    "StartTimestamp: 1970-01-01 00:00:00 +0000 UTC\n"
+    "Timestamp: 1970-01-01 00:00:00 +0000 UTC\n"
+    "Count: 3\n"
+    "Sum: 12.500000\n"
+    "ExplicitBounds #0: 1.000000\n"
+    "ExplicitBounds #1: 5.000000\n"
+    "Buckets #0, Count: 1\n"
+    "Buckets #1, Count: 1\n"
+    "Buckets #2, Count: 1\n"
+)
+
+
+def test_histogram_data_point_golden_bytes(spark):
+    """Histogram point block, hand-written bytes — the databuffer.go
+    logHistogramDataPoints line shapes (Count, Go-%f Sum,
+    ExplicitBounds #i, Buckets #j)."""
+    import pyspark.sql.functions as F
+
+    from opentelemetry_collector_spark.functions.otlptext import (
+        render_histogram_data_point,
+    )
+
+    df = spark.range(1).select(
+        F.lit("view").alias("attr_key"),
+        F.lit(3).cast("long").alias("hist_count"),
+        F.lit(12.5).alias("hist_sum"),
+        F.array(F.lit(1), F.lit(1), F.lit(1)).cast("array<bigint>").alias(
+            "hist_bucket_counts"
+        ),
+        F.array(F.lit(1.0), F.lit(5.0)).alias("hist_explicit_bounds"),
+    )
+    got = df.select(render_histogram_data_point(F.lit(0)).alias("r")).first()["r"]
+    assert got == HIST_DP_GOLDEN
+
+
+SUMMARY_DP_GOLDEN = (
+    "SummaryDataPoints\n"
+    "Data point attributes:\n"
+    "     -> event_type: Str(view)\n"
+    "StartTimestamp: 1970-01-01 00:00:00 +0000 UTC\n"
+    "Timestamp: 1970-01-01 00:00:00 +0000 UTC\n"
+    "Count: 10\n"
+    "Sum: 99.500000\n"
+    "QuantileValue #0: Quantile 0.500000, Value 9.000000\n"
+    "QuantileValue #1: Quantile 0.990000, Value 20.250000\n"
+)
+
+
+def test_summary_points_golden_bytes(spark):
+    """Summary point block (databuffer.go:208-229): QuantileValue lines
+    sorted by quantile, Go-%f doubles."""
+    import pyspark.sql.functions as F
+
+    from opentelemetry_collector_spark.functions.otlptext import render_summary_points
+
+    df = spark.createDataFrame(
+        [
+            ("view", 10, 99.5, 0.99, 20.25),
+            ("view", 10, 99.5, 0.5, 9.0),
+        ],
+        "attr_key string, summary_count long, summary_sum double, "
+        "quantile double, quantile_value double",
+    )
+    got = render_summary_points(df).first()["rendered"]
+    assert got == SUMMARY_DP_GOLDEN
+
+
+def test_exp_histogram_points_render(spark):
+    """Exp-histogram block (databuffer.go:152-206): zero bucket first as
+    'Bucket [0, 0]', then positive buckets with exp(index·ln2·2⁻ˢ)
+    boundaries; scale 0 → powers of two."""
+    import pyspark.sql.functions as F
+
+    from opentelemetry_collector_spark.functions.otlptext import (
+        render_exp_histogram_points,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("view", 0, 1, 2, 5.0),   # bucket (1,2]: index 1 → [2,4) upper? scale 0: [2.0,4.0)
+            ("view", 0, None, 1, 0.0),  # zero bucket
+            ("view", 0, 3, 4, 40.0),
+        ],
+        "attr_key string, scale int, bucket_index bigint, n bigint, bucket_sum double",
+    )
+    got = render_exp_histogram_points(df).first()["rendered"]
+    assert "ExponentialHistogramDataPoints\n" in got
+    assert "Count: 7\n" in got and "Sum: 45.000000\n" in got
+    assert "Bucket [0, 0], Count: 1" in got
+    assert "Bucket [2.000000, 4.000000), Count: 2" in got
+    assert "Bucket [8.000000, 16.000000), Count: 4" in got
+    # zero bucket renders before the positive buckets
+    assert got.index("Bucket [0, 0]") < got.index("Bucket [2.000000")
+
+
+TYPED_ATTRS_GOLDEN = (
+    "Attributes:\n"
+    "     -> enabled: Bool(true)\n"
+    "     -> pi: Double(3.14)\n"
+    "     -> retries: Int(42)\n"
+    "     -> tags: Map({\"k1\":\"val1\",\"k2\":\"val2\"})\n"
+)
+
+
+def test_typed_attr_lines_golden_bytes(spark):
+    """Typed attribute values render as Type(AsString) — the
+    embedded_maps.out pattern: Map→JSON, Double→ES6 shortest round-trip,
+    Bool/Int via strconv (valueToString, databuffer.go:272-274)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import types as T
+
+    from opentelemetry_collector_spark.functions.otlptext import typed_attr_lines
+
+    expr = typed_attr_lines(
+        [
+            ("retries", F.lit(42), T.IntegerType()),
+            ("pi", F.lit(3.14), T.DoubleType()),
+            ("enabled", F.lit(True), T.BooleanType()),
+            (
+                "tags",
+                F.create_map(F.lit("k1"), F.lit("val1"), F.lit("k2"), F.lit("val2")),
+                T.MapType(T.StringType(), T.StringType()),
+            ),
+        ]
+    )
+    got = spark.range(1).select(expr.alias("r")).first()["r"]
+    assert got == TYPED_ATTRS_GOLDEN
