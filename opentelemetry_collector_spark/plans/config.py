@@ -50,8 +50,28 @@ def _yaml_load(text: str):
         raise ConfigError(f"invalid YAML in config source: {e}") from e
 
 
+# injectable http(s) fetcher (confmap/provider/{httpprovider,httpsprovider}
+# analog). Tests inject a fake so resolution stays hermetic; the default
+# uses urllib with a short timeout.
+_HTTP_FETCHER = None
+
+
+def set_http_fetcher(fn) -> None:
+    """Install a ``url -> str`` fetcher for the ``http:``/``https:``
+    schemes (None restores the urllib default)."""
+    global _HTTP_FETCHER
+    _HTTP_FETCHER = fn
+
+
+def _default_http_fetch(url: str) -> str:
+    import urllib.request
+
+    with urllib.request.urlopen(url, timeout=10) as resp:  # noqa: S310
+        return resp.read().decode("utf-8")
+
+
 def _retrieve(scheme: str, value: str, env: dict[str, str], strict_env: bool):
-    """Scheme providers (confmap/provider/*): env / file / yaml."""
+    """Scheme providers (confmap/provider/*): env / file / yaml / http(s)."""
     if scheme == "env":
         if value not in env:
             if strict_env:
@@ -68,6 +88,13 @@ def _retrieve(scheme: str, value: str, env: dict[str, str], strict_env: bool):
             return _yaml_load(f.read())
     if scheme == "yaml":
         return _yaml_load(value)
+    if scheme in ("http", "https"):
+        fetch = _HTTP_FETCHER or _default_http_fetch
+        try:
+            body = fetch(f"{scheme}:{value}")
+        except Exception as e:  # fetch failures are config errors
+            raise ConfigError(f"http config source {scheme}:{value} failed: {e}") from e
+        return _yaml_load(body)
     raise ConfigError(f"unsupported config scheme {scheme!r}")
 
 
@@ -148,7 +175,7 @@ def resolve_config(
             raw = src
         else:
             m = _SCHEME_RE.match(src)
-            if m and m.group(1) in ("file", "env", "yaml"):
+            if m and m.group(1) in ("file", "env", "yaml", "http", "https"):
                 raw = _retrieve(m.group(1), m.group(2), env, strict_env)
             elif "\n" not in src and src.endswith((".yaml", ".yml")):
                 raw = _retrieve("file", src, env, strict_env)
@@ -284,6 +311,57 @@ def _parse_components(section: dict | None) -> dict[str, ComponentConfig]:
         kind = opts.pop("kind", name.split("/")[0])
         out[name] = ComponentConfig(name=name, kind=kind, options=opts)
     return out
+
+
+class ConfigWatcher:
+    """``ConfigProvider.Watch()`` analog (otelcol/collector.go:221-251):
+    the collector blocks on a watch channel and, on change, runs the full
+    stop → resolve → rebuild → restart reload. Here the watch signal is a
+    content hash of the RESOLVED config (so a change in a referenced
+    ``file:``/``env:``/``http:`` source also fires, not just the root
+    file); polling keeps it dependency-free and hermetic in tests.
+
+    Use ``poll()`` for a synchronous check (returns the new resolved dict
+    once after each change, else None) — the reload loop in
+    streaming.stream drives it.
+    """
+
+    def __init__(
+        self,
+        sources: list[str | dict] | str | dict,
+        env: dict[str, str] | None = None,
+        strict_env: bool = False,
+    ):
+        self.sources = sources
+        self.env = env
+        self.strict_env = strict_env
+        self._last_digest = self._digest()
+
+    def _resolve(self) -> dict:
+        return resolve_config(self.sources, env=self.env, strict_env=self.strict_env)
+
+    def _digest(self) -> str:
+        import hashlib
+        import json
+
+        try:
+            resolved = self._resolve()
+        except ConfigError:
+            # a half-written file mid-flip must not crash the watcher; the
+            # next poll sees the complete write
+            return self._last_digest if hasattr(self, "_last_digest") else ""
+        return hashlib.sha256(
+            json.dumps(resolved, sort_keys=True, default=str).encode()
+        ).hexdigest()
+
+    def poll(self) -> dict | None:
+        """Return the newly-resolved config dict if it changed since the
+        last poll (or construction), else None."""
+        d = self._digest()
+        if d != self._last_digest:
+            self._last_digest = d
+            return self._resolve()
+        return None
 
 
 def load_config(

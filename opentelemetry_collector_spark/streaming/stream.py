@@ -46,6 +46,20 @@ def stream_pages(
     return reader.parquet(input_dir)
 
 
+def _build_stream_receiver(spark: SparkSession, kind: str, opts: dict) -> DataFrame:
+    """Streaming receiver factory — the streaming twin of the batch
+    ``_build_receiver`` (plans/compiler.py): the reference's graph builds
+    receivers identically in both modes (service/graph.go:59-102), so the
+    config's receiver section, not the caller, names the source."""
+    from ..plans.config import ConfigError
+
+    if kind in ("pages_parquet", "pages_stream"):
+        if not opts.get("path"):
+            raise ConfigError(f"streaming receiver {kind!r} needs a path")
+        return stream_pages(spark, opts["path"], opts.get("max_files_per_trigger"))
+    raise ConfigError(f"unknown streaming receiver kind {kind!r}")
+
+
 @dataclass
 class StreamingPipeline:
     """readStream → parse → route → per-sink idempotent writes.
@@ -63,6 +77,9 @@ class StreamingPipeline:
     lineage_dir: str | None = None
     run_id: str = "stream"
     epochs_seen: list[int] = field(default_factory=list)
+    # config-built source stream (S1): populated by from_config so the
+    # caller doesn't have to inject pages_stream by hand
+    source: DataFrame | None = None
 
     def __post_init__(self) -> None:
         self.router = FanoutRouter(list(self.routes))
@@ -91,21 +108,30 @@ class StreamingPipeline:
 
     def start(
         self,
-        pages_stream: DataFrame,
-        checkpoint_dir: str,
+        pages_stream: DataFrame | None = None,
+        checkpoint_dir: str = None,
         available_now: bool = True,
         processing_time: str | None = None,
         parse_engine: str = "sql",
     ):
         """Start the micro-batch loop.
 
-        ``processing_time`` (e.g. ``"5 seconds"``) is the
+        ``pages_stream`` defaults to the config-built ``source`` (S1 —
+        receivers come from the pipeline's receiver section, like the
+        batch runner). ``processing_time`` (e.g. ``"5 seconds"``) is the
         scraper-controller's periodic tick (S3,
         receiver/scraperhelper/scrapercontroller.go:71-123: a ticker fires
         every collection_interval and drains whatever the source
         accumulated); it takes precedence over ``available_now``, which
         remains the drain-and-stop mode (scrapercontroller.go:179-191).
         """
+        if pages_stream is None:
+            pages_stream = self.source
+        if pages_stream is None:
+            raise ValueError(
+                "no source: pass pages_stream or build via from_config with a "
+                "receiver path"
+            )
         records = parse_pages(pages_stream, engine=parse_engine)
         writer = (
             records.writeStream.foreachBatch(
@@ -133,12 +159,20 @@ class StreamingPipeline:
         loop rebuilds on config change (otelcol/collector.go:189-202,
         221-251: a watched-config change triggers a full stop → rebuild →
         restart; state survives in the checkpoint + idempotent sinks, so
-        the rebuilt pipeline resumes exactly-once). Processors other than
-        ``parse`` become the transform chain; exporters become routes.
+        the rebuilt pipeline resumes exactly-once). The RECEIVER section
+        builds the stream source (graph.go:59-102 builds receivers
+        identically in both modes); processors other than ``parse`` become
+        the transform chain; exporters become routes.
         """
         from ..plans.compiler import _build_processor
 
         p = config.pipelines[pipeline]
+        source = None
+        for r in p.receivers:
+            rc = config.receivers.get(r)
+            if rc is not None and rc.options.get("path"):
+                source = _build_stream_receiver(spark, rc.kind, rc.options)
+                break
         stages = []
         for proc_name in p.processors:
             c = config.processors[proc_name]
@@ -167,10 +201,76 @@ class StreamingPipeline:
             out_root=out_root,
             transform=transform if stages else None,
             lineage_dir=lineage_dir,
+            source=source,
         )
 
     def sink_counts(self) -> dict[str, int]:
         return {name: sink.committed_row_count() for name, sink in self.sinks.items()}
+
+
+def watch_and_run(
+    spark: SparkSession,
+    config_sources,
+    pipeline: str,
+    out_root: str,
+    checkpoint_dir: str,
+    *,
+    lineage_dir: str | None = None,
+    env: dict | None = None,
+    poll_interval: float = 0.25,
+    processing_time: str = "1 seconds",
+    stop_event=None,
+    on_rebuild=None,
+) -> list["StreamingPipeline"]:
+    """Watch-driven reload loop — the collector's run loop
+    (otelcol/collector.go:221-251): block on the config watch, and on a
+    change stop the running query, rebuild the pipeline from the NEW
+    config, and restart it on the SAME checkpoint (resume is exactly-once
+    via the idempotent epoch sinks). Returns every pipeline generation
+    built, newest last; runs until ``stop_event`` is set.
+
+    ``on_rebuild(pipe, generation)`` is invoked after each (re)start —
+    the test hook standing in for the reference's reload telemetry.
+    """
+    import threading
+    import time
+
+    from ..plans.config import ConfigWatcher, load_config
+
+    if stop_event is None:
+        stop_event = threading.Event()
+    watcher = ConfigWatcher(config_sources, env=env)
+    generations: list[StreamingPipeline] = []
+
+    def build_and_start():
+        cfg = load_config(config_sources, env=env)
+        pname = pipeline if pipeline in cfg.pipelines else cfg.topo_order()[0]
+        pipe = StreamingPipeline.from_config(
+            spark, cfg, pname, out_root, lineage_dir=lineage_dir
+        )
+        q = pipe.start(
+            checkpoint_dir=checkpoint_dir,
+            available_now=False,
+            processing_time=processing_time,
+        )
+        generations.append(pipe)
+        if on_rebuild is not None:
+            on_rebuild(pipe, len(generations))
+        return q
+
+    query = build_and_start()
+    try:
+        while not stop_event.is_set():
+            changed = watcher.poll()
+            if changed is not None:
+                query.stop()
+                query.awaitTermination()
+                query = build_and_start()
+            time.sleep(poll_interval)
+    finally:
+        query.stop()
+        query.awaitTermination()
+    return generations
 
 
 def windowed_severity_counts(

@@ -60,8 +60,10 @@ def main() -> None:
             pipe = StreamingPipeline.from_config(
                 spark, cfg, pname, args.out_root, lineage_dir=f"{args.out_root}/_lineage"
             )
+            # the receiver section built the stream source (graph.go
+            # builds receivers identically in both modes) — no injected
+            # pages_stream needed
             q = pipe.start(
-                stream_pages(spark, args.pages_path),
                 checkpoint_dir=f"{args.out_root}/_checkpoint",
                 available_now=args.trigger is None,
                 processing_time=args.trigger,

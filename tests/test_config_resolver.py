@@ -70,8 +70,9 @@ def test_recursive_expansion_is_bounded():
 
 
 def test_unknown_scheme_raises():
+    # http(s) is a real provider now — use a scheme no provider owns
     with pytest.raises(ConfigError, match="scheme"):
-        resolve_config({"a": "${http:example.com}"}, env=ENV)
+        resolve_config({"a": "${s3:bucket/key}"}, env=ENV)
 
 
 # ---------------------------------------------------------------------------
@@ -150,3 +151,71 @@ def test_load_config_invalid_reference_still_caught():
     bad = VALID.replace("exporters: [sink_all]", "exporters: [nope]")
     with pytest.raises(ConfigError, match="unknown exporter"):
         load_config(bad, env={**ENV, "ROWS": "5"})
+
+
+def test_http_provider_with_injected_fetcher():
+    """confmap/provider/{httpprovider,httpsprovider}: an http(s): source
+    URI and embedded ${http:...} values resolve through the injectable
+    fetcher (hermetic — no network)."""
+    from opentelemetry_collector_spark.plans.config import (
+        resolve_config,
+        set_http_fetcher,
+    )
+
+    pages = {
+        "http://cfg.example/base.yaml": "receivers: {pages: {path: /data}}\n",
+        "https://cfg.example/token": "sekrit\n",
+    }
+    set_http_fetcher(lambda url: pages[url])
+    try:
+        got = resolve_config(
+            [
+                "http://cfg.example/base.yaml",
+                'yaml:exporters: {sink: {auth: "${https://cfg.example/token}"}}',
+            ]
+        )
+    finally:
+        set_http_fetcher(None)
+    assert got["receivers"]["pages"]["path"] == "/data"
+    assert got["exporters"]["sink"]["auth"] == "sekrit"
+
+
+def test_http_provider_fetch_failure_is_config_error():
+    from opentelemetry_collector_spark.plans.config import (
+        ConfigError,
+        resolve_config,
+        set_http_fetcher,
+    )
+    import pytest as _pytest
+
+    def boom(url):
+        raise OSError("connection refused")
+
+    set_http_fetcher(boom)
+    try:
+        with _pytest.raises(ConfigError, match="http config source"):
+            resolve_config("http://cfg.example/missing.yaml")
+    finally:
+        set_http_fetcher(None)
+
+
+def test_config_watcher_fires_on_any_source_change(tmp_path):
+    """ConfigProvider.Watch analog: the watch digest covers the RESOLVED
+    config, so a change in a referenced file: source fires too."""
+    from opentelemetry_collector_spark.plans.config import ConfigWatcher
+
+    inc = tmp_path / "inc.yaml"
+    inc.write_text("processors: {batch: {partitions: 4}}\n")
+    root = tmp_path / "root.yaml"
+    root.write_text(
+        "receivers: {pages: {path: /data}}\n"
+        "exporters: {sink: {all: true}}\n"
+        "service: {pipelines: {logs: {receivers: [pages], exporters: [sink]}}}\n"
+    )
+    w = ConfigWatcher([f"file:{root}", f"file:{inc}"])
+    assert w.poll() is None  # unchanged
+    inc.write_text("processors: {batch: {partitions: 8}}\n")
+    changed = w.poll()
+    assert changed is not None
+    assert changed["processors"]["batch"]["partitions"] == 8
+    assert w.poll() is None  # settles
