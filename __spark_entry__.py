@@ -665,6 +665,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["spanevents_connector"] = spanevents_connector
 
+    def trace_summaries(spark, sf):  # stateful trace assembly, batch twin
+        from opentelemetry_collector_spark.streaming.stateful import (
+            batch_trace_summaries,
+        )
+
+        spans = tr_ops.events_to_spans(_t(spark, sf, "events"))
+        out = batch_trace_summaries(spans)
+        return out.select(
+            "trace_id",
+            "n_spans",
+            "n_errors",
+            "start_time_unix_nano",
+            "end_time_unix_nano",
+            F.round("duration_ms", 4).alias("duration_ms"),
+        )
+
+    q["trace_summaries"] = trace_summaries
+
     def otlp_json_roundtrip(spark, sf):  # D8: marshal→unmarshal ≡ identity
         from opentelemetry_collector_spark.functions import otlp_json
 
@@ -806,6 +824,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup_ops.simhash(_t(spark, sf, "documents"), bits=32)
 
     q["dedup_simhash"] = dd_simhash
+
+    def chunk_dedup_q(spark, sf):  # chunk-level exact dedup (substring approx)
+        return dedup_ops.chunk_dedup(_t(spark, sf, "documents"), k=8)
+
+    q["chunk_dedup"] = chunk_dedup_q
+
+    def repetition_signals_q(spark, sf):  # Gopher-family repetition filters
+        return ts_ops.repetition_signals(_t(spark, sf, "documents"))
+
+    q["repetition_signals"] = repetition_signals_q
+
+    def url_host_stats(spark, sf):  # per-host curation rollup
+        from opentelemetry_collector_spark.operators.urls import host_stats
+
+        pages = pages_from_documents(_t(spark, sf, "documents"))
+        return host_stats(pages)
+
+    q["url_host_stats"] = url_host_stats
 
     def emb_neardup(spark, sf):
         return sim_ops.cosine_pairs(_t(spark, sf, "embeddings"), threshold=0.45)
@@ -1157,6 +1193,23 @@ FROM events GROUP BY 1, 2, 3, 4, 5
     # traces JSON round-trip is lossless → identical oracle to spans_model
     o["otlp_json_spans_roundtrip"] = o["spans_model"]
 
+    # trace assembly (the applyInPandasWithState op's batch twin — the
+    # streaming/batch parity tests lock the two together; this locks the
+    # batch side to an independent SQL aggregation per trace)
+    o["trace_summaries"] = """
+WITH s AS (
+  SELECT md5('trace:' || user_id) AS trace_id,
+    epoch_us(ts) * 1000 AS start_ns,
+    epoch_us(ts) * 1000 + CAST(round(value * 1000000) AS BIGINT) AS end_ns,
+    CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err
+  FROM events
+)
+SELECT trace_id, count(*)::BIGINT AS n_spans, sum(is_err)::BIGINT AS n_errors,
+  min(start_ns) AS start_time_unix_nano, max(end_ns) AS end_time_unix_nano,
+  round((max(end_ns) - min(start_ns)) / 1000000.0, 4) AS duration_ms
+FROM s GROUP BY trace_id
+"""
+
     # the remaining point-type codecs are lossless over their frames →
     # identical oracles to the base metric queries (json_test.go
     # round-trip-equality at the driver surface, all 5 union members)
@@ -1260,6 +1313,58 @@ FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
 """
 
     o["dedup_simhash"] = _simhash_sql(32)
+
+    # chunk-level exact dedup: identical chunking + first-occurrence rank
+    o["chunk_dedup"] = """
+WITH w AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS ws FROM documents),
+c AS (
+  SELECT doc_id, i AS chunk_idx,
+    md5(array_to_string(ws[(i*8+1)::BIGINT:(i*8+8)::BIGINT], ' ')) AS h
+  FROM w, unnest(generate_series(0, (len(ws)//8)::BIGINT - 1)) AS t(i)
+),
+r AS (SELECT doc_id, chunk_idx, h,
+        row_number() OVER (PARTITION BY h ORDER BY doc_id, chunk_idx) AS rn FROM c)
+SELECT doc_id, count(*)::BIGINT AS n_chunks,
+  sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_chunks,
+  round(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 4) AS dup_frac
+FROM r GROUP BY doc_id
+"""
+
+    # repetition signals: list-function twins of the bound-array lambdas
+    o["repetition_signals"] = """
+WITH w AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS ws FROM documents),
+b AS (SELECT doc_id, ws, len(ws) AS n, len(list_distinct(ws)) AS nd FROM w),
+top AS (
+  SELECT doc_id, max(c) AS maxc
+  FROM (SELECT doc_id, word, count(*) AS c
+        FROM w, unnest(ws) AS u(word) GROUP BY doc_id, word)
+  GROUP BY doc_id
+)
+SELECT b.doc_id, n::BIGINT AS n_words,
+  round(1.0 - nd::DOUBLE / n, 4) AS dup_word_frac,
+  CASE WHEN n >= 2 THEN round(
+    1.0 - len(list_distinct(list_transform(generate_series(1, n - 1),
+      i -> ws[i] || ' ' || ws[i + 1])))::DOUBLE / (n - 1), 4)
+  ELSE 0.0 END AS dup_2gram_frac,
+  round(maxc::DOUBLE / n, 4) AS top_word_frac,
+  round(list_aggregate(list_transform(ws, x -> length(x)), 'sum')::DOUBLE / n, 4)
+    AS mean_word_len
+FROM b JOIN top ON b.doc_id = top.doc_id
+"""
+
+    # per-host rollup: the host is re-derived from the documents source
+    # (pages_from_documents synthesizes url = https://<source>.example.com/...)
+    o["url_host_stats"] = """
+WITH p AS (
+  SELECT lower(source || '.example.com') AS host, lang, md5(text) AS digest
+  FROM documents
+)
+SELECT host, count(*)::BIGINT AS n_docs,
+  count(DISTINCT lang)::BIGINT AS n_langs,
+  count(DISTINCT digest)::BIGINT AS n_unique_texts,
+  round(1.0 - count(DISTINCT digest)::DOUBLE / count(*), 4) AS dup_rate
+FROM p GROUP BY host
+"""
     o["embedding_neardup"] = _EMB_NEARDUP_SQL
     o["ann_topk_bruteforce"] = _ANN_TOPK_SQL
     o["ann_lsh_pairs"] = _ann_lsh_sql()

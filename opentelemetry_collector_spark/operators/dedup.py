@@ -449,3 +449,71 @@ def simhash_pairs(
         )
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Chunk-level exact dedup (substring-dedup approximation by k-word chunks)
+# ---------------------------------------------------------------------------
+
+def chunk_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 8
+) -> DataFrame:
+    """Per-document duplicate-chunk statistics: split each text into
+    non-overlapping ``k``-word chunks, hash each, and mark a chunk
+    duplicate when the same hash occurred earlier in the corpus order
+    (doc_id, chunk_idx) — the chunk-granular approximation of exact
+    substring dedup used by large-corpus curation pipelines (the
+    train-data analog of the reference's batch split-by-count,
+    splitlogs.go:22-76: fixed-size units, order-preserving).
+
+    Output: ``(doc_id, n_chunks, n_dup_chunks, dup_frac)`` — one row per
+    document with ≥1 full chunk.
+
+    Scale: the token array is bound ONCE per row via a single-element
+    transform (Spark performs no CSE across lambda scopes — an unbound
+    reference re-tokenizes per chunk); first-occurrence ranking is one
+    window shuffle on the 32-hex chunk hash (high cardinality → even
+    reducers), then a per-doc hash aggregate. explode_outer + post-filter
+    keeps the chunk expression out of InferFiltersFromGenerate's
+    duplicated pre-filter.
+    """
+    from pyspark.sql import Window
+
+    words_expr = tokenize(F.trim(F.col(text_col)))
+
+    def per_doc(w: Column) -> Column:
+        n_chunks = F.floor(F.size(w) / F.lit(k)).cast("int")
+        make = F.transform(
+            F.sequence(F.lit(0), n_chunks - F.lit(1)),
+            lambda i: F.struct(
+                i.cast("int").alias("chunk_idx"),
+                F.md5(
+                    F.array_join(F.slice(w, i * F.lit(k) + F.lit(1), k), " ")
+                ).alias("h"),
+            ),
+        )
+        # sequence(0, -1) would infer a NEGATIVE step — guard empty docs
+        return F.when(n_chunks > 0, make).otherwise(
+            F.array().cast("array<struct<chunk_idx:int,h:string>>")
+        )
+
+    chunks = F.element_at(F.transform(F.array(words_expr), per_doc), 1)
+    exploded = (
+        df.select(F.col(id_col), F.explode_outer(chunks).alias("c"))
+        .where(F.col("c").isNotNull())
+        .select(F.col(id_col), F.col("c.chunk_idx"), F.col("c.h"))
+    )
+    w = Window.partitionBy("h").orderBy(F.col(id_col), F.col("chunk_idx"))
+    ranked = exploded.withColumn("__rn", F.row_number().over(w))
+    return (
+        ranked.groupBy(F.col(id_col))
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.sum(F.when(F.col("__rn") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_chunks"),
+        )
+        .withColumn(
+            "dup_frac", F.round(F.col("n_dup_chunks") / F.col("n_chunks"), 4)
+        )
+    )

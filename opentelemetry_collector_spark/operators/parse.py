@@ -191,12 +191,17 @@ def _parse_lines_sql(lines: DataFrame, hot_columns: bool = False) -> DataFrame:
 
 # --- Arrow engine -----------------------------------------------------------
 
-_ACCESS_CRE = re.compile(ACCESS_RE)
-_APPLOG_FULL_CRE = re.compile(APPLOG_FULL_RE)
-_TRACE_CRE = re.compile(TRACE_ID_RE)
-_SPAN_CRE = re.compile(SPAN_ID_RE)
-_KV_CRE = re.compile(KV_RE)
-_KV_PAIR_CRE = re.compile(r'(\w+)=("[^"]*"|\S*)')
+# re.ASCII: Java regex character classes (\w \d \s) are ASCII-only by
+# default, Python's are Unicode-aware — without the flag the two engines
+# disagree on lines like '²=' (Python \w matches superscript digits, Java
+# does not). The grammar is defined over ASCII classes; both engines must
+# read it that way.
+_ACCESS_CRE = re.compile(ACCESS_RE, re.ASCII)
+_APPLOG_FULL_CRE = re.compile(APPLOG_FULL_RE, re.ASCII)
+_TRACE_CRE = re.compile(TRACE_ID_RE, re.ASCII)
+_SPAN_CRE = re.compile(SPAN_ID_RE, re.ASCII)
+_KV_CRE = re.compile(KV_RE, re.ASCII)
+_KV_PAIR_CRE = re.compile(r'(\w+)=("[^"]*"|\S*)', re.ASCII)
 
 
 def _parse_chunk_pandas(pdf: pd.DataFrame) -> pd.DataFrame:

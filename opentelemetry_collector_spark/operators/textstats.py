@@ -197,3 +197,65 @@ def winnowing_fingerprints(
         F.transform(F.array(gram_hashes), lambda gh: _minima(gh)), 1
     )
     return df.select(F.col(id_col), fingerprints.alias("fingerprints"))
+
+
+def repetition_signals(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document repetition statistics — the duplicate-content quality
+    signals large-corpus curation applies before training (duplicate-word
+    and duplicate-n-gram fractions, dominant-token share, mean word
+    length; the Gopher-rules family of repetition filters, here over
+    whitespace tokens).
+
+    Output (all 4-dp rounded):
+    - ``n_words``
+    - ``dup_word_frac``   = 1 − |distinct words| / n_words
+    - ``dup_2gram_frac``  = 1 − |distinct 2-grams| / (n_words − 1), 0 when
+      fewer than 2 words
+    - ``top_word_frac``   = max single-token frequency / n_words
+    - ``mean_word_len``
+
+    Zero shuffles: everything is array expressions over one bound token
+    array (single-element-transform bind — no CSE across lambda scopes).
+    ``top_word_frac`` is O(distinct × n) per row — bounded by document
+    length, never by corpus size.
+    """
+    words_expr = tokenize(F.trim(F.col(text_col)))
+
+    def signals(w: Column) -> Column:
+        n = F.size(w)
+        distinct = F.array_distinct(w)
+        grams = F.transform(
+            F.sequence(F.lit(1), n - F.lit(1)),
+            lambda i: F.concat(
+                F.element_at(w, i), F.lit(" "), F.element_at(w, i + F.lit(1))
+            ),
+        )
+        dup2 = F.when(
+            n >= 2,
+            F.lit(1.0) - F.size(F.array_distinct(grams)) / (n - F.lit(1)),
+        ).otherwise(F.lit(0.0))
+        top = F.array_max(
+            F.transform(distinct, lambda t: F.size(F.filter(w, lambda x: x == t)))
+        )
+        mean_len = F.aggregate(
+            w, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        ) / n
+        return F.struct(
+            n.cast("long").alias("n_words"),
+            (F.lit(1.0) - F.size(distinct) / n).alias("dup_word_frac"),
+            dup2.alias("dup_2gram_frac"),
+            (top / n).alias("top_word_frac"),
+            mean_len.alias("mean_word_len"),
+        )
+
+    s = F.element_at(F.transform(F.array(words_expr), signals), 1)
+    return df.withColumn("__s", s).select(
+        F.col(id_col),
+        F.col("__s.n_words").alias("n_words"),
+        F.round("__s.dup_word_frac", 4).alias("dup_word_frac"),
+        F.round("__s.dup_2gram_frac", 4).alias("dup_2gram_frac"),
+        F.round("__s.top_word_frac", 4).alias("top_word_frac"),
+        F.round("__s.mean_word_len", 4).alias("mean_word_len"),
+    )

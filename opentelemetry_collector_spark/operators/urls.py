@@ -1,0 +1,71 @@
+"""URL analysis operators for corpus curation.
+
+Web-scale training pipelines curate by URL: host extraction and
+normalization, then per-host rollups (document counts, language spread,
+exact-duplicate rate) drive domain allow/deny decisions. The reference's
+enrichment step is the same shape (resource attributes → record
+attributes, docs/processing.md:211-215) — here the "resource" is the
+URL's host.
+
+Scale: host extraction is a narrow per-row projection (Spark's built-in
+``parse_url`` — JVM-side, codegen); the rollup is one hash aggregate on
+host (count-distinct expands to the standard two-phase plan). At 100 TB
+host is the natural partition key for downstream per-site work, and the
+rollup's partial aggregation collapses each partition to #hosts rows
+before the shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def url_host(url: Column) -> Column:
+    """Lower-cased host of a URL (parse_url(url, 'HOST'); the oracle twin
+    is ``regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1)``)."""
+    return F.lower(F.parse_url(url, F.lit("HOST")))
+
+
+def registered_domain(host: Column, levels: int = 2) -> Column:
+    """Last ``levels`` labels of the host — the public-suffix-free
+    approximation of the registered domain (exact PSL matching needs the
+    suffix list; this heuristic is the standard columnar stand-in)."""
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    return F.when(
+        n <= levels, host
+    ).otherwise(
+        F.array_join(F.slice(parts, n - levels + 1, levels), ".")
+    )
+
+
+def host_stats(
+    pages: DataFrame, url_col: str = "url", text_col: str = "text", lang_col: str = "lang"
+) -> DataFrame:
+    """Per-host curation rollup: document count, distinct languages,
+    distinct exact-content digests, and the exact-duplicate rate
+    ``1 − n_unique_texts / n_docs``.
+
+    One aggregation keyed by host (the count-distincts expand to the
+    two-phase distinct-aggregate plan); the md5 digest is computed
+    map-side so the shuffle carries 32-byte keys, not documents.
+    """
+    host = url_host(F.col(url_col))
+    per_host = (
+        pages.select(
+            host.alias("host"),
+            F.col(lang_col).alias("lang"),
+            F.md5(F.col(text_col)).alias("digest"),
+        )
+        .groupBy("host")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+            F.countDistinct("digest").cast("long").alias("n_unique_texts"),
+        )
+    )
+    return per_host.withColumn(
+        "dup_rate",
+        F.round(F.lit(1.0) - F.col("n_unique_texts") / F.col("n_docs"), 4),
+    )

@@ -64,6 +64,13 @@ def get_spark(
         inner = master[len("local[") : -1]
         if inner.isdigit():
             conf["spark.sql.shuffle.partitions"] = inner
+    # scaling-bench knob: split size chosen per parallelism level so both
+    # levels see the same number of WAVES (a fixed 16m split count
+    # quantizes the last wave — 21 splits on 8 cores idles 3/24 slots,
+    # which reads as engine inefficiency but is pure scheduling remainder)
+    mpb = os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES")
+    if mpb:
+        conf["spark.sql.files.maxPartitionBytes"] = mpb
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():

@@ -141,3 +141,28 @@ def test_poison_rows_do_not_throw(spark):
         # classification (severity) is independent of ts validity
         assert r.time_unix_nano == 0
         assert r.body in rows[0][3] + rows[1][3]
+
+
+def test_engines_agree_on_unicode_wordlike_chars(spark):
+    """Java regex \\w is ASCII-only; Python's is Unicode-aware. The Arrow
+    engine compiles with re.ASCII so a line like '²=' (superscript digit —
+    Python-\\w but not Java-\\w) parses identically in both engines
+    (hypothesis-found divergence, pinned)."""
+    import datetime as dt
+
+    from opentelemetry_collector_spark.schemas import PAGES_SCHEMA
+
+    rows = [
+        ("https://host0001.example.com/p/0", dt.datetime(2024, 1, 1), None, "²=\n key=v", "en")
+    ]
+    pages = spark.createDataFrame(rows, PAGES_SCHEMA)
+
+    def canon(df):
+        return sorted(
+            (r["line_no"], r["body"], tuple(sorted(r["attributes"].items())))
+            for r in df.collect()
+        )
+
+    got_sql = canon(parse_pages(pages, engine="sql"))
+    got_arrow = canon(parse_pages(pages, engine="arrow"))
+    assert got_sql == got_arrow

@@ -139,6 +139,7 @@ _PLAN_SHUFFLE_BUDGET = {
     "spanmetrics_spans": 2,  # lag window + rollup agg
     "otlp_json_spans_roundtrip": 2,
     "spanevents_connector": 1,
+    "trace_summaries": 2,  # parent-chain lag window + per-trace agg
     "otlp_json_roundtrip": 1,  # envelope groupBy
     "salted_rollup": 2,  # two-phase by design
     "enrich_broadcast_geo": 1,  # dims broadcast; one rollup agg
@@ -149,6 +150,9 @@ _PLAN_SHUFFLE_BUDGET = {
     "dedup_minhash_lsh": 3,
     "dedup_clusters": 3,  # per-round plans are checkpointed separately
     "dedup_simhash": 1,
+    "chunk_dedup": 2,  # first-occurrence window on chunk hash + per-doc agg
+    "repetition_signals": 0,  # pure narrow array expressions
+    "url_host_stats": 2,  # count-distinct expands to two aggregates
     "embedding_neardup": 0,  # broadcast nested-loop cross join
     "ann_topk_bruteforce": 2,  # partial + final top-k
     "ann_lsh_pairs": 1,

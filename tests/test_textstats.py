@@ -92,3 +92,72 @@ def test_hash_sample_deterministic_and_proportional(spark):
     # different salt gives an independent sample
     other = {r["doc_id"] for r in hash_sample(df, 0.10, salt="other").collect()}
     assert other != s1
+
+
+def test_repetition_signals_hand_computed(spark):
+    """Repetition quality signals against a hand-computed document."""
+    from opentelemetry_collector_spark.operators.textstats import repetition_signals
+
+    # 6 words: "a b a b c a" → distinct 3, 2-grams: ab,ba,ab,bc,ca → 5 total 4 distinct
+    df = spark.createDataFrame([(1, "a b a b c a")], "doc_id long, text string")
+    r = repetition_signals(df).collect()[0]
+    assert r["n_words"] == 6
+    assert r["dup_word_frac"] == round(1 - 3 / 6, 4)
+    assert r["dup_2gram_frac"] == round(1 - 4 / 5, 4)
+    assert r["top_word_frac"] == round(3 / 6, 4)  # 'a' appears 3×
+    assert r["mean_word_len"] == 1.0
+    # single-word doc: no 2-grams, fraction pinned to 0 (not an error)
+    one = repetition_signals(
+        spark.createDataFrame([(2, "word")], "doc_id long, text string")
+    ).collect()[0]
+    assert one["dup_2gram_frac"] == 0.0 and one["n_words"] == 1
+
+
+def test_chunk_dedup_marks_repeated_chunks(spark):
+    """Chunk-level dedup: the second doc repeating the first doc's 8-word
+    run has that chunk marked duplicate; order (doc_id, chunk_idx) decides
+    the canonical occurrence."""
+    from opentelemetry_collector_spark.operators.dedup import chunk_dedup
+
+    run = "w1 w2 w3 w4 w5 w6 w7 w8"
+    df = spark.createDataFrame(
+        [
+            (1, run + " x1 x2 x3 x4 x5 x6 x7 x8"),
+            (2, run + " y1 y2 y3 y4 y5 y6 y7 y8"),
+            (3, "short doc"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in chunk_dedup(df, k=8).collect()}
+    assert got[1]["n_chunks"] == 2 and got[1]["n_dup_chunks"] == 0
+    assert got[2]["n_chunks"] == 2 and got[2]["n_dup_chunks"] == 1
+    assert got[2]["dup_frac"] == 0.5
+    assert 3 not in got  # no full chunk → no row (consistent with oracle)
+
+
+def test_url_host_ops(spark):
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_spark.operators.urls import (
+        host_stats,
+        registered_domain,
+        url_host,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("https://A.Sub.Example.COM/path?q=1", "hello", "en"),
+            ("https://a.sub.example.com/other", "hello", "en"),
+            ("http://plain.org/x", "world", "de"),
+        ],
+        "url string, text string, lang string",
+    )
+    hosts = df.select(url_host(F.col("url")).alias("h")).collect()
+    assert [r["h"] for r in hosts] == ["a.sub.example.com", "a.sub.example.com", "plain.org"]
+    doms = df.select(registered_domain(url_host(F.col("url"))).alias("d")).collect()
+    assert [r["d"] for r in doms] == ["example.com", "example.com", "plain.org"]
+    stats = {r["host"]: r for r in host_stats(df).collect()}
+    assert stats["a.sub.example.com"]["n_docs"] == 2
+    assert stats["a.sub.example.com"]["n_unique_texts"] == 1  # exact dup
+    assert stats["a.sub.example.com"]["dup_rate"] == 0.5
+    assert stats["plain.org"]["dup_rate"] == 0.0
