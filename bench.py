@@ -270,7 +270,7 @@ def main() -> None:
         # 400k pages keeps a full scaling round ~2 min (so the whole bench
         # stays under ~8 min) while fixed per-job overhead stays <15% of
         # the 8-core runtime; raise via env for longer, steadier evidence
-        n_scale = int(os.environ.get("SPARK_GRAFT_SCALE_PAGES", "300000"))
+        n_scale = int(os.environ.get("SPARK_GRAFT_SCALE_PAGES", "400000"))
         # retry-until-calm (bounded): the raw 2→8 number is hostage to the
         # shared host's ±40% drift, so rounds repeat until EITHER a
         # calm-window sample exists (same-window host ceiling ≥ calm_bar

@@ -64,6 +64,14 @@ def get_spark(
         inner = master[len("local[") : -1]
         if inner.isdigit():
             conf["spark.sql.shuffle.partitions"] = inner
+            # pin GC threads to the task parallelism: JVM ergonomics size
+            # ParallelGC by HOST cores (~23 threads on this 32-core box),
+            # which hands a local[2] "cluster" 10× its share of GC
+            # parallelism — free compute that inflates the low-cores
+            # scaling sample. A real N-core executor gets N-core GC.
+            conf["spark.driver.extraJavaOptions"] = (
+                f"-XX:+UseParallelGC -XX:ParallelGCThreads={max(int(inner), 2)}"
+            )
     # scaling-bench knob: split size chosen per parallelism level so both
     # levels see the same number of WAVES (a fixed 16m split count
     # quantizes the last wave — 21 splits on 8 cores idles 3/24 slots,
