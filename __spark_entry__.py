@@ -256,11 +256,12 @@ def _metrics_histogram_sql(bounds: tuple[float, ...]) -> str:
     return f"""
 WITH agg AS (
   SELECT event_type, count(*)::BIGINT AS hist_count, round(sum(value), 4) AS hist_sum,
+    round(min(value), 4) AS hist_min, round(max(value), 4) AS hist_max,
     {sums}
   FROM events GROUP BY 1
 )
 SELECT event_type, i.idx::INTEGER AS bucket_idx, i.le AS le,
-  {pick} AS n, hist_count, hist_sum
+  {pick} AS n, hist_count, hist_sum, hist_min, hist_max
 FROM agg, (VALUES {values}) AS i(idx, le)
 """
 
@@ -561,6 +562,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return back.withColumnRenamed("attr_key", "event_type")
 
     q["otlp_json_gauge_roundtrip"] = otlp_json_gauge_roundtrip
+
+    def otlp_json_sum_int_roundtrip(spark, sf):  # NumberDataPoint asInt member
+        from opentelemetry_collector_spark.functions import otlp_json
+
+        pts = met_ops.events_to_sum_points(_t(spark, sf, "events"))
+        back = otlp_json.otlp_json_to_sum_points(
+            otlp_json.sum_points_to_otlp_json(
+                pts,
+                salt_buckets=16,
+                value_col="point_count",
+                as_int=True,
+                metric_name=F.lit("events.count"),
+            )
+        )
+        return back.select(
+            "metric_name",
+            F.element_at("attributes", "event_type").alias("event_type"),
+            "start_time_unix_nano",
+            "time_unix_nano",
+            F.col("value_int").alias("point_count"),
+        )
+
+    q["otlp_json_sum_int_roundtrip"] = otlp_json_sum_int_roundtrip
 
     def otlp_json_hist_roundtrip(spark, sf):  # Histogram JSON codec ≡ identity
         from opentelemetry_collector_spark.functions import otlp_json
@@ -1216,6 +1240,16 @@ FROM s GROUP BY trace_id
     o["otlp_json_gauge_roundtrip"] = o["metrics_gauge"]
     o["otlp_json_hist_roundtrip"] = o["metrics_histogram"]
     o["otlp_json_summary_roundtrip"] = o["metrics_summary"]
+
+    # the int member of the NumberDataPoint value union round-trips the
+    # per-window event counts losslessly (int64 ↔ proto3-JSON string)
+    o["otlp_json_sum_int_roundtrip"] = """
+SELECT 'events.count' AS metric_name, event_type,
+  (floor(epoch(ts)/300)*300)::BIGINT * 1000000000 AS start_time_unix_nano,
+  ((floor(epoch(ts)/300)*300)::BIGINT + 300) * 1000000000 AS time_unix_nano,
+  count(*)::BIGINT AS point_count
+FROM events GROUP BY 1, 2, 3, 4
+"""
 
     # exp-histogram wire form carries DP totals but no per-bucket sums —
     # the oracle recomputes the long form + windowed totals directly

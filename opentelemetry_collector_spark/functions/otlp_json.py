@@ -549,6 +549,7 @@ _NUM_DP_JSON = T.StructType(
         T.StructField("startTimeUnixNano", T.StringType(), True),
         T.StructField("timeUnixNano", T.StringType(), True),
         T.StructField("asDouble", T.DoubleType(), True),
+        T.StructField("asInt", T.StringType(), True),  # int64 → string
         T.StructField("attributes", T.ArrayType(_KV_SCHEMA), True),
     ]
 )
@@ -559,6 +560,8 @@ _HIST_DP_JSON = T.StructType(
         T.StructField("timeUnixNano", T.StringType(), True),
         T.StructField("count", T.StringType(), True),  # uint64 → string
         T.StructField("sum", T.DoubleType(), True),
+        T.StructField("min", T.DoubleType(), True),
+        T.StructField("max", T.DoubleType(), True),
         T.StructField("bucketCounts", T.ArrayType(T.StringType()), True),
         T.StructField("explicitBounds", T.ArrayType(T.DoubleType()), True),
         T.StructField("attributes", T.ArrayType(_KV_SCHEMA), True),
@@ -748,15 +751,31 @@ def sum_points_to_otlp_json(
     points: DataFrame,
     salt_buckets: int | None = None,
     max_records_per_envelope: int | None = None,
+    value_col: str = "value_double",
+    as_int: bool = False,
+    metric_name: Column | None = None,
 ) -> DataFrame:
     """Sum data points (metrics.events_to_sum_points shape) → OTLP/JSON
     metric-export request strings, one Sum metric per (metric_name
     [, salt]) envelope (pmetric JSONMarshaler analog; same two scale
-    controls as the logs codec)."""
+    controls as the logs codec).
+
+    ``as_int`` selects the NumberDataPoint value union's int member
+    (``asInt``, int64 rendered as a decimal string per proto3-JSON —
+    generated_metric.go NumberDataPoint Int/DoubleValue accessors);
+    default is ``asDouble``. ``metric_name`` overrides the frame's
+    metric_name column (e.g. the count metric of a (count, sum) pair).
+    """
+    if as_int:
+        val = F.col(value_col).cast("long").cast("string").alias("asInt")
+    else:
+        val = F.col(value_col).alias("asDouble")
+    if metric_name is not None:
+        points = points.withColumn("metric_name", metric_name)
     dp = F.struct(
         F.col("start_time_unix_nano").cast("string").alias("startTimeUnixNano"),
         F.col("time_unix_nano").cast("string").alias("timeUnixNano"),
-        F.col("value_double").alias("asDouble"),
+        val,
         _attrs_to_kv_array(F.col("attributes")).alias("attributes"),
     )
     keys: list = [F.col("metric_name"), F.col("aggregation_temporality"), F.col("is_monotonic")]
@@ -795,6 +814,8 @@ def otlp_json_to_sum_points(requests: DataFrame, json_col: str = "request_json")
         F.col("p.startTimeUnixNano").cast("long").alias("start_time_unix_nano"),
         F.col("p.timeUnixNano").cast("long").alias("time_unix_nano"),
         F.col("p.asDouble").alias("value_double"),
+        # the value union's int member (NULL when the point is a double)
+        F.col("p.asInt").cast("long").alias("value_int"),
         _kv_array_to_map(F.col("p.attributes")).alias("attributes"),
     )
 
@@ -852,6 +873,8 @@ def histogram_points_to_otlp_json(
     dp = F.struct(
         F.col("hist_count").cast("string").alias("count"),
         F.col("hist_sum").alias("sum"),
+        F.col("hist_min").alias("min"),
+        F.col("hist_max").alias("max"),
         F.transform(F.col("hist_bucket_counts"), lambda x: x.cast("string")).alias(
             "bucketCounts"
         ),
@@ -890,6 +913,8 @@ def otlp_json_to_histogram_points(
         F.element_at(_kv_array_to_map(F.col("p.attributes")), attr_name).alias("attr_key"),
         F.col("p.count").cast("long").alias("hist_count"),
         F.col("p.sum").alias("hist_sum"),
+        F.col("p.min").alias("hist_min"),
+        F.col("p.max").alias("hist_max"),
         F.transform(F.col("p.bucketCounts"), lambda x: x.cast("long")).alias(
             "hist_bucket_counts"
         ),

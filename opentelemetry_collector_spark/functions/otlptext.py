@@ -302,6 +302,16 @@ def render_histogram_data_point(
         F.lit(f"Timestamp: {_EPOCH_ZERO}\n"),
         F.lit("Count: "), F.col("hist_count").cast("string"), F.lit("\n"),
         F.lit("Sum: "), _f6(F.col("hist_sum")), F.lit("\n"),
+        # optional min/max (HasMin/HasMax — rendered only when present,
+        # databuffer.go:131-139)
+        F.when(
+            F.col("hist_min").isNotNull(),
+            F.concat(F.lit("Min: "), _f6(F.col("hist_min")), F.lit("\n")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("hist_max").isNotNull(),
+            F.concat(F.lit("Max: "), _f6(F.col("hist_max")), F.lit("\n")),
+        ).otherwise(F.lit("")),
         bounds, F.lit("\n"),
         buckets, F.lit("\n"),
     )

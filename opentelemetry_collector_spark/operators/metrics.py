@@ -75,6 +75,8 @@ METRIC_POINTS_SCHEMA = T.StructType(
         T.StructField("value_double", T.DoubleType(), True),
         T.StructField("hist_count", T.LongType(), True),
         T.StructField("hist_sum", T.DoubleType(), True),
+        T.StructField("hist_min", T.DoubleType(), True),
+        T.StructField("hist_max", T.DoubleType(), True),
         T.StructField("hist_bucket_counts", T.ArrayType(T.LongType()), True),
         T.StructField("hist_explicit_bounds", T.ArrayType(T.DoubleType()), True),
     ]
@@ -211,6 +213,10 @@ def histogram_points(
     wide = events.groupBy(F.col(key_col)).agg(
         F.count("*").cast("long").alias("hist_count"),
         F.round(F.sum(v), 4).alias("hist_sum"),
+        # optional min/max the reference's HistogramDataPoint carries
+        # (HasMin/HasMax accessors; rendered by the golden text exporter)
+        F.round(F.min(v), 4).alias("hist_min"),
+        F.round(F.max(v), 4).alias("hist_max"),
         *aggs,
     )
     return wide.select(
@@ -220,6 +226,8 @@ def histogram_points(
         F.col(key_col).alias("attr_key"),
         F.col("hist_count"),
         F.col("hist_sum"),
+        F.col("hist_min"),
+        F.col("hist_max"),
         F.array(*[F.col(f"__b{i}") for i in range(len(bounds) + 1)]).alias(
             "hist_bucket_counts"
         ),
@@ -355,6 +363,8 @@ def histogram_buckets_long(hist: DataFrame, bounds: tuple[float, ...]) -> DataFr
         "attr_key",
         "hist_count",
         "hist_sum",
+        "hist_min",
+        "hist_max",
         F.posexplode("hist_bucket_counts").alias("bucket_idx", "n"),
     )
     le = F.when(
@@ -370,4 +380,6 @@ def histogram_buckets_long(hist: DataFrame, bounds: tuple[float, ...]) -> DataFr
         F.col("n"),
         "hist_count",
         "hist_sum",
+        "hist_min",
+        "hist_max",
     )

@@ -197,6 +197,8 @@ HIST_DP_GOLDEN = (
     "Timestamp: 1970-01-01 00:00:00 +0000 UTC\n"
     "Count: 3\n"
     "Sum: 12.500000\n"
+    "Min: 1.000000\n"
+    "Max: 9.000000\n"
     "ExplicitBounds #0: 1.000000\n"
     "ExplicitBounds #1: 5.000000\n"
     "Buckets #0, Count: 1\n"
@@ -219,6 +221,8 @@ def test_histogram_data_point_golden_bytes(spark):
         F.lit("view").alias("attr_key"),
         F.lit(3).cast("long").alias("hist_count"),
         F.lit(12.5).alias("hist_sum"),
+        F.lit(1.0).alias("hist_min"),
+        F.lit(9.0).alias("hist_max"),
         F.array(F.lit(1), F.lit(1), F.lit(1)).cast("array<bigint>").alias(
             "hist_bucket_counts"
         ),
