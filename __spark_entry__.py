@@ -586,6 +586,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["otlp_json_sum_int_roundtrip"] = otlp_json_sum_int_roundtrip
 
+    def otlp_json_exemplar_roundtrip(spark, sf):  # Exemplars on data points
+        from opentelemetry_collector_spark.functions import otlp_json
+
+        pts = met_ops.sum_points_with_exemplars(_t(spark, sf, "events"))
+        back = otlp_json.otlp_json_to_sum_points(
+            otlp_json.sum_points_to_otlp_json(pts, salt_buckets=16)
+        )
+        ex = F.try_element_at(F.col("exemplars"), F.lit(1))
+        return back.select(
+            "metric_name",
+            F.element_at("attributes", "event_type").alias("event_type"),
+            "start_time_unix_nano",
+            "time_unix_nano",
+            "value_double",
+            ex.getField("time_unix_nano").alias("exemplar_ts"),
+            ex.getField("value_double").alias("exemplar_value"),
+            ex.getField("trace_id").alias("exemplar_trace_id"),
+            ex.getField("span_id").alias("exemplar_span_id"),
+            F.element_at(ex.getField("filtered_attributes"), "event_id").alias(
+                "exemplar_event_id"
+            ),
+        )
+
+    q["otlp_json_exemplar_roundtrip"] = otlp_json_exemplar_roundtrip
+
     def otlp_json_hist_roundtrip(spark, sf):  # Histogram JSON codec ≡ identity
         from opentelemetry_collector_spark.functions import otlp_json
 
@@ -1240,6 +1265,33 @@ FROM s GROUP BY trace_id
     o["otlp_json_gauge_roundtrip"] = o["metrics_gauge"]
     o["otlp_json_hist_roundtrip"] = o["metrics_histogram"]
     o["otlp_json_summary_roundtrip"] = o["metrics_summary"]
+
+    # exemplars: the max-value event per window rides the data point with
+    # its trace/span ids and filtered attributes, losslessly
+    o["otlp_json_exemplar_roundtrip"] = """
+WITH agg AS (
+  SELECT event_type, (floor(epoch(ts)/300)*300)::BIGINT AS ws,
+    round(sum(value), 4) AS s
+  FROM events GROUP BY 1, 2
+), win AS (
+  SELECT event_type, (floor(epoch(ts)/300)*300)::BIGINT AS ws,
+    ts, value, event_id, user_id,
+    row_number() OVER (PARTITION BY event_type, (floor(epoch(ts)/300)*300)::BIGINT
+                       ORDER BY value DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT 'events.value' AS metric_name, a.event_type,
+  a.ws * 1000000000 AS start_time_unix_nano,
+  (a.ws + 300) * 1000000000 AS time_unix_nano,
+  a.s AS value_double,
+  epoch_us(w.ts) * 1000 AS exemplar_ts,
+  round(w.value, 4) AS exemplar_value,
+  md5('trace:' || w.user_id) AS exemplar_trace_id,
+  substr(md5('span:' || w.event_id), 1, 16) AS exemplar_span_id,
+  w.event_id::VARCHAR AS exemplar_event_id
+FROM agg a JOIN win w
+  ON a.event_type = w.event_type AND a.ws = w.ws AND w.rn = 1
+"""
 
     # the int member of the NumberDataPoint value union round-trips the
     # per-window event counts losslessly (int64 ↔ proto3-JSON string)

@@ -544,6 +544,18 @@ def otlp_json_to_spans(requests: DataFrame, json_col: str = "request_json") -> D
 # uint64 counts/times as decimal strings, bucketCounts as string arrays)
 # ---------------------------------------------------------------------------
 
+# Exemplar proto3-JSON shape (pmetricjson "exemplars" /
+# "filtered_attributes" cases; generated_metric.go Exemplar accessors)
+_EXEMPLAR_JSON = T.StructType(
+    [
+        T.StructField("timeUnixNano", T.StringType(), True),
+        T.StructField("asDouble", T.DoubleType(), True),
+        T.StructField("spanId", T.StringType(), True),
+        T.StructField("traceId", T.StringType(), True),
+        T.StructField("filteredAttributes", T.ArrayType(_KV_SCHEMA), True),
+    ]
+)
+
 _NUM_DP_JSON = T.StructType(
     [
         T.StructField("startTimeUnixNano", T.StringType(), True),
@@ -551,6 +563,7 @@ _NUM_DP_JSON = T.StructType(
         T.StructField("asDouble", T.DoubleType(), True),
         T.StructField("asInt", T.StringType(), True),  # int64 → string
         T.StructField("attributes", T.ArrayType(_KV_SCHEMA), True),
+        T.StructField("exemplars", T.ArrayType(_EXEMPLAR_JSON), True),
     ]
 )
 
@@ -772,12 +785,29 @@ def sum_points_to_otlp_json(
         val = F.col(value_col).alias("asDouble")
     if metric_name is not None:
         points = points.withColumn("metric_name", metric_name)
-    dp = F.struct(
+    dp_fields = [
         F.col("start_time_unix_nano").cast("string").alias("startTimeUnixNano"),
         F.col("time_unix_nano").cast("string").alias("timeUnixNano"),
         val,
         _attrs_to_kv_array(F.col("attributes")).alias("attributes"),
-    )
+    ]
+    if "exemplars" in points.columns:
+        dp_fields.append(
+            F.transform(
+                F.col("exemplars"),
+                lambda e: F.struct(
+                    e.getField("time_unix_nano").cast("string").alias("timeUnixNano"),
+                    e.getField("value_double").alias("asDouble"),
+                    e.getField("span_id").alias("spanId"),
+                    e.getField("trace_id").alias("traceId"),
+                    F.transform(
+                        F.map_entries(e.getField("filtered_attributes")),
+                        lambda kv: _kv(kv.getField("key"), kv.getField("value")),
+                    ).alias("filteredAttributes"),
+                ),
+            ).alias("exemplars")
+        )
+    dp = F.struct(*dp_fields)
     keys: list = [F.col("metric_name"), F.col("aggregation_temporality"), F.col("is_monotonic")]
     if salt_buckets:
         keys.append(
@@ -817,6 +847,18 @@ def otlp_json_to_sum_points(requests: DataFrame, json_col: str = "request_json")
         # the value union's int member (NULL when the point is a double)
         F.col("p.asInt").cast("long").alias("value_int"),
         _kv_array_to_map(F.col("p.attributes")).alias("attributes"),
+        F.transform(
+            F.col("p.exemplars"),
+            lambda e: F.struct(
+                e.getField("timeUnixNano").cast("long").alias("time_unix_nano"),
+                e.getField("asDouble").alias("value_double"),
+                e.getField("traceId").alias("trace_id"),
+                e.getField("spanId").alias("span_id"),
+                _kv_array_to_map(e.getField("filteredAttributes")).alias(
+                    "filtered_attributes"
+                ),
+            ),
+        ).alias("exemplars"),
     )
 
 

@@ -383,3 +383,65 @@ def histogram_buckets_long(hist: DataFrame, bounds: tuple[float, ...]) -> DataFr
         "hist_min",
         "hist_max",
     )
+
+
+def sum_points_with_exemplars(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    user_col: str = "user_id",
+    width_seconds: int = 300,
+    metric_name: str = "events.value",
+) -> DataFrame:
+    """Delta Sum data points + one Exemplar per point (pdata Exemplar:
+    filtered attributes, time, value, span/trace ids —
+    pdata/pmetric/generated_metric.go Exemplar accessors; the wire shape
+    of pmetricjson's "exemplars"/"filtered_attributes" cases).
+
+    The exemplar is the MAX-VALUE event of the window (deterministic
+    tie-break on event id), carrying the same derived trace/span ids the
+    span model uses — the metrics→trace pivot exemplars exist for. One
+    hash aggregate: the exemplar rides the same shuffle via ``max_by``
+    over a (value, id) struct (lexicographic, matching the oracle's
+    ORDER BY value DESC, id DESC rank).
+    """
+    w = F.window(F.col(ts_col), f"{width_seconds} seconds")
+    ev_ns = (F.unix_micros(F.col(ts_col).cast("timestamp")) * F.lit(1000)).cast("long")
+    ex = F.struct(
+        ev_ns.alias("time_unix_nano"),
+        F.round(F.col(value_col), 4).alias("value_double"),
+        F.md5(F.concat(F.lit("trace:"), F.col(user_col))).alias("trace_id"),
+        F.substring(F.md5(F.concat(F.lit("span:"), F.col(id_col))), 1, 16).alias(
+            "span_id"
+        ),
+        F.create_map(F.lit(id_col), F.col(id_col).cast("string")).alias(
+            "filtered_attributes"
+        ),
+    )
+    return (
+        events.groupBy(w.alias("w"), F.col(key_col))
+        .agg(
+            F.count("*").alias("point_count"),
+            F.round(F.sum(value_col), 4).alias("value_double"),
+            F.max_by(ex, F.struct(F.col(value_col), F.col(id_col))).alias("__ex"),
+        )
+        .select(
+            F.lit(metric_name).alias("metric_name"),
+            F.lit(METRIC_TYPE["Sum"]).alias("metric_type"),
+            F.lit(TEMPORALITY_DELTA).alias("aggregation_temporality"),
+            F.lit(True).alias("is_monotonic"),
+            (F.unix_timestamp(F.col("w.start")) * F.lit(1_000_000_000))
+            .cast("long")
+            .alias("start_time_unix_nano"),
+            (F.unix_timestamp(F.col("w.end")) * F.lit(1_000_000_000))
+            .cast("long")
+            .alias("time_unix_nano"),
+            F.create_map(F.lit(key_col), F.col(key_col)).alias("attributes"),
+            F.col(key_col).alias("attr_key"),
+            F.col("point_count"),
+            F.col("value_double"),
+            F.array(F.col("__ex")).alias("exemplars"),
+        )
+    )

@@ -133,6 +133,7 @@ _PLAN_SHUFFLE_BUDGET = {
     "otlp_json_metrics_roundtrip": 2,  # point agg + envelope groupBy
     "otlp_json_gauge_roundtrip": 2,  # gauge window + envelope groupBy
     "otlp_json_sum_int_roundtrip": 2,  # point agg + envelope groupBy
+    "otlp_json_exemplar_roundtrip": 2,  # point agg (max_by rides it) + envelope
     "otlp_json_hist_roundtrip": 2,  # hist agg + envelope groupBy
     "otlp_json_exphist_roundtrip": 3,  # bucket agg + dense-array agg + envelope
     "otlp_json_summary_roundtrip": 2,  # summary agg reused + per-key/envelope
