@@ -288,9 +288,10 @@ def main() -> None:
         round_cost = 150.0  # refined from the first measured round
         while len(history) < rounds:
             # skip the next round only if the MEASURED per-round cost
-            # doesn't fit — a fixed margin threw away the decisive third
-            # sample on calm hosts
-            if history and time.monotonic() + round_cost > deadline:
+            # (with a 25% degraded-host margin) doesn't fit — a fixed
+            # margin threw away the decisive third sample on calm hosts;
+            # the first round always runs (one sample beats none)
+            if history and time.monotonic() + 1.25 * round_cost > deadline:
                 break
             _r0 = time.monotonic()
             cal = host_cpu_efficiency(2, 8)
