@@ -892,6 +892,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["url_host_stats"] = url_host_stats
 
+    def sample_stratified_q(spark, sf):  # per-group quota sampling
+        return ts_ops.sample_stratified(
+            _t(spark, sf, "documents"), group_col="lang", n_per_group=10
+        )
+
+    q["sample_stratified"] = sample_stratified_q
+
+    def contamination_q(spark, sf):  # benchmark decontamination overlap
+        docs = _t(spark, sf, "documents")
+        bench = docs.where(F.col("doc_id") % 50 == 0)
+        return ts_ops.contamination_overlap(docs, bench, n=8)
+
+    q["contamination_overlap"] = contamination_q
+
     def emb_neardup(spark, sf):
         return sim_ops.cosine_pairs(_t(spark, sf, "embeddings"), threshold=0.45)
 
@@ -1450,6 +1464,43 @@ SELECT host, count(*)::BIGINT AS n_docs,
   count(DISTINCT digest)::BIGINT AS n_unique_texts,
   round(1.0 - count(DISTINCT digest)::DOUBLE / count(*), 4) AS dup_rate
 FROM p GROUP BY host
+"""
+
+    # quota sampling: identical salted-md5 rank in both engines (hex
+    # strings compare byte-wise the same way)
+    o["sample_stratified"] = """
+WITH r AS (
+  SELECT doc_id, lang,
+    row_number() OVER (PARTITION BY lang
+                       ORDER BY md5('sample:' || doc_id) ASC, doc_id ASC) AS rk
+  FROM documents
+)
+SELECT doc_id, lang, rk::BIGINT AS sample_rank FROM r WHERE rk <= 10
+"""
+
+    # decontamination: 8-gram shingle overlap vs the doc_id%50 benchmark
+    # subset; LEFT JOIN from documents keeps shingle-less docs at 0/0
+    o["contamination_overlap"] = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(text, ' +') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS s
+  FROM toks, unnest(generate_series(1, greatest(len(w)-7, 0))) AS t(i)
+), bench AS (
+  SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0
+), per AS (
+  SELECT sh.doc_id, count(*)::BIGINT AS n_shingles,
+    sum(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_contaminated
+  FROM sh LEFT JOIN bench b ON sh.s = b.s
+  GROUP BY sh.doc_id
+)
+SELECT d.doc_id,
+  coalesce(p.n_shingles, 0)::BIGINT AS n_shingles,
+  coalesce(p.n_contaminated, 0)::BIGINT AS n_contaminated,
+  CASE WHEN coalesce(p.n_shingles, 0) > 0
+       THEN round(p.n_contaminated::DOUBLE / p.n_shingles, 4)
+       ELSE 0.0 END AS contamination_frac
+FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
 """
     o["embedding_neardup"] = _EMB_NEARDUP_SQL
     o["ann_topk_bruteforce"] = _ANN_TOPK_SQL

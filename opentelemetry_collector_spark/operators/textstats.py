@@ -259,3 +259,80 @@ def repetition_signals(
         F.round("__s.top_word_frac", 4).alias("top_word_frac"),
         F.round("__s.mean_word_len", 4).alias("mean_word_len"),
     )
+
+
+def sample_stratified(
+    df: DataFrame,
+    group_col: str = "lang",
+    n_per_group: int = 50,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic quota sampling: keep the ``n_per_group`` documents
+    with the smallest salted-md5 rank inside each group — the
+    per-language/per-source quota pass of corpus curation (reproducible:
+    the same corpus always yields the same sample, and adding documents
+    only perturbs groups whose hash order changes).
+
+    One rank window per group; at 100 TB the group key (language, source
+    bucket) has modest cardinality and the window's partial sort spills —
+    for extreme groups switch to the two-phase top-k used by ANN
+    (per-partition candidates capped at n first).
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.lit("sample:"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(F.col(group_col)).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= n_per_group)
+        .select(
+            F.col(id_col),
+            F.col(group_col),
+            F.col("__rk").cast("long").alias("sample_rank"),
+        )
+    )
+
+
+def contamination_overlap(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: per-document fraction of distinct
+    word ``n``-grams that also occur in the benchmark corpus — the
+    n-gram-overlap contamination check applied before training on web
+    text (a doc whose shingles heavily overlap an eval set is flagged).
+
+    Plan: corpus shingles (distinct per doc) left-semi-style counted
+    against the BROADCAST distinct benchmark shingle set (benchmark
+    corpora are tiny next to the training corpus — the join never
+    shuffles the corpus side); one per-doc aggregate. Documents shorter
+    than ``n`` words have no shingles and report 0 over 0 shingles.
+    """
+    from .dedup import exploded_shingles, shingle_array
+
+    corpus = df.select(
+        F.col(id_col), F.explode_outer(shingle_array(F.col(text_col), n)).alias("shingle")
+    )
+    bench = (
+        benchmark.select(F.explode(shingle_array(F.col(text_col), n)).alias("shingle"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    joined = corpus.join(F.broadcast(bench), "shingle", "left")
+    return (
+        joined.groupBy(F.col(id_col))
+        .agg(
+            F.count(F.col("shingle")).cast("long").alias("n_shingles"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("long").alias("n_contaminated"),
+        )
+        .withColumn(
+            "contamination_frac",
+            F.when(
+                F.col("n_shingles") > 0,
+                F.round(F.col("n_contaminated") / F.col("n_shingles"), 4),
+            ).otherwise(F.lit(0.0)),
+        )
+    )

@@ -161,3 +161,41 @@ def test_url_host_ops(spark):
     assert stats["a.sub.example.com"]["n_unique_texts"] == 1  # exact dup
     assert stats["a.sub.example.com"]["dup_rate"] == 0.5
     assert stats["plain.org"]["dup_rate"] == 0.0
+
+
+def test_sample_stratified_deterministic_quota(spark):
+    from opentelemetry_collector_spark.operators.textstats import sample_stratified
+
+    df = spark.createDataFrame(
+        [(i, ["en", "de"][i % 2]) for i in range(40)], "doc_id long, lang string"
+    )
+    s1 = sample_stratified(df, group_col="lang", n_per_group=5)
+    rows = s1.collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r["doc_id"])
+    assert {len(v) for v in by_lang.values()} == {5}  # exact quota per group
+    # deterministic: same corpus → same sample
+    s2 = sample_stratified(df, group_col="lang", n_per_group=5)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, s2.collect()))
+
+
+def test_contamination_overlap_flags_benchmark_copies(spark):
+    from opentelemetry_collector_spark.operators.textstats import contamination_overlap
+
+    bench_text = "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10"
+    df = spark.createDataFrame(
+        [
+            (1, bench_text),                       # verbatim benchmark copy
+            (2, "c1 c2 c3 c4 c5 c6 c7 c8 c9"),     # clean
+            (3, "x " + bench_text),                # shifted copy, partial overlap
+            (4, "too short"),                      # < n words → no shingles
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(99, bench_text)], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in contamination_overlap(df, bench, n=8).collect()}
+    assert got[1]["contamination_frac"] == 1.0
+    assert got[2]["contamination_frac"] == 0.0
+    assert 0.0 < got[3]["contamination_frac"] < 1.0
+    assert got[4]["n_shingles"] == 0 and got[4]["contamination_frac"] == 0.0
