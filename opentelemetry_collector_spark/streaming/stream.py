@@ -231,6 +231,13 @@ def watch_and_run(
 
     ``on_rebuild(pipe, generation)`` is invoked after each (re)start —
     the test hook standing in for the reference's reload telemetry.
+
+    Failure semantics mirror the reference run loop
+    (otelcol/collector.go:224-231): a config that resolves but fails
+    validation/build terminates the loop with the error (the reference
+    returns err from reloadConfiguration); a HALF-WRITTEN config file is
+    not a change event at all — the watcher's digest swallows transient
+    resolve errors and the next poll sees the complete write.
     """
     import threading
     import time

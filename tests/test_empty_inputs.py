@@ -108,3 +108,42 @@ def test_empty_text_and_null_props_rows(spark):
     )
     spans = tr.events_to_spans(ev).collect()
     assert len(spans) == 1
+
+
+def test_round3_operators_empty(spark, empty_docs, empty_events):
+    from opentelemetry_collector_spark.operators.urls import host_stats
+
+    assert dedup.chunk_dedup(empty_docs).count() == 0
+    assert ts.repetition_signals(empty_docs).count() == 0
+    empty_docs_lang = spark.createDataFrame([], "doc_id long, text string, lang string")
+    assert ts.sample_stratified(empty_docs_lang).count() == 0
+    assert ts.contamination_overlap(empty_docs, empty_docs).count() == 0
+    empty_pages = spark.createDataFrame([], "url string, text string, lang string")
+    assert host_stats(empty_pages).count() == 0
+    # metric codecs on empty frames: marshal produces 0 requests, unmarshal 0 rows
+    from opentelemetry_collector_spark.functions import otlp_json as oj
+
+    g = met.gauge_points(empty_events)
+    assert oj.otlp_json_to_gauge_points(oj.gauge_points_to_otlp_json(g)).count() == 0
+    e = met.exp_histogram_points(empty_events)
+    assert oj.otlp_json_to_exp_histogram_points(
+        oj.exp_histogram_points_to_otlp_json(e)
+    ).count() == 0
+    s = met.summary_points(empty_events)
+    assert oj.otlp_json_to_summary_points(oj.summary_points_to_otlp_json(s)).count() == 0
+    x = met.sum_points_with_exemplars(empty_events)
+    assert oj.otlp_json_to_sum_points(oj.sum_points_to_otlp_json(x)).count() == 0
+
+
+def test_chunk_dedup_short_and_empty_text(spark):
+    """Texts shorter than one chunk (incl. empty string) produce no chunk
+    rows and must not trip the negative-step sequence trap."""
+    from opentelemetry_collector_spark.operators.dedup import chunk_dedup
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "one two"), (3, "a b c d e f g h")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in chunk_dedup(df, k=8).collect()}
+    assert set(got) == {3}
+    assert got[3]["n_chunks"] == 1
