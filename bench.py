@@ -205,8 +205,12 @@ def scaling_run(cpus: int, sf_dir: str, n_pages: int) -> dict:
     # runs ~8 full waves (fixed-size splits give the higher level a
     # partially-idle last wave — scheduling remainder, not engine cost)
     table = os.path.join(CACHE_ROOT, f"pages_n{n_pages}")
-    if os.path.isdir(table) and "SPARK_GRAFT_MAX_PARTITION_BYTES" not in env:
-        split = max(_dir_bytes(table) // (cpus * 8), 4 << 20)
+    if "SPARK_GRAFT_MAX_PARTITION_BYTES" not in env:
+        # ~1110 bytes/page measured on the zstd parquet; the estimate
+        # keeps round 1 on the SAME split policy as later rounds even
+        # when the cache is first materialized by the child itself
+        table_bytes = _dir_bytes(table) if os.path.isdir(table) else n_pages * 1110
+        split = max(table_bytes // (cpus * 8), 4 << 20)
         env["SPARK_GRAFT_MAX_PARTITION_BYTES"] = str(split)
     proc = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--pipeline-only"],

@@ -318,7 +318,12 @@ def connected_components(
         .localCheckpoint()
     )
     changed = 1
-    for _ in range(max_iters):
+    # max_iters + 1: proving convergence takes one round MORE than
+    # reaching it (the final round's labels are correct but the change
+    # check that confirms it runs in the next iteration) — a caller
+    # sizing max_iters to the known component diameter must not get a
+    # spurious non-convergence error
+    for _ in range(max_iters + 1):
         neighbor = edges.join(
             labels, edges["dst"] == labels["node"]
         ).select(edges["src"].alias("node"), "label")

@@ -221,6 +221,9 @@ def repetition_signals(
     ``top_word_frac`` is O(distinct × n) per row — bounded by document
     length, never by corpus size.
     """
+    # NULL-text documents are excluded (the SQL twin's unnest-join drops
+    # them; size(NULL) would otherwise emit a nonsense n_words=-1 row)
+    df = df.where(F.col(text_col).isNotNull())
     words_expr = tokenize(F.trim(F.col(text_col)))
 
     def signals(w: Column) -> Column:
@@ -313,11 +316,14 @@ def contamination_overlap(
     """
     from .dedup import exploded_shingles, shingle_array
 
+    # explode_outer (not exploded_shingles' explode): shingle-less docs
+    # must still appear in the output with 0/0
     corpus = df.select(
         F.col(id_col), F.explode_outer(shingle_array(F.col(text_col), n)).alias("shingle")
     )
     bench = (
-        benchmark.select(F.explode(shingle_array(F.col(text_col), n)).alias("shingle"))
+        exploded_shingles(benchmark, id_col=id_col, text_col=text_col, n=n)
+        .select("shingle")
         .distinct()
         .withColumn("__hit", F.lit(1))
     )

@@ -335,32 +335,38 @@ class ConfigWatcher:
         self.sources = sources
         self.env = env
         self.strict_env = strict_env
-        self._last_digest = self._digest()
+        self._last_digest, _ = self._digest()
 
     def _resolve(self) -> dict:
         return resolve_config(self.sources, env=self.env, strict_env=self.strict_env)
 
-    def _digest(self) -> str:
+    def _digest(self) -> tuple[str, dict | None]:
+        """(digest, resolved) — ONE resolution per poll. A transient
+        resolve failure (half-written file mid-flip, an http fetch
+        hiccup) is NOT a change event: the previous digest is returned
+        and the next poll sees the complete write."""
         import hashlib
         import json
 
         try:
             resolved = self._resolve()
         except ConfigError:
-            # a half-written file mid-flip must not crash the watcher; the
-            # next poll sees the complete write
-            return self._last_digest if hasattr(self, "_last_digest") else ""
-        return hashlib.sha256(
+            prev = self._last_digest if hasattr(self, "_last_digest") else ""
+            return prev, None
+        digest = hashlib.sha256(
             json.dumps(resolved, sort_keys=True, default=str).encode()
         ).hexdigest()
+        return digest, resolved
 
     def poll(self) -> dict | None:
         """Return the newly-resolved config dict if it changed since the
-        last poll (or construction), else None."""
-        d = self._digest()
+        last poll (or construction), else None. Never raises on transient
+        resolve failures — the digest carries the resolved dict, so a
+        change is resolved exactly once."""
+        d, resolved = self._digest()
         if d != self._last_digest:
             self._last_digest = d
-            return self._resolve()
+            return resolved
         return None
 
 

@@ -99,11 +99,19 @@ class IdempotentParquetSink:
             int(f.split(".")[0]) for f in os.listdir(self.commits_dir) if f.endswith(".json")
         )
 
-    def write_epoch(self, df: DataFrame, epoch_id: int, extra_meta: dict | None = None) -> int:
+    def write_epoch(
+        self,
+        df: DataFrame,
+        epoch_id: int,
+        extra_meta: dict | None = None,
+        max_records_per_file: int | None = None,
+    ) -> int:
         """Idempotently write one epoch; returns rows written (0 if skipped).
 
         The row count rides the write via ``observe()`` — one scan of the
         frame, no post-write re-read of the files just written.
+        ``max_records_per_file`` is the per-WRITE output-batch cap
+        (send_batch_max_size analog) — never session conf.
         """
         if self.is_committed(epoch_id):
             return 0
@@ -115,7 +123,10 @@ class IdempotentParquetSink:
         epoch_dir = os.path.join(self.data_dir, f"epoch={epoch_id}")
         # overwrite-in-place = replay-safe (persistent_storage.go:283-349
         # re-enqueue analog, minus the at-least-once duplicate risk)
-        df.write.mode("overwrite").parquet(epoch_dir)
+        writer = df.write.mode("overwrite")
+        if max_records_per_file:
+            writer = writer.option("maxRecordsPerFile", int(max_records_per_file))
+        writer.parquet(epoch_dir)
         n = int(obs.get["rows"])
         os.makedirs(self.commits_dir, exist_ok=True)
         meta = {"epoch": epoch_id, "rows": n, "ts": time.time(), "sink": self.name}

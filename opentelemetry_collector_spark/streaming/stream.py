@@ -80,6 +80,10 @@ class StreamingPipeline:
     # config-built source stream (S1): populated by from_config so the
     # caller doesn't have to inject pages_stream by hand
     source: DataFrame | None = None
+    # per-write output-batch cap (send_batch_max_size) — from_config
+    # captures it from the pipeline's batch processor so the STREAMING
+    # write path honors it too, not just the batch runner
+    max_records_per_file: int | None = None
 
     def __post_init__(self) -> None:
         self.router = FanoutRouter(list(self.routes))
@@ -97,7 +101,9 @@ class StreamingPipeline:
                 subset = assigned.where(
                     F.array_contains(F.col(SINKS_COL), name)
                 ).drop(SINKS_COL)
-                sink.write_epoch(subset, epoch_id)
+                sink.write_epoch(
+                    subset, epoch_id, max_records_per_file=self.max_records_per_file
+                )
             if self.lineage_dir is not None:
                 # epoch-keyed overwrite — replayed micro-batches re-land
                 # identical lineage rows instead of duplicating them
@@ -167,10 +173,22 @@ class StreamingPipeline:
         from ..plans.compiler import _build_processor
 
         p = config.pipelines[pipeline]
+        write_cap = None
+        for proc_name in p.processors:
+            c = config.processors[proc_name]
+            if c.kind == "batch" and c.options.get("send_batch_max_size"):
+                write_cap = int(c.options["send_batch_max_size"])
         source = None
         for r in p.receivers:
             rc = config.receivers.get(r)
-            if rc is not None and rc.options.get("path"):
+            # only kinds the stream factory supports become the source;
+            # other receiver kinds (records_parquet etc.) keep the
+            # caller-injected pages_stream path working as before
+            if (
+                rc is not None
+                and rc.kind in ("pages_parquet", "pages_stream")
+                and rc.options.get("path")
+            ):
                 source = _build_stream_receiver(spark, rc.kind, rc.options)
                 break
         stages = []
@@ -202,6 +220,7 @@ class StreamingPipeline:
             transform=transform if stages else None,
             lineage_dir=lineage_dir,
             source=source,
+            max_records_per_file=write_cap,
         )
 
     def sink_counts(self) -> dict[str, int]:
@@ -242,7 +261,7 @@ def watch_and_run(
     import threading
     import time
 
-    from ..plans.config import ConfigWatcher, load_config
+    from ..plans.config import ConfigError, ConfigWatcher, load_config
 
     if stop_event is None:
         stop_event = threading.Event()
@@ -251,9 +270,17 @@ def watch_and_run(
 
     def build_and_start():
         cfg = load_config(config_sources, env=env)
-        pname = pipeline if pipeline in cfg.pipelines else cfg.topo_order()[0]
+        if pipeline not in cfg.pipelines:
+            # a reload that renames/removes the watched pipeline is a
+            # validation failure, not an invitation to run a different
+            # pipeline on the same checkpoint (reference reload errors
+            # terminate the run loop, collector.go:228-231)
+            raise ConfigError(
+                f"pipeline {pipeline!r} not in reloaded config "
+                f"(has: {sorted(cfg.pipelines)})"
+            )
         pipe = StreamingPipeline.from_config(
-            spark, cfg, pname, out_root, lineage_dir=lineage_dir
+            spark, cfg, pipeline, out_root, lineage_dir=lineage_dir
         )
         q = pipe.start(
             checkpoint_dir=checkpoint_dir,

@@ -362,3 +362,35 @@ def test_watch_driven_reload_resumes_from_checkpoint(spark, tmp_path):
         .count()
     )
     assert errors_sink.committed_row_count() == new_errors
+
+
+def test_streaming_honors_send_batch_max_size(spark, pages_dir, tmp_path):
+    """The batch processor's send_batch_max_size caps STREAMING output
+    files too (per-write option on the epoch sinks — previously only the
+    batch runner honored it)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_spark.plans.config import load_config
+
+    cfg = f"""
+receivers:
+  pages: {{kind: pages_parquet, path: {pages_dir}}}
+processors:
+  batch: {{send_batch_max_size: 20}}
+exporters:
+  audit: {{kind: parquet, all: true}}
+service:
+  pipelines:
+    logs: {{receivers: [pages], processors: [batch], exporters: [audit]}}
+"""
+    out = str(tmp_path / "sinks")
+    pipe = StreamingPipeline.from_config(spark, load_config(cfg), "logs", out)
+    assert pipe.max_records_per_file == 20
+    q = pipe.start(checkpoint_dir=str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    files = glob.glob(f"{out}/audit/data/epoch=*/part-*.parquet")
+    assert files
+    assert max(pq.read_metadata(f).num_rows for f in files) <= 20
+    assert pipe.sink_counts()["audit"] == _batch_expected(spark, pages_dir)["audit"]
