@@ -6,11 +6,12 @@ row count proportional to the scale factor, plus per-query timings for a
 representative slice of the operator inventory on the driver tables.
 
 Scaling evidence (north_rule: ≥0.8 efficiency between N and 4N executors):
-``--scaling`` re-runs the identical pipeline job in two fresh subprocesses
-pinned to local[8] and local[32] and reports docs/sec at both plus
-efficiency = (T8/T32 throughput ratio)/4. The driver's per-round run gets
-it by default via SPARK_GRAFT_SCALING=1 being the default; set
-SPARK_GRAFT_SCALING=0 to skip.
+the scaling phase re-runs the identical pipeline job in two fresh
+subprocesses pinned to local[2] and local[8] (the pair below the host's
+own virtualization ceiling) and reports docs/sec at both plus
+efficiency = (T8/T2 throughput ratio)/4, retrying until a calm host
+window or three paired samples. Enabled by default; set
+SPARK_GRAFT_SCALING=0 to skip, SPARK_GRAFT_SCALING_FULL=1 to add 8→32.
 
 Usage:
   python bench.py                  # full bench (+ scaling) at $SPARK_GRAFT_SF_DIR
