@@ -20,6 +20,11 @@ loop. The flat LOG_RECORDS_SCHEMA ↔ nested OTLP mapping is a bijection:
 Scale: marshal is one groupBy(resource) shuffle (collect_list of record
 structs per resource — the OTLP batch envelope is inherently grouped);
 unmarshal is a narrow from_json + three explodes. Both stay in codegen.
+
+Unmarshal numeric fields use ``try_cast``, never ``cast``: the session
+runs with ANSI on, and a foreign payload carrying a uint64 above int64
+max (valid proto3 JSON) or a malformed digit string must null-fill the
+field per proto3 defaults, not abort the job.
 """
 
 from __future__ import annotations
@@ -275,7 +280,7 @@ def otlp_json_to_logs(requests: DataFrame, json_col: str = "request_json") -> Da
     )
     return lr.select(
         F.element_at(attrs_map, URL_ATTR).alias("url"),
-        F.col("r.timeUnixNano").cast("long").alias("time_unix_nano"),
+        F.col("r.timeUnixNano").try_cast("long").alias("time_unix_nano"),
         F.timestamp_micros(ns_to_micros(F.col("r.observedTimeUnixNano"))).alias(
             "observed_ts"
         ),
@@ -291,7 +296,7 @@ def otlp_json_to_logs(requests: DataFrame, json_col: str = "request_json") -> Da
             F.element_at(F.col("__res"), "host").alias("host"),
             F.element_at(F.col("__res"), "lang").alias("lang"),
         ).alias("resource"),
-        F.element_at(attrs_map, LINE_NO_ATTR).cast("int").alias("line_no"),
+        F.element_at(attrs_map, LINE_NO_ATTR).try_cast("int").alias("line_no"),
     )
 
 
@@ -477,7 +482,7 @@ def otlp_json_to_spans(requests: DataFrame, json_col: str = "request_json") -> D
     events = F.transform(
         F.col("s.events"),
         lambda e: F.struct(
-            e.getField("timeUnixNano").cast("long").alias("time_unix_nano"),
+            e.getField("timeUnixNano").try_cast("long").alias("time_unix_nano"),
             e.getField("name").alias("name"),
             F.map_from_entries(
                 F.transform(
@@ -514,8 +519,8 @@ def otlp_json_to_spans(requests: DataFrame, json_col: str = "request_json") -> D
         F.coalesce(F.col("s.traceState"), F.lit("")).alias("trace_state"),
         F.col("s.name").alias("name"),
         F.col("s.kind").alias("kind"),
-        F.col("s.startTimeUnixNano").cast("long").alias("start_time_unix_nano"),
-        F.col("s.endTimeUnixNano").cast("long").alias("end_time_unix_nano"),
+        F.col("s.startTimeUnixNano").try_cast("long").alias("start_time_unix_nano"),
+        F.col("s.endTimeUnixNano").try_cast("long").alias("end_time_unix_nano"),
         _kv_array_to_map(F.col("s.attributes")).alias("attributes"),
         F.col("s.status.code").alias("status_code"),
         F.col("s.status.message").alias("status_message"),
@@ -841,16 +846,16 @@ def otlp_json_to_sum_points(requests: DataFrame, json_col: str = "request_json")
         "metric_name",
         "aggregation_temporality",
         "is_monotonic",
-        F.col("p.startTimeUnixNano").cast("long").alias("start_time_unix_nano"),
-        F.col("p.timeUnixNano").cast("long").alias("time_unix_nano"),
+        F.col("p.startTimeUnixNano").try_cast("long").alias("start_time_unix_nano"),
+        F.col("p.timeUnixNano").try_cast("long").alias("time_unix_nano"),
         F.col("p.asDouble").alias("value_double"),
         # the value union's int member (NULL when the point is a double)
-        F.col("p.asInt").cast("long").alias("value_int"),
+        F.col("p.asInt").try_cast("long").alias("value_int"),
         _kv_array_to_map(F.col("p.attributes")).alias("attributes"),
         F.transform(
             F.col("p.exemplars"),
             lambda e: F.struct(
-                e.getField("timeUnixNano").cast("long").alias("time_unix_nano"),
+                e.getField("timeUnixNano").try_cast("long").alias("time_unix_nano"),
                 e.getField("asDouble").alias("value_double"),
                 e.getField("traceId").alias("trace_id"),
                 e.getField("spanId").alias("span_id"),
@@ -899,7 +904,7 @@ def otlp_json_to_gauge_points(
         # integer division: ns epoch → whole seconds (the gauge frame's
         # window_end grain)
         F.call_function(
-            "div", F.col("p.timeUnixNano").cast("long"), F.lit(1_000_000_000)
+            "div", F.col("p.timeUnixNano").try_cast("long"), F.lit(1_000_000_000)
         ).alias("window_end"),
         F.col("p.asDouble").alias("value_double"),
     )
@@ -953,11 +958,11 @@ def otlp_json_to_histogram_points(
         F.lit(METRIC_TYPE["Histogram"]).alias("metric_type"),
         "aggregation_temporality",
         F.element_at(_kv_array_to_map(F.col("p.attributes")), attr_name).alias("attr_key"),
-        F.col("p.count").cast("long").alias("hist_count"),
+        F.col("p.count").try_cast("long").alias("hist_count"),
         F.col("p.sum").alias("hist_sum"),
         F.col("p.min").alias("hist_min"),
         F.col("p.max").alias("hist_max"),
-        F.transform(F.col("p.bucketCounts"), lambda x: x.cast("long")).alias(
+        F.transform(F.col("p.bucketCounts"), lambda x: x.try_cast("long")).alias(
             "hist_bucket_counts"
         ),
         F.col("p.explicitBounds").alias("hist_explicit_bounds"),
@@ -1064,9 +1069,9 @@ def otlp_json_to_exp_histogram_points(
         "aggregation_temporality",
         F.col("p.scale").alias("scale"),
         F.element_at(_kv_array_to_map(F.col("p.attributes")), attr_name).alias("attr_key"),
-        F.col("p.count").cast("long").alias("dp_count"),
+        F.col("p.count").try_cast("long").alias("dp_count"),
         F.col("p.sum").alias("dp_sum"),
-        F.col("p.zeroCount").cast("long").alias("__zero"),
+        F.col("p.zeroCount").try_cast("long").alias("__zero"),
         F.col("p.positive.offset").alias("__offset"),
         F.col("p.positive.bucketCounts").alias("__counts"),
     )
@@ -1085,8 +1090,8 @@ def otlp_json_to_exp_histogram_points(
         F.transform(
             F.col("__counts"),
             lambda c, i: F.struct(
-                (F.col("__offset").cast("long") + i).alias("bucket_index"),
-                c.cast("long").alias("n"),
+                (F.col("__offset").try_cast("long") + i).alias("bucket_index"),
+                c.try_cast("long").alias("n"),
             ),
         ),
         F.when(
@@ -1154,7 +1159,7 @@ def otlp_json_to_summary_points(
         "metric_name",
         F.lit(METRIC_TYPE["Summary"]).alias("metric_type"),
         F.element_at(_kv_array_to_map(F.col("p.attributes")), attr_name).alias("attr_key"),
-        F.col("p.count").cast("long").alias("summary_count"),
+        F.col("p.count").try_cast("long").alias("summary_count"),
         F.col("p.sum").alias("summary_sum"),
         F.explode("p.quantileValues").alias("q"),
     )

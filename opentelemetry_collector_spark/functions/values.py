@@ -88,7 +88,9 @@ def as_string(col: Column, dtype: T.DataType) -> Column:
     if isinstance(dtype, T.StringType):
         return col
     if isinstance(dtype, T.BooleanType):
-        return F.when(col, F.lit("true")).otherwise(F.lit("false"))
+        # two .when()s, not .otherwise(): NULL must stay NULL like every
+        # other branch, not become a fabricated "false"
+        return F.when(col, F.lit("true")).when(~col, F.lit("false"))
     if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
         return col.cast("string")
     if isinstance(dtype, (T.FloatType, T.DoubleType)):

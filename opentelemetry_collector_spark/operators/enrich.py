@@ -69,8 +69,15 @@ def enrich_lang_family(records: DataFrame, lkp_lang: DataFrame) -> DataFrame:
     attributesprocessor insert-from-lookup analog."""
     dim = F.broadcast(lkp_lang)
     joined = records.join(dim, records["resource.lang"] == dim["lang"], "left")
+    # drop any pre-existing lang_family/rtl keys first: map_concat with a
+    # duplicate key aborts the job under mapKeyDedupPolicy=EXCEPTION (a kv
+    # log line like 'lang_family=x' puts one in attributes), and the
+    # enrichment should overwrite, matching ottl.py's set() semantics
     new_attrs = F.map_concat(
-        F.col("attributes"),
+        F.map_filter(
+            F.col("attributes"),
+            lambda k, _: (k != F.lit("lang_family")) & (k != F.lit("rtl")),
+        ),
         F.map_from_entries(
             F.filter(
                 F.array(

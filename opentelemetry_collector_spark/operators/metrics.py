@@ -189,7 +189,7 @@ def histogram_points(
     events: DataFrame,
     key_col: str = "event_type",
     value_col: str = "value",
-    bounds: tuple[float, ...] = (1.0, 2.0, 5.0, 10.0, 20.0, 50.0, 100.0),
+    bounds: tuple[float, ...] = DEFAULT_HIST_BOUNDS,
 ) -> DataFrame:
     """Explicit-bounds Histogram data points per key
     (generated_metric.go Histogram accessors; OTLP bucket semantics:

@@ -591,5 +591,8 @@ def compile_condition(text: str, attributes_col: str = "attributes") -> Column:
     """Compile a bare OTTL boolean expression (router predicates,
     filterprocessor-style conditions) to a Column."""
     comp = OTTLCompiler(attributes_col)
-    node = _Parser(_tokenize(text)).parse_or()
+    parser = _Parser(_tokenize(text))
+    node = parser.parse_or()
+    if parser.peek() is not None:
+        raise OTTLSyntaxError(f"trailing tokens: {parser.peek().text!r}")
     return comp.to_column(comp.expr(node))

@@ -149,10 +149,24 @@ def _parse_lines_sql(lines: DataFrame, hot_columns: bool = False) -> DataFrame:
     kv_entries = F.zip_with(
         kv_keys, kv_vals, lambda k, v: F.struct(k.alias("key"), v.alias("value"))
     )
+    # Last-wins fold instead of map_from_entries: a repeated key ("a=1 a=2")
+    # would abort the job under the session's mapKeyDedupPolicy=EXCEPTION
+    # default, while the Arrow engine's dict comprehension silently
+    # last-wins — the fold makes both engines last-win.  kv_entries is
+    # referenced once (aggregate input), so no lambda-CSE recompute.
+    empty_attrs = F.map_from_entries(F.array().cast("array<struct<key:string,value:string>>"))
+    kv_map = F.aggregate(
+        kv_entries,
+        empty_attrs,
+        lambda acc, x: F.map_concat(
+            F.map_filter(acc, lambda k, _: k != x.getField("key")),
+            F.create_map(x.getField("key"), x.getField("value")),
+        ),
+    )
     attributes = (
         F.when(is_access, F.map_from_entries(access_entries))
         .when(is_applog, F.map_from_entries(applog_entries))
-        .when(is_kv, F.map_from_entries(kv_entries))
+        .when(is_kv, kv_map)
         .otherwise(F.map_from_entries(F.array().cast("array<struct<key:string,value:string>>")))
     )
 
@@ -202,6 +216,7 @@ _TRACE_CRE = re.compile(TRACE_ID_RE, re.ASCII)
 _SPAN_CRE = re.compile(SPAN_ID_RE, re.ASCII)
 _KV_CRE = re.compile(KV_RE, re.ASCII)
 _KV_PAIR_CRE = re.compile(r'(\w+)=("[^"]*"|\S*)', re.ASCII)
+_UNQUOTE_CRE = re.compile(r'^"|"$')
 
 
 def _parse_chunk_pandas(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -226,7 +241,10 @@ def _parse_chunk_pandas(pdf: pd.DataFrame) -> pd.DataFrame:
     if is_applog.any():
         ts.loc[is_applog] = pd.to_datetime(app.loc[is_applog, 0], errors="coerce", utc=True)
     nano_raw = ts.fillna(pd.Timestamp(0, tz="UTC")).astype("int64")
-    nano = nano_raw.where(ts.notna(), 0).astype("int64")
+    # truncate to whole microseconds: the SQL engine goes through
+    # unix_micros()*1000, so sub-µs fractional digits (7+ in the line)
+    # must not survive here either — engine byte-parity
+    nano = (nano_raw // 1000 * 1000).where(ts.notna(), 0).astype("int64")
 
     sev_text = lvl.where(is_applog, "").fillna("")
     sev_num = sev_text.map(SEVERITY_NUMBER).fillna(0).astype("int32")
@@ -241,7 +259,9 @@ def _parse_chunk_pandas(pdf: pd.DataFrame) -> pd.DataFrame:
             m = _APPLOG_FULL_CRE.match(s)
             return {"component": m.group(3)}
         if is_kv.iat[i]:
-            return {k: v.strip('"') for k, v in _KV_PAIR_CRE.findall(s)}
+            # _UNQUOTE_CRE, not str.strip('"'): the SQL engine strips at
+            # most ONE quote per end ('^"|"$'), so 'abc""' → 'abc"'
+            return {k: _UNQUOTE_CRE.sub("", v) for k, v in _KV_PAIR_CRE.findall(s)}
         return {}
 
     attributes = [_attrs(i) for i in range(len(pdf))]

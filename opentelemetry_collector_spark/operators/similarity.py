@@ -49,7 +49,9 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """NULL (not an ANSI DIVIDE_BY_ZERO abort) when either vector has zero
+    norm — a failed/padded all-zero embedding must not kill the job."""
+    return dot(a, b) / F.nullif(norm(a) * norm(b), F.lit(0.0))
 
 
 def _cosine_pre(a: Column, b: Column, na: Column, nb: Column) -> Column:
@@ -57,8 +59,9 @@ def _cosine_pre(a: Column, b: Column, na: Column, nb: Column) -> Column:
     vector's norm once per row before the join, so a pair costs one dot
     fold instead of three (norms are the same fold as the dot — computing
     them per pair tripled the O(n²) verifier's work). Numerically
-    identical to :func:`cosine`: same fold order, same division shape."""
-    return dot(a, b) / (na * nb)
+    identical to :func:`cosine`: same fold order, same division shape,
+    same NULL-on-zero-norm guard."""
+    return dot(a, b) / F.nullif(na * nb, F.lit(0.0))
 
 
 def cosine_topk(
@@ -97,6 +100,9 @@ def cosine_topk(
             F.round(sim, 6).alias("__sim6"),
             F.round(sim, 4).alias("sim"),
         )
+        # zero-norm vectors yield NULL sim; drop them here or the struct
+        # sort below would place NULL first and fake a rank-1 hit
+        .where(F.col("__sim6").isNotNull())
     )
     # partial top-k per map partition (no data-dependent skew: partition id
     # is the salt), then final top-k — both via sort_array over small arrays
@@ -300,6 +306,7 @@ def ivf_topk(
             F.round(sim, 6).alias("__sim6"),
             F.round(sim, 4).alias("sim"),
         )
+        .where(F.col("__sim6").isNotNull())
     )
     wq = Window.partitionBy(query_id_col).orderBy(
         F.col("__sim6").desc(), F.col(id_col).asc()

@@ -115,3 +115,117 @@ def test_connected_components_nonconvergence_raises(spark):
     # and with enough rounds it converges to the single min label
     labels = connected_components(pairs, max_iters=20).collect()
     assert {r["label"] for r in labels} == {0}
+
+
+# --- r3 review findings ------------------------------------------------------
+
+
+def test_enrich_lang_family_overwrites_existing_keys(spark):
+    """A kv log line like 'lang_family=x rtl=y' puts those keys into
+    attributes before enrichment; map_concat on the duplicate would abort
+    the job under the session's mapKeyDedupPolicy=EXCEPTION default.
+    Enrichment must overwrite instead (ottl set() semantics)."""
+    from opentelemetry_collector_spark.operators.enrich import enrich_lang_family
+
+    records = spark.createDataFrame(
+        [({"lang_family": "stale", "rtl": "maybe", "k": "v"}, ("h", "en"))],
+        "attributes map<string,string>, resource struct<host:string,lang:string>",
+    )
+    dim = spark.createDataFrame(
+        [("en", "indo-european", False)],
+        "lang string, lang_family string, rtl boolean",
+    )
+    out = enrich_lang_family(records, dim).collect()[0]["attributes"]
+    assert out == {"lang_family": "indo-european", "rtl": "false", "k": "v"}
+
+
+def test_cosine_zero_norm_is_null_not_error(spark):
+    """ANSI mode is on: x/0.0 aborts the job. A zero-norm (all-zero)
+    embedding must yield NULL cosine, not a DIVIDE_BY_ZERO."""
+    from opentelemetry_collector_spark.operators.similarity import cosine
+
+    df = spark.createDataFrame(
+        [([0.0, 0.0], [1.0, 2.0]), ([1.0, 0.0], [1.0, 0.0])],
+        "a array<double>, b array<double>",
+    )
+    got = [r["c"] for r in df.select(cosine(F.col("a"), F.col("b")).alias("c")).collect()]
+    assert got[0] is None
+    assert got[1] == pytest.approx(1.0)
+
+
+def test_cosine_topk_skips_zero_norm_vectors(spark):
+    """A degenerate all-zero corpus vector must neither abort the job nor
+    surface as a fake rank-1 hit (NULL would sort first in the top-k
+    struct sort)."""
+    from opentelemetry_collector_spark.operators.similarity import cosine_topk
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [0.8, 0.6])],
+        "vec_id long, embedding array<double>",
+    )
+    q = spark.createDataFrame([(10, [1.0, 0.0])], "query_id long, embedding array<double>")
+    rows = cosine_topk(emb, q, k=3).orderBy("rank").collect()
+    assert [r["vec_id"] for r in rows] == [1, 3]  # vec 2 skipped entirely
+
+
+def test_as_string_null_bool_stays_null(spark):
+    """NULL boolean → NULL string, not a fabricated 'false' (every other
+    as_string branch preserves NULL)."""
+    from opentelemetry_collector_spark.functions.values import as_string
+
+    df = spark.createDataFrame([(None,), (True,), (False,)], "b boolean")
+    got = [
+        r["s"]
+        for r in df.select(as_string(F.col("b"), T.BooleanType()).alias("s")).collect()
+    ]
+    assert got == [None, "true", "false"]
+
+
+def test_compile_condition_rejects_trailing_tokens(spark):
+    """'a == 1 b == 2' (missing 'and') must raise, not silently compile to
+    just the first comparison and mis-route records."""
+    from opentelemetry_collector_spark.operators.ottl import (
+        OTTLSyntaxError,
+        compile_condition,
+    )
+
+    with pytest.raises(OTTLSyntaxError, match="trailing"):
+        compile_condition('severity_number >= 17 severity_number == 1')
+    compile_condition("severity_number >= 17 and severity_number <= 20")  # still fine
+
+
+def test_otlp_json_unmarshal_nullfills_uint64_overflow(spark):
+    """A foreign payload with timeUnixNano above int64 max (valid proto3
+    JSON uint64) null-fills the field instead of aborting the ANSI cast."""
+    from opentelemetry_collector_spark.functions.otlp_json import (
+        logs_to_otlp_json,
+        otlp_json_to_logs,
+    )
+    from opentelemetry_collector_spark.schemas import LOG_RECORDS_SCHEMA
+
+    row = {
+        "url": "https://example.com/a",
+        "time_unix_nano": 1700000000000000000,
+        "observed_ts": __import__("datetime").datetime(2026, 1, 10, 9, 30, 15),
+        "severity_number": 9,
+        "severity_text": "INFO",
+        "body": "b",
+        "attributes": {"k": "v"},
+        "trace_id": "a" * 32,
+        "span_id": "b" * 16,
+        "flags": 1,
+        "dropped_attributes_count": 0,
+        "resource": {"host": "example.com", "lang": "en"},
+        "line_no": 1,
+    }
+    marshaled = logs_to_otlp_json(spark.createDataFrame([row], LOG_RECORDS_SCHEMA))
+    poisoned = marshaled.select(
+        F.regexp_replace(
+            "request_json", '"timeUnixNano":"1700000000000000000"',
+            '"timeUnixNano":"18446744073709551615"',
+        ).alias("request_json")
+    )
+    out = otlp_json_to_logs(poisoned).collect()
+    assert len(out) == 1
+    assert out[0]["time_unix_nano"] is None
+    assert out[0]["body"] == "b"

@@ -166,3 +166,41 @@ def test_engines_agree_on_unicode_wordlike_chars(spark):
     got_sql = canon(parse_pages(pages, engine="sql"))
     got_arrow = canon(parse_pages(pages, engine="arrow"))
     assert got_sql == got_arrow
+
+
+def test_engines_agree_on_r3_review_edges(spark):
+    """Pinned r3 review divergences: duplicate kv keys (DUPLICATED_MAP_KEY
+    abort in the SQL engine's map_from_entries), multi-quote value tails
+    (one-quote-per-end strip vs str.strip('"')), and 7-digit fractional
+    seconds (ns-precision pandas vs µs-precision unix_micros)."""
+    import datetime as dt
+
+    from opentelemetry_collector_spark.schemas import PAGES_SCHEMA
+
+    text = "\n".join(
+        [
+            "a=1 a=2 b=3",
+            'k=abc"" q="x"',
+            "2024-01-01T00:00:00.1234567Z INFO [comp-1] msg",
+            'dup=x dup="x y" dup=z',
+        ]
+    )
+    pages = spark.createDataFrame(
+        [("https://host0001.example.com/p/0", dt.datetime(2024, 1, 1), None, text, "en")],
+        PAGES_SCHEMA,
+    )
+    cols = [
+        "url", "line_no", "time_unix_nano", "severity_number", "severity_text",
+        "body", "trace_id", "span_id",
+        F.to_json("attributes").alias("attrs"), F.to_json("resource").alias("res"),
+    ]
+    a = parse_pages(pages, engine="sql").select(cols)
+    b = parse_pages(pages, engine="arrow").select(cols)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+    rows = {r["body"]: r for r in parse_pages(pages, engine="sql").collect()}
+    assert rows["a=1 a=2 b=3"]["attributes"] == {"a": "2", "b": "3"}  # last wins
+    assert rows['k=abc"" q="x"']["attributes"] == {"k": 'abc"', "q": "x"}
+    assert rows["dup=x dup=\"x y\" dup=z"]["attributes"] == {"dup": "z"}
+    assert rows["2024-01-01T00:00:00.1234567Z INFO [comp-1] msg"]["time_unix_nano"] % 1000 == 0

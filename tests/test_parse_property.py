@@ -37,6 +37,11 @@ _EDGES = st.sampled_from(
         'key1=val key2="quoted val" status=7',
         'key1= key2=""',
         "a=b c=d=e",
+        # r3 review edges: duplicate keys (last-wins fold, not
+        # map_from_entries), multi-quote tails, sub-µs fractional seconds
+        "a=1 a=2 b=3",
+        'k=abc"" q="x"',
+        "2024-01-01T00:00:00.1234567Z INFO [comp-1] msg",
         "\x01",
         "line with \x01 delimiter inside",
         '1.2.3.4 - - [01/Jan/2024:00:00:00 +0000] "GET /\x01 HTTP/1.1" 200 1',
