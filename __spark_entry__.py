@@ -906,6 +906,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["contamination_overlap"] = contamination_q
 
+    def pii_redact_q(spark, sf):  # PII scrub: counts + redacted digest
+        from opentelemetry_collector_spark.operators.redact import redact_pii
+
+        # the synthetic corpus has no PII, so the query plants a
+        # deterministic email/IP/phone per doc (same expression in the
+        # oracle) and verifies counts + the redacted text's digest
+        docs = _t(spark, sf, "documents").select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.lit(" contact u"),
+                F.col("doc_id").cast("string"),
+                F.lit("@mail.example.com from 10."),
+                (F.col("doc_id") % 200).cast("string"),
+                F.lit(".0."),
+                (F.col("doc_id") % 250).cast("string"),
+                F.lit(" call +1 555-012-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ).alias("text"),
+        )
+        out = redact_pii(docs)
+        return out.select(
+            "doc_id", "n_emails", "n_ips", "n_phones",
+            F.md5(F.col("clean_text")).alias("clean_digest"),
+        )
+
+    q["pii_redact"] = pii_redact_q
+
+    def blocklist_q(spark, sf):  # domain-deny broadcast anti-join
+        from opentelemetry_collector_spark.operators.urls import (
+            filter_blocked_hosts,
+            url_host,
+        )
+
+        pages = pages_from_documents(_t(spark, sf, "documents"))
+        hosts = pages.select(url_host(F.col("url")).alias("host")).distinct()
+        blocked = hosts.where(
+            F.substring(F.md5(F.concat(F.lit("block:"), F.col("host"))), 1, 1).isin(
+                "0", "1", "2", "3"
+            )
+        )
+        kept = filter_blocked_hosts(pages, blocked)
+        return kept.select(
+            F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("long").alias("doc_id"),
+            "host",
+        )
+
+    q["blocklist_filter"] = blocklist_q
+
     def emb_neardup(spark, sf):
         return sim_ops.cosine_pairs(_t(spark, sf, "embeddings"), threshold=0.45)
 
@@ -1501,6 +1550,36 @@ SELECT d.doc_id,
        THEN round(p.n_contaminated::DOUBLE / p.n_shingles, 4)
        ELSE 0.0 END AS contamination_frac
 FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+"""
+    # byte-identical regexes (RE2 ∩ java.util.regex subset, redact.py);
+    # DuckDB needs the 'g' flag for replace-all and counts via
+    # len(regexp_extract_all)
+    o["pii_redact"] = r"""
+WITH aug AS (
+  SELECT doc_id,
+    text || ' contact u' || CAST(doc_id AS VARCHAR) || '@mail.example.com from 10.'
+         || CAST(doc_id % 200 AS VARCHAR) || '.0.' || CAST(doc_id % 250 AS VARCHAR)
+         || ' call +1 555-012-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+  FROM documents
+)
+SELECT doc_id,
+  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::INT AS n_emails,
+  len(regexp_extract_all(text, '\b(?:\d{1,3}\.){3}\d{1,3}\b'))::INT AS n_ips,
+  len(regexp_extract_all(text, '\+\d{1,3}[ .-]?\(?\d{1,4}\)?[ .-]?\d{3,4}[ .-]?\d{3,4}'))::INT AS n_phones,
+  md5(regexp_replace(regexp_replace(regexp_replace(text,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+      '\+\d{1,3}[ .-]?\(?\d{1,4}\)?[ .-]?\d{3,4}[ .-]?\d{3,4}', '<PHONE>', 'g')) AS clean_digest
+FROM aug
+"""
+    o["blocklist_filter"] = """
+WITH p AS (
+  SELECT doc_id, lower(source || '.example.com') AS host FROM documents
+), b AS (
+  SELECT DISTINCT host FROM p
+  WHERE substr(md5('block:' || host), 1, 1) IN ('0','1','2','3')
+)
+SELECT doc_id, host FROM p WHERE host NOT IN (SELECT host FROM b)
 """
     o["embedding_neardup"] = _EMB_NEARDUP_SQL
     o["ann_topk_bruteforce"] = _ANN_TOPK_SQL

@@ -136,6 +136,7 @@ BENCH_QUERIES = [
     "repetition_signals",
     "quality_score",
     "token_count",
+    "pii_redact",
 ]
 
 

@@ -40,6 +40,23 @@ def registered_domain(host: Column, levels: int = 2) -> Column:
     )
 
 
+def filter_blocked_hosts(
+    pages: DataFrame, blocked: DataFrame, url_col: str = "url", host_col: str = "host"
+) -> DataFrame:
+    """Drop every page whose URL host appears in the blocklist dim —
+    the domain-deny stage of corpus curation (the reference's filter
+    processor is the same drop-matching-records shape, SURVEY §2 P9).
+
+    Broadcast LEFT ANTI join: the blocklist (even at ~10⁶ hosts, a few
+    tens of MB) ships to every executor, so the 100 TB side is filtered
+    map-side with zero shuffle of page data. Output keeps the page
+    columns plus the extracted ``host``.
+    """
+    blk = F.broadcast(blocked.select(F.col(host_col).alias("host")).distinct())
+    with_host = pages.select("*", url_host(F.col(url_col)).alias("host"))
+    return with_host.join(blk, "host", "left_anti")
+
+
 def host_stats(
     pages: DataFrame, url_col: str = "url", text_col: str = "text", lang_col: str = "lang"
 ) -> DataFrame:

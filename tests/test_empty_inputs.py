@@ -147,3 +147,15 @@ def test_chunk_dedup_short_and_empty_text(spark):
     got = {r["doc_id"]: r for r in chunk_dedup(df, k=8).collect()}
     assert set(got) == {3}
     assert got[3]["n_chunks"] == 1
+
+
+def test_redact_and_blocklist_empty(spark, empty_docs):
+    from opentelemetry_collector_spark.operators.redact import redact_pii
+    from opentelemetry_collector_spark.operators.urls import filter_blocked_hosts
+
+    assert redact_pii(empty_docs).count() == 0
+    empty_pages = spark.createDataFrame([], "url string, text string, lang string")
+    no_block = spark.createDataFrame([], "host string")
+    assert filter_blocked_hosts(empty_pages, no_block).count() == 0
+    some_block = spark.createDataFrame([("x",)], "host string")
+    assert filter_blocked_hosts(empty_pages, some_block).count() == 0

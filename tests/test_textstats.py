@@ -199,3 +199,53 @@ def test_contamination_overlap_flags_benchmark_copies(spark):
     assert got[2]["contamination_frac"] == 0.0
     assert 0.0 < got[3]["contamination_frac"] < 1.0
     assert got[4]["n_shingles"] == 0 and got[4]["contamination_frac"] == 0.0
+
+
+def test_redact_pii(spark):
+    from opentelemetry_collector_spark.operators.redact import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@sub.example.org now"),
+            (2, "server at 10.0.255.3 and 192.168.1.1 up"),
+            (3, "call +44 (020) 7946-0958 or +1 555-012-3456"),
+            (4, "nothing here in 2024, not 1.2 nor v1.2.3"),
+            (5, "u@10.0.0.1.example.net mixed"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert out[1]["clean_text"] == "mail <EMAIL> now"
+    assert (out[1]["n_emails"], out[1]["n_ips"], out[1]["n_phones"]) == (1, 0, 0)
+    assert out[2]["clean_text"] == "server at <IP> and <IP> up"
+    assert out[2]["n_ips"] == 2
+    assert out[3]["clean_text"] == "call <PHONE> or <PHONE>"
+    assert out[3]["n_phones"] == 2
+    assert out[4]["clean_text"] == out[4]["text"]  # prose digits untouched
+    assert (out[4]["n_emails"], out[4]["n_ips"], out[4]["n_phones"]) == (0, 0, 0)
+    # email redacted FIRST, so its IP-shaped host never leaks an <IP> token
+    assert out[5]["clean_text"] == "<EMAIL> mixed"
+
+
+def test_filter_blocked_hosts_broadcast_anti(spark):
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_spark.operators.urls import filter_blocked_hosts
+
+    pages = spark.createDataFrame(
+        [
+            ("https://spam.example.com/a", "x", "en"),
+            ("https://Spam.example.com/b", "y", "en"),
+            ("https://good.example.org/c", "z", "de"),
+        ],
+        "url string, text string, lang string",
+    )
+    blocked = spark.createDataFrame([("spam.example.com",)], "host string")
+    kept = filter_blocked_hosts(pages, blocked)
+    rows = kept.collect()
+    assert [r["host"] for r in rows] == ["good.example.org"]
+    assert set(kept.columns) == {"url", "text", "lang", "host"}
+    # scale contract: anti join broadcasts the blocklist; the page side
+    # must not hash-shuffle
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
