@@ -941,7 +941,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
         pages = pages_from_documents(_t(spark, sf, "documents"))
-        hosts = pages.select(url_host(F.col("url")).alias("host")).distinct()
+        # no .distinct() here: filter_blocked_hosts dedups the dim itself
+        hosts = pages.select(url_host(F.col("url")).alias("host"))
         blocked = hosts.where(
             F.substring(F.md5(F.concat(F.lit("block:"), F.col("host"))), 1, 1).isin(
                 "0", "1", "2", "3"

@@ -109,8 +109,12 @@ def ns_to_micros(col: Column) -> Column:
     off by 1 µs after truncation — which would break the documented
     lossless round-trip (pdata Timestamp is uint64 ns,
     pdata/pcommon/timestamp.go:21-24) and golden-text byte parity.
+
+    try_cast, not cast: unmarshal paths feed proto3 uint64 strings here,
+    and a foreign value above int64 max must null-fill the timestamp
+    (like every other unmarshal field), not abort the ANSI cast.
     """
-    return F.call_function("div", col.cast("long"), F.lit(1000))
+    return F.call_function("div", col.try_cast("long"), F.lit(1000))
 
 
 # Log-record flags: uint32 bitfield, bit 0 = sampled

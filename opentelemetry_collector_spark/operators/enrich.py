@@ -69,11 +69,13 @@ def enrich_lang_family(records: DataFrame, lkp_lang: DataFrame) -> DataFrame:
     attributesprocessor insert-from-lookup analog."""
     dim = F.broadcast(lkp_lang)
     joined = records.join(dim, records["resource.lang"] == dim["lang"], "left")
-    # drop any pre-existing lang_family/rtl keys first: map_concat with a
-    # duplicate key aborts the job under mapKeyDedupPolicy=EXCEPTION (a kv
-    # log line like 'lang_family=x' puts one in attributes), and the
-    # enrichment should overwrite, matching ottl.py's set() semantics
-    new_attrs = F.map_concat(
+    # On a lookup HIT, drop any pre-existing lang_family/rtl keys before
+    # the concat: map_concat with a duplicate key aborts the job under
+    # mapKeyDedupPolicy=EXCEPTION (a kv log line like 'lang_family=x'
+    # puts one in attributes), and the enrichment should overwrite —
+    # ottl.py's set() semantics. On a MISS the attributes pass through
+    # untouched (set(nil) is a no-op; existing keys must survive).
+    concat_attrs = F.map_concat(
         F.map_filter(
             F.col("attributes"),
             lambda k, _: (k != F.lit("lang_family")) & (k != F.lit("rtl")),
@@ -92,6 +94,9 @@ def enrich_lang_family(records: DataFrame, lkp_lang: DataFrame) -> DataFrame:
                 lambda s: s.getField("value").isNotNull(),
             )
         ),
+    )
+    new_attrs = F.when(dim["lang"].isNotNull(), concat_attrs).otherwise(
+        F.col("attributes")
     )
     cols = [F.col(c) for c in records.columns if c != "attributes"]
     return joined.select(*cols, new_attrs.alias("attributes")).select(*records.columns)

@@ -167,7 +167,7 @@ def _parse_lines_sql(lines: DataFrame, hot_columns: bool = False) -> DataFrame:
         F.when(is_access, F.map_from_entries(access_entries))
         .when(is_applog, F.map_from_entries(applog_entries))
         .when(is_kv, kv_map)
-        .otherwise(F.map_from_entries(F.array().cast("array<struct<key:string,value:string>>")))
+        .otherwise(empty_attrs)
     )
 
     # trace/span ids live in the applog tail — run the small regexes on the

@@ -138,6 +138,15 @@ def test_enrich_lang_family_overwrites_existing_keys(spark):
     out = enrich_lang_family(records, dim).collect()[0]["attributes"]
     assert out == {"lang_family": "indo-european", "rtl": "false", "k": "v"}
 
+    # lookup MISS: set(nil) is a no-op — pre-existing keys must SURVIVE,
+    # not be stripped with nothing to replace them
+    miss = spark.createDataFrame(
+        [({"lang_family": "kept", "k": "v"}, ("h", "zz"))],
+        "attributes map<string,string>, resource struct<host:string,lang:string>",
+    )
+    out_miss = enrich_lang_family(miss, dim).collect()[0]["attributes"]
+    assert out_miss == {"lang_family": "kept", "k": "v"}
+
 
 def test_cosine_zero_norm_is_null_not_error(spark):
     """ANSI mode is on: x/0.0 aborts the job. A zero-norm (all-zero)
@@ -221,11 +230,16 @@ def test_otlp_json_unmarshal_nullfills_uint64_overflow(spark):
     marshaled = logs_to_otlp_json(spark.createDataFrame([row], LOG_RECORDS_SCHEMA))
     poisoned = marshaled.select(
         F.regexp_replace(
-            "request_json", '"timeUnixNano":"1700000000000000000"',
-            '"timeUnixNano":"18446744073709551615"',
+            F.regexp_replace(
+                "request_json", '"timeUnixNano":"1700000000000000000"',
+                '"timeUnixNano":"18446744073709551615"',
+            ),
+            '"observedTimeUnixNano":"[0-9]+"',
+            '"observedTimeUnixNano":"18446744073709551615"',
         ).alias("request_json")
     )
     out = otlp_json_to_logs(poisoned).collect()
     assert len(out) == 1
     assert out[0]["time_unix_nano"] is None
+    assert out[0]["observed_ts"] is None  # ns_to_micros try_casts too
     assert out[0]["body"] == "b"

@@ -156,7 +156,7 @@ _PLAN_SHUFFLE_BUDGET = {
     "repetition_signals": 0,  # pure narrow array expressions
     "url_host_stats": 2,  # count-distinct expands to two aggregates
     "pii_redact": 0,  # narrow regex projection, scan speed
-    "blocklist_filter": 2,  # blocklist-side distincts only; pages never shuffle
+    "blocklist_filter": 1,  # blocklist-side distinct only; pages never shuffle
     "sample_stratified": 1,  # rank window per group
     "contamination_overlap": 2,  # bench distinct agg + per-doc agg (bench broadcast)
     "embedding_neardup": 0,  # broadcast nested-loop cross join
