@@ -103,9 +103,13 @@ def _expand_str(s: str, env: dict[str, str], strict_env: bool, depth: int):
         raise ConfigError("too many recursive expansions in config value")
 
     # whole-string URI keeps the retrieved value's type (resolver
-    # expandValueRecursively: a value that IS one URI resolves typed)
-    m = _EMBEDDED_URI_RE.fullmatch(s)
-    if m:
+    # expandValueRecursively: a value that IS one URI resolves typed).
+    # match()+end check, NOT fullmatch(): under fullmatch the lazy value
+    # group is forced to absorb the rest of the string, so
+    # "${env:A}${env:B}" would parse as ONE uri with value "A}${env:B"
+    # instead of two adjacent references.
+    m = _EMBEDDED_URI_RE.match(s)
+    if m and m.end() == len(s):
         got = _retrieve(m.group(1), m.group(2), env, strict_env)
         return _expand_value(got, env, strict_env, depth + 1)
 
@@ -143,12 +147,19 @@ def _expand_value(v, env: dict[str, str], strict_env: bool, depth: int = 0):
 
 def _merge_maps(base: dict, overlay: dict) -> dict:
     """Conf.Merge semantics: nested maps merge key-wise (overlay wins on
-    conflicts), every other value type overrides wholesale."""
+    conflicts), every other value type overrides wholesale.
+
+    Overlay values are deep-copied on insert: a caller-supplied dict source
+    must never be aliased into the merged tree, where a later source's merge
+    (or the caller mutating its own dict) would silently edit both — the
+    watcher re-resolves the same source objects every poll."""
+    import copy
+
     for k, v in overlay.items():
         if isinstance(v, dict) and isinstance(base.get(k), dict):
             _merge_maps(base[k], v)
         else:
-            base[k] = v
+            base[k] = copy.deepcopy(v)
     return base
 
 
@@ -350,7 +361,9 @@ class ConfigWatcher:
 
         try:
             resolved = self._resolve()
-        except ConfigError:
+        except (ConfigError, OSError):
+            # OSError: the root file itself can vanish/reappear mid-flip
+            # (editor rename dance) between the exists() check and open()
             prev = self._last_digest if hasattr(self, "_last_digest") else ""
             return prev, None
         digest = hashlib.sha256(

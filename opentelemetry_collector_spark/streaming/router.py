@@ -37,6 +37,21 @@ from .sinks import IdempotentParquetSink
 SINKS_COL = "__sinks"
 
 
+def _stack_sinks(names: Sequence[str]) -> Column:
+    """Unpivot per-sink count columns to (sink, n) rows. Sink names are
+    collector component ids like ``type/instance`` (or anything else a
+    config names) — the literal is quote-escaped and the column reference
+    backtick-quoted so such names don't break the ``stack()`` SQL."""
+    parts = []
+    for s in names:
+        lit = s.replace("'", "''")
+        ident = s.replace("`", "``")
+        parts.append(f"'{lit}', `{ident}`")
+    return F.expr("stack({n}, {args})".format(n=len(names), args=", ".join(parts))).alias(
+        "sink", "n"
+    )
+
+
 @dataclass
 class Route:
     name: str
@@ -100,13 +115,7 @@ class FanoutRouter:
             for r in self.routes
         ]
         wide = assigned.agg(*aggs)
-        names = [r.name for r in self.routes]
-        stack = F.expr(
-            "stack({n}, {args})".format(
-                n=len(names), args=", ".join(f"'{s}', {s}" for s in names)
-            )
-        ).alias("sink", "n")
-        return wide.select(stack)
+        return wide.select(_stack_sinks([r.name for r in self.routes]))
 
     def membership(self, records: DataFrame) -> dict[str, Column]:
         """Per-route boolean membership columns (no array allocation)."""
@@ -139,14 +148,9 @@ class FanoutRouter:
         ]
         wide = records.groupBy(*group_cols).agg(*aggs)
         names = list(members)
-        stack = F.expr(
-            "stack({n}, {args})".format(
-                n=len(names),
-                args=", ".join(f"'{s}', {s}" for s in names),
-            )
-        ).alias("sink", "n")
-        keep = [c for c in wide.columns if c not in names]
-        return wide.select(*keep, stack).where(F.col("n") > 0)
+        # wide[c] (not F.col) so group columns with dots/slashes resolve
+        keep = [wide[c] for c in wide.columns if c not in names]
+        return wide.select(*keep, _stack_sinks(names)).where(F.col("n") > 0)
 
     # -- write strategies ---------------------------------------------------
 

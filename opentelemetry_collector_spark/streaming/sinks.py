@@ -167,9 +167,17 @@ class RetryingSink:
     (queued_retry.go:353-449).
 
     ``push`` is any callable ``(df, epoch_id) -> int``. On RetryableError:
-    exponential backoff (honoring throttle_delay overrides), shrink to the
-    failed subset when the error names one (signalerrors.go:56-69), give up
-    after max_elapsed_time. On PermanentError: drop immediately.
+    exponential backoff (honoring throttle_delay overrides), give up after
+    max_elapsed_time. On PermanentError: drop immediately.
+
+    ``supports_partial`` gates the failed-subset shrink (signalerrors.go:
+    56-69 / OTLP partial success): only a push target that DURABLY keeps
+    the succeeded subset across a failed request (a remote receiver that
+    acked part of the batch) may retry just ``failed_predicate`` rows. For
+    an overwrite-per-epoch sink like IdempotentParquetSink a failed attempt
+    leaves nothing durable (the commit marker never landed), so shrinking
+    would silently drop the "succeeded" rows — the default retries the
+    full batch and ignores the predicate.
     """
 
     def __init__(
@@ -178,12 +186,14 @@ class RetryingSink:
         policy: RetryPolicy | None = None,
         name: str = "sink",
         sleep: Callable[[float], None] = time.sleep,
+        supports_partial: bool = False,
     ):
         self.push = push
         self.policy = policy or RetryPolicy()
         self.name = name
         self.stats = SinkStats()
         self._sleep = sleep
+        self.supports_partial = supports_partial
 
     def send(self, df: DataFrame, epoch_id: int = 0) -> int:
         start = time.monotonic()
@@ -202,8 +212,9 @@ class RetryingSink:
                     raise
                 if not isinstance(exc, RetryableError):
                     raise
-                if exc.failed_predicate is not None:
-                    # retry only the failed subset (OnError shrink)
+                if exc.failed_predicate is not None and self.supports_partial:
+                    # retry only the failed subset (OnError shrink) — only
+                    # when the target durably kept the succeeded rows
                     current = current.filter(exc.failed_predicate)
                 delay = next(schedule)
                 if exc.throttle_delay > 0:

@@ -74,14 +74,15 @@ def _summary_row(trace_id: str, n: int, errs: int, start: int, end: int) -> pd.D
 def assemble_traces(
     spans: DataFrame,
     gap: str = "10 minutes",
-    watermark_delay: str = "0 seconds",
     ts_col: str = "event_ts",
 ) -> DataFrame:
     """Streaming spans → completed-trace summaries.
 
     ``spans`` must be a streaming frame with SPANS_SCHEMA columns plus an
-    event-time ``ts_col`` (use :func:`with_event_ts`). A trace's summary
-    is emitted once the watermark passes its last span's end time + gap.
+    event-time ``ts_col`` AND its watermark already applied — use
+    :func:`with_event_ts`, which owns the watermark delay. A trace's
+    summary is emitted once the watermark passes its last span's end time
+    + gap.
     """
     gap_ms = _duration_ms(gap)
 

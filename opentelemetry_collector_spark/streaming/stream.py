@@ -84,6 +84,9 @@ class StreamingPipeline:
     # captures it from the pipeline's batch processor so the STREAMING
     # write path honors it too, not just the batch runner
     max_records_per_file: int | None = None
+    # parse engine from the pipeline's parse processor (from_config) —
+    # start() falls back to this when the caller doesn't pass one
+    parse_engine: str = "sql"
 
     def __post_init__(self) -> None:
         self.router = FanoutRouter(list(self.routes))
@@ -118,7 +121,7 @@ class StreamingPipeline:
         checkpoint_dir: str = None,
         available_now: bool = True,
         processing_time: str | None = None,
-        parse_engine: str = "sql",
+        parse_engine: str | None = None,
     ):
         """Start the micro-batch loop.
 
@@ -138,14 +141,12 @@ class StreamingPipeline:
                 "no source: pass pages_stream or build via from_config with a "
                 "receiver path"
             )
-        records = parse_pages(pages_stream, engine=parse_engine)
-        writer = (
-            records.writeStream.foreachBatch(
-                lambda df, eid: self.process_batch(df, eid)
-            )
-            .option("checkpointLocation", checkpoint_dir)
-            .outputMode("update")
-        )
+        records = parse_pages(pages_stream, engine=parse_engine or self.parse_engine)
+        writer = records.writeStream.foreachBatch(
+            lambda df, eid: self.process_batch(df, eid)
+        ).outputMode("update")
+        if checkpoint_dir is not None:
+            writer = writer.option("checkpointLocation", checkpoint_dir)
         if processing_time is not None:
             writer = writer.trigger(processingTime=processing_time)
         elif available_now:
@@ -178,24 +179,30 @@ class StreamingPipeline:
             c = config.processors[proc_name]
             if c.kind == "batch" and c.options.get("send_batch_max_size"):
                 write_cap = int(c.options["send_batch_max_size"])
+        # ALL supported receivers are unioned (the batch runner unions its
+        # inputs the same way) — a pipeline with two pages directories
+        # streams both, not just the first. Other receiver kinds
+        # (records_parquet etc.) keep the caller-injected pages_stream
+        # path working as before.
         source = None
         for r in p.receivers:
             rc = config.receivers.get(r)
-            # only kinds the stream factory supports become the source;
-            # other receiver kinds (records_parquet etc.) keep the
-            # caller-injected pages_stream path working as before
             if (
                 rc is not None
                 and rc.kind in ("pages_parquet", "pages_stream")
                 and rc.options.get("path")
             ):
-                source = _build_stream_receiver(spark, rc.kind, rc.options)
-                break
+                s = _build_stream_receiver(spark, rc.kind, rc.options)
+                source = s if source is None else source.unionByName(s)
         stages = []
+        parse_engine = "sql"
         for proc_name in p.processors:
             c = config.processors[proc_name]
             if c.kind == "parse":
-                continue  # start() parses the stream itself
+                # start() parses the stream itself — but honor the
+                # configured engine rather than silently dropping it
+                parse_engine = c.options.get("engine", "sql")
+                continue
             stages.append(_build_processor(spark, c.kind, c.options))
 
         def transform(df: DataFrame) -> DataFrame:
@@ -221,6 +228,7 @@ class StreamingPipeline:
             lineage_dir=lineage_dir,
             source=source,
             max_records_per_file=write_cap,
+            parse_engine=parse_engine,
         )
 
     def sink_counts(self) -> dict[str, int]:

@@ -52,9 +52,22 @@ class PipelineTelemetry:
         return df.observe(obs, F.count(F.lit(1)).alias("items"))
 
     def harvest(self) -> None:
+        """Collect observed counts. Uses the JVM Observation's non-blocking
+        ``getRowOrEmpty`` (bounded ~100ms wait) rather than ``Observation.get``,
+        which blocks FOREVER when the observed frame's action never ran — e.g.
+        a connector-only pipeline whose frame is consumed downstream, or a
+        pipeline the runner skipped. Unmaterialized stages keep their counters
+        at 0 instead of hanging the harvest."""
         for stage, obs in list(self._observations.items()):
             try:
-                self.counters(stage).accepted = int(obs.get.get("items", 0))
+                jo = obs._jo
+                if jo is None:
+                    continue  # observe() never attached — no action possible
+                opt = jo.getRowOrEmpty()
+                if opt.isEmpty():
+                    continue  # stage's action never ran
+                row = opt.get()
+                self.counters(stage).accepted = int(row.get(row.fieldIndex("items")))
             except Exception:
                 pass  # observation never materialized (stage not executed)
 

@@ -219,3 +219,54 @@ def test_config_watcher_fires_on_any_source_change(tmp_path):
     assert changed is not None
     assert changed["processors"]["batch"]["partitions"] == 8
     assert w.poll() is None  # settles
+
+
+def test_adjacent_embedded_uris_expand_independently():
+    """``${env:A}${env:B}`` is two references, not one URI whose value
+    swallows the rest of the string (the fullmatch trap: a lazy value
+    group forced over the whole string parses it as env:"NAME}${env:PORT")."""
+    cfg = resolve_config({"a": "${env:NAME}${env:PORT}", "b": "${env:NAME}-${env:PORT}"}, env=ENV)
+    assert cfg["a"] == "prod4317"
+    assert cfg["b"] == "prod-4317"
+
+
+def test_merge_does_not_mutate_caller_sources():
+    """Conf.Merge must never alias a caller's dict into the merged tree —
+    the watcher re-resolves the same source objects every poll, and a later
+    overlay merging into an aliased nested dict would edit the caller's
+    copy in place."""
+    base = {"processors": {"batch": {"partitions": 4, "key": "url"}}}
+    overlay = {"processors": {"batch": {"partitions": 8}}}
+    snap_base = {"processors": {"batch": {"partitions": 4, "key": "url"}}}
+    snap_overlay = {"processors": {"batch": {"partitions": 8}}}
+    merged = resolve_config([base, overlay], env=ENV)
+    assert merged["processors"]["batch"] == {"partitions": 8, "key": "url"}
+    assert base == snap_base
+    assert overlay == snap_overlay
+    # and mutating the merged result must not reach back into the sources
+    merged["processors"]["batch"]["partitions"] = 99
+    assert base == snap_base and overlay == snap_overlay
+
+
+def test_watcher_transient_oserror_is_not_a_change(tmp_path):
+    """A root file that vanishes mid-flip (editor rename dance) raises
+    OSError from open(); the watcher must treat that like any transient
+    resolve failure — no change event, next poll sees the rewrite."""
+    import os
+
+    from opentelemetry_collector_spark.plans.config import ConfigWatcher
+
+    root = tmp_path / "root.yaml"
+    body_v1 = (
+        "receivers: {pages: {path: /data}}\n"
+        "exporters: {sink: {all: true}}\n"
+        "service: {pipelines: {logs: {receivers: [pages], exporters: [sink]}}}\n"
+    )
+    root.write_text(body_v1)
+    w = ConfigWatcher(f"file:{root}")
+    os.remove(root)
+    assert w.poll() is None  # transient: not a change, not an exception
+    root.write_text(body_v1.replace("/data", "/data2"))
+    changed = w.poll()
+    assert changed is not None
+    assert changed["receivers"]["pages"]["path"] == "/data2"

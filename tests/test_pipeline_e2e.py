@@ -357,3 +357,31 @@ service:
     # the small cap did NOT leak into the sibling pipeline's write
     assert max(roomy) > 10
     assert max(roomy) <= 500
+
+
+def test_harvest_skips_unmaterialized_observations(spark):
+    """``harvest()`` must NOT block on an observation whose frame never ran
+    an action (``Observation.get`` waits forever) — a connector-only
+    pipeline whose frame is dropped, or a pipeline the runner skips,
+    leaves such observations behind. Harvest returns promptly, counters
+    stay 0 for the dead stage and land for the live one."""
+    import threading
+
+    from opentelemetry_collector_spark.streaming.telemetry import PipelineTelemetry
+
+    t = PipelineTelemetry()
+    live = t.observe(spark.range(10).toDF("x"), "receiver/live")
+    t.observe(spark.range(99).toDF("x"), "receiver/dead")  # never actioned
+    assert live.count() == 10
+
+    done = threading.Event()
+
+    def run():
+        t.harvest()
+        done.set()
+
+    th = threading.Thread(target=run, daemon=True)
+    th.start()
+    assert done.wait(30), "harvest() blocked on an unmaterialized observation"
+    assert t.counters("receiver/live").accepted == 10
+    assert t.counters("receiver/dead").accepted == 0

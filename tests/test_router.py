@@ -163,3 +163,67 @@ def test_throttle_delay_override():
     )
     assert retry.send(None, 0) == 1
     assert slept == [7.5]
+
+
+def test_route_counts_with_collector_style_names(records):
+    """Collector component ids are ``type/instance`` — such names must
+    survive the stack() unpivot (unquoted they parse as a division)."""
+    routes = [
+        Route("otlp/errors", "severity_number >= 17"),
+        Route("file/all", kind="all"),
+    ]
+    router = FanoutRouter(routes)
+    assigned2 = router.assign(records)
+    got = {r["sink"]: r["n"] for r in router.route_counts(assigned2).collect()}
+    n = records.count()
+    n_err = records.where(F.col("severity_number") >= 17).count()
+    assert got == {"otlp/errors": n_err, "file/all": n}
+    by = router.count_by(assigned2, "resource").collect()
+    assert sum(r["n"] for r in by if r["sink"] == "file/all") == n
+    assert sum(r["n"] for r in by if r["sink"] == "otlp/errors") == n_err
+
+
+def test_partial_retry_requires_supports_partial(spark, records):
+    """failed_predicate shrink is gated: an overwrite-per-epoch sink keeps
+    nothing durable across a failed attempt, so the default retries the
+    FULL batch; only supports_partial=True (a push target that acked the
+    succeeded subset, signalerrors.go:56-69) may shrink."""
+    df = records.limit(50)
+    seen: list[int] = []
+
+    def make_push():
+        calls = {"n": 0}
+
+        def push(d, epoch_id):
+            calls["n"] += 1
+            n = d.count()
+            seen.append(n)
+            if calls["n"] == 1:
+                raise RetryableError(
+                    "partial", failed_predicate=F.col("severity_number") >= 17
+                )
+            return n
+
+        return push
+
+    from opentelemetry_collector_spark.streaming import RetryableError  # noqa: F811
+
+    total = df.count()
+    n_err = df.where(F.col("severity_number") >= 17).count()
+
+    seen.clear()
+    full = RetryingSink(
+        make_push(), RetryPolicy(initial_interval=0.01), sleep=lambda s: None
+    )
+    assert full.send(df, 0) == total
+    assert seen == [total, total]  # no shrink without the capability
+
+    seen.clear()
+    partial = RetryingSink(
+        make_push(),
+        RetryPolicy(initial_interval=0.01),
+        sleep=lambda s: None,
+        supports_partial=True,
+    )
+    assert partial.send(df, 0) == n_err
+    assert seen == [total, n_err]

@@ -394,3 +394,37 @@ service:
     assert files
     assert max(pq.read_metadata(f).num_rows for f in files) <= 20
     assert pipe.sink_counts()["audit"] == _batch_expected(spark, pages_dir)["audit"]
+
+
+def test_from_config_unions_all_receivers_and_honors_engine(spark, pages_dir, tmp_path):
+    """from_config must union EVERY supported receiver (not just the
+    first — the batch runner unions its inputs) and carry the parse
+    processor's engine option into start() instead of silently dropping
+    it."""
+    from opentelemetry_collector_spark.plans.config import load_config
+
+    second = str(tmp_path / "pages2")
+    _write_pages_files(spark, second, n_files=1, rows_per_file=40)
+    cfg = f"""
+receivers:
+  pages_a: {{kind: pages_parquet, path: {pages_dir}}}
+  pages_b: {{kind: pages_parquet, path: {second}}}
+processors:
+  parse: {{engine: arrow}}
+exporters:
+  audit: {{kind: parquet, all: true}}
+service:
+  pipelines:
+    logs: {{receivers: [pages_a, pages_b], processors: [parse], exporters: [audit]}}
+"""
+    out = str(tmp_path / "sinks")
+    pipe = StreamingPipeline.from_config(spark, load_config(cfg), "logs", out)
+    assert pipe.parse_engine == "arrow"
+    assert pipe.source is not None
+    q = pipe.start(checkpoint_dir=str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    expected = (
+        _batch_expected(spark, pages_dir)["audit"]
+        + _batch_expected(spark, second)["audit"]
+    )
+    assert pipe.sink_counts()["audit"] == expected
