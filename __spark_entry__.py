@@ -120,7 +120,7 @@ def _jaccard_pairs_sql(max_shingle_freq: int | None) -> str:
         cut = "\n, sh AS (SELECT * FROM sh0)"
     return f"""
 WITH toks AS (
-  SELECT doc_id, string_split_regex(text, ' +') AS w FROM documents
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS w FROM documents
 ), sh0 AS (
   SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
   FROM toks, unnest(generate_series(1, greatest(len(w)-2, 0))) AS t(i)
@@ -273,7 +273,7 @@ def _simhash_sql(bits: int = 32) -> str:
     )
     return f"""
 WITH toks AS (
-  SELECT doc_id, unnest(list_distinct(string_split_regex(text, ' +'))) AS tok FROM documents
+  SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), ' +'))) AS tok FROM documents
 ), hv AS (
   SELECT doc_id, {_dd_hexlong('tok')} AS h FROM toks
 ), s AS (
@@ -289,7 +289,7 @@ def _stoplist_sql(lang: str) -> str:
 
 _QUALITY_SQL = f"""
 WITH base AS (
-  SELECT doc_id, text, string_split_regex(text, ' +') AS w FROM documents
+  SELECT doc_id, text, string_split_regex(trim(text), ' +') AS w FROM documents
 ), feat AS (
   SELECT doc_id,
     len(w) AS n,
@@ -309,7 +309,7 @@ FROM feat
 
 _LANGID_SQL = f"""
 WITH base AS (
-  SELECT doc_id, string_split_regex(text, ' +') AS w FROM documents
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS w FROM documents
 ), sc AS (
   SELECT doc_id,
     len(list_filter(w, t -> list_contains({_stoplist_sql('de')}, t))) AS s_de,
@@ -1532,7 +1532,7 @@ SELECT doc_id, lang, rk::BIGINT AS sample_rank FROM r WHERE rk <= 10
     # subset; LEFT JOIN from documents keeps shingle-less docs at 0/0
     o["contamination_overlap"] = """
 WITH toks AS (
-  SELECT doc_id, string_split_regex(text, ' +') AS w FROM documents
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS w FROM documents
 ), sh AS (
   SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS s
   FROM toks, unnest(generate_series(1, greatest(len(w)-7, 0))) AS t(i)
@@ -1595,7 +1595,7 @@ FROM embeddings WHERE vec_id < 3
 
     o["token_count"] = f"""
 SELECT doc_id, length(text)::BIGINT AS n_chars,
-  len(string_split_regex(text, ' +'))::BIGINT AS ws_tokens,
+  len(string_split_regex(trim(text), ' +'))::BIGINT AS ws_tokens,
   len(regexp_extract_all(text, '{ts_ops.BPE_TOKEN_RE}'))::BIGINT AS bpe_tokens
 FROM documents
 """

@@ -1072,7 +1072,11 @@ def otlp_json_to_exp_histogram_points(
         F.col("p.count").try_cast("long").alias("dp_count"),
         F.col("p.sum").alias("dp_sum"),
         F.col("p.zeroCount").try_cast("long").alias("__zero"),
-        F.col("p.positive.offset").alias("__offset"),
+        # proto3 JSON omits zero-valued fields: a canonical writer drops
+        # "offset":0 entirely, so an absent offset means 0, not "no
+        # positive buckets" (our own marshal always writes it, so only
+        # foreign payloads hit this)
+        F.coalesce(F.col("p.positive.offset"), F.lit(0)).alias("__offset"),
         F.col("p.positive.bucketCounts").alias("__counts"),
     )
     base = [

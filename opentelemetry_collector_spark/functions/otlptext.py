@@ -41,6 +41,14 @@ def _f6(col: Column) -> Column:
     return F.format_string("%f", col.cast("double"))
 
 
+def _s(col: Column) -> Column:
+    """NULL-safe string field: proto3 zero values render as empty string
+    (the unmarshal deliberately null-fills absent fields — without this
+    coalesce, one NULL field nulls the entire concat'd block and the
+    record silently vanishes from the debug sink)."""
+    return F.coalesce(col.cast("string"), F.lit(""))
+
+
 # pcommon.Value.Type().String() names (pdata/pcommon/value.go:177-195)
 _TYPE_NAMES = {
     T.StringType: "Str",
@@ -107,26 +115,23 @@ def render_log_record(prefix_index: Column | None = None) -> Column:
         if prefix_index is not None
         else F.lit("LogRecord\n")
     )
-    ts = F.when(
-        F.col("time_unix_nano") > 0,
-        F.date_format(
-            F.timestamp_micros(ns_to_micros(F.col("time_unix_nano"))),
-            "yyyy-MM-dd HH:mm:ss.SSSSSS 'UTC'",
-        ),
-    ).otherwise(F.lit("1970-01-01 00:00:00 +0000 UTC"))
+    observed = F.when(
+        F.col("observed_ts").isNotNull(),
+        F.date_format(F.col("observed_ts"), _TS_FMT),
+    ).otherwise(F.lit(_EPOCH_ZERO))
     return F.concat(
         header,
-        F.lit("ObservedTimestamp: "),
-        F.date_format(F.col("observed_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS 'UTC'"),
-        F.lit("\n"),
-        F.lit("Timestamp: "), ts, F.lit("\n"),
-        F.lit("SeverityText: "), F.col("severity_text"), F.lit("\n"),
-        F.lit("SeverityNumber: "), F.col("severity_number").cast("string"), F.lit("\n"),
-        F.lit("Body: Str("), F.col("body"), F.lit(")\n"),
+        F.lit("ObservedTimestamp: "), observed, F.lit("\n"),
+        F.lit("Timestamp: "), _ts_str(F.col("time_unix_nano")), F.lit("\n"),
+        F.lit("SeverityText: "), _s(F.col("severity_text")), F.lit("\n"),
+        # proto3 zero values for absent numeric/string fields (the
+        # reference renders the zero enum/flags, not a hole in the block)
+        F.lit("SeverityNumber: "), _s(F.coalesce(F.col("severity_number"), F.lit(0))), F.lit("\n"),
+        F.lit("Body: Str("), _s(F.col("body")), F.lit(")\n"),
         _attr_lines(F.col("attributes")),
-        F.lit("Trace ID: "), F.col("trace_id"), F.lit("\n"),
-        F.lit("Span ID: "), F.col("span_id"), F.lit("\n"),
-        F.lit("Flags: "), F.col("flags").cast("string"), F.lit("\n"),
+        F.lit("Trace ID: "), _s(F.col("trace_id")), F.lit("\n"),
+        F.lit("Span ID: "), _s(F.col("span_id")), F.lit("\n"),
+        F.lit("Flags: "), _s(F.coalesce(F.col("flags"), F.lit(0))), F.lit("\n"),
     )
 
 
@@ -151,24 +156,17 @@ def render_span(prefix_index: Column | None = None) -> Column:
         if prefix_index is not None
         else F.lit("Span\n")
     )
-    ts_fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS 'UTC'"
-    start = F.date_format(
-        F.timestamp_micros(ns_to_micros(F.col("start_time_unix_nano"))), ts_fmt
-    )
-    end = F.date_format(
-        F.timestamp_micros(ns_to_micros(F.col("end_time_unix_nano"))), ts_fmt
-    )
     return F.concat(
         header,
-        F.lit("Trace ID: "), F.col("trace_id"), F.lit("\n"),
-        F.lit("Parent ID: "), F.col("parent_span_id"), F.lit("\n"),
-        F.lit("ID: "), F.col("span_id"), F.lit("\n"),
-        F.lit("Name: "), F.col("name"), F.lit("\n"),
+        F.lit("Trace ID: "), _s(F.col("trace_id")), F.lit("\n"),
+        F.lit("Parent ID: "), _s(F.col("parent_span_id")), F.lit("\n"),
+        F.lit("ID: "), _s(F.col("span_id")), F.lit("\n"),
+        F.lit("Name: "), _s(F.col("name")), F.lit("\n"),
         F.lit("Kind: "), enum_str(F.col("kind"), SPAN_KIND), F.lit("\n"),
-        F.lit("Start time: "), start, F.lit("\n"),
-        F.lit("End time: "), end, F.lit("\n"),
+        F.lit("Start time: "), _ts_str(F.col("start_time_unix_nano")), F.lit("\n"),
+        F.lit("End time: "), _ts_str(F.col("end_time_unix_nano")), F.lit("\n"),
         F.lit("Status code: "), enum_str(F.col("status_code"), STATUS_CODE), F.lit("\n"),
-        F.lit("Status message: "), F.col("status_message"), F.lit("\n"),
+        F.lit("Status message: "), _s(F.col("status_message")), F.lit("\n"),
         _attr_lines(F.col("attributes")),
         _span_events_block(F.col("events")),
         _span_links_block(F.col("links")),
@@ -247,21 +245,14 @@ def render_number_data_point(prefix_index: Column | None = None) -> Column:
         if prefix_index is not None
         else F.lit("NumberDataPoints\n")
     )
-    ts_fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS 'UTC'"
-    start = F.date_format(
-        F.timestamp_micros(ns_to_micros(F.col("start_time_unix_nano"))), ts_fmt
-    )
-    ts = F.date_format(
-        F.timestamp_micros(ns_to_micros(F.col("time_unix_nano"))), ts_fmt
-    )
     from .values import es6_double_col
 
     return F.concat(
         header,
         _attr_lines(F.col("attributes")),
-        F.lit("StartTimestamp: "), start, F.lit("\n"),
-        F.lit("Timestamp: "), ts, F.lit("\n"),
-        F.lit("Value: "), es6_double_col(F.col("value_double")), F.lit("\n"),
+        F.lit("StartTimestamp: "), _ts_str(F.col("start_time_unix_nano")), F.lit("\n"),
+        F.lit("Timestamp: "), _ts_str(F.col("time_unix_nano")), F.lit("\n"),
+        F.lit("Value: "), _s(es6_double_col(F.col("value_double"))), F.lit("\n"),
     )
 
 

@@ -77,9 +77,12 @@ def md5_long(col: Column, seed: int | None = None) -> Column:
 
 
 def tokenize(text: Column) -> Column:
-    """Whitespace tokenization — split on runs of spaces (oracle:
-    string_split_regex(text, ' +'))."""
-    return F.split(text, " +")
+    """Whitespace tokenization — trim, then split on runs of spaces
+    (oracle: string_split_regex(trim(text), ' +')). The trim matters:
+    ' a b' would otherwise yield a leading '' token that poisons shingles
+    (' a b' vs 'a b' get different near-dup signatures), simhash
+    fingerprints, and token counts."""
+    return F.split(F.trim(text), " +")
 
 
 def shingle_array(text: Column, n: int = 3) -> Column:
@@ -152,8 +155,11 @@ def jaccard_pairs(
     The frequency cut is a count window over ``shingle`` rather than a
     groupBy+join-back: one exchange whose shingle-hash partitioning the
     self-join immediately reuses (measured 2.4× faster than the
-    aggregate+semi-join formulation at sf0.1). The sizes join is a
-    broadcast at any realistic pair count. No persist: repeated subtrees
+    aggregate+semi-join formulation at sf0.1). The sizes joins are left
+    to AQE: ``sizes`` is corpus-cardinality (one row per surviving doc),
+    not pair-cardinality, so a forced broadcast would ship the whole
+    corpus to every executor at scale; AQE still broadcasts it when its
+    runtime size is under the threshold. No persist: repeated subtrees
     are covered by Catalyst/AQE exchange reuse, and leaving them uncached
     avoids accumulating storage memory across repeated invocations.
     """
@@ -179,8 +185,8 @@ def jaccard_pairs(
     s2 = sizes.select(F.col(id_col).alias("d2"), F.col("sz").alias("sz2"))
     jac = F.col("common") / (F.col("sz1") + F.col("sz2") - F.col("common"))
     return (
-        common.join(F.broadcast(s1), "d1")
-        .join(F.broadcast(s2), "d2")
+        common.join(s1, "d1")
+        .join(s2, "d2")
         .where(jac >= threshold)
         .select("d1", "d2", F.round(jac, 4).alias("jaccard"))
     )
@@ -385,6 +391,8 @@ def simhash(
     integer sums → assemble the fingerprint. Ties (Σ = 0) round to 1,
     matching the ≥0 convention, so the oracle is exactly reproducible.
     """
+    if not 1 <= bits <= 64:
+        raise ValueError(f"simhash bits must be 1..64, got {bits}")
     toks = df.select(
         F.col(id_col), F.explode(F.array_distinct(tokenize(F.col(text_col)))).alias("tok")
     )
@@ -395,8 +403,6 @@ def simhash(
             for b in range(bits)
         ]
     )
-    if not 1 <= bits <= 64:
-        raise ValueError(f"simhash bits must be 1..64, got {bits}")
     fp = None
     for b in range(bits):
         bit = F.when(F.col(f"s{b}") >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))

@@ -29,23 +29,30 @@ def enrich_broadcast(
         on: join condition — either a shared column name or a Column
             equi-condition like ``records.resource.host == lookup.host``.
         take: {lookup_col: output_col} projection of the dim side; default
-            takes all non-key columns keeping their names.
+            takes all non-key columns keeping their names. REQUIRED when
+            ``on`` is a Column condition: the key columns can't be
+            inferred from an arbitrary condition, so a default would leak
+            the dim's join key into the output (colliding with a
+            same-named fact column downstream).
         prefix: optional output-name prefix shorthand for ``take``.
     """
     dim = F.broadcast(lookup)
-    key_cols = {on} if isinstance(on, str) else set()
     if take is None:
+        if not isinstance(on, str):
+            raise ValueError(
+                "enrich_broadcast: pass take= explicitly when `on` is a "
+                "Column condition (the dim join key can't be inferred)"
+            )
         take = {
             c: (f"{prefix}{c}" if prefix else c)
             for c in lookup.columns
-            if c not in key_cols
+            if c != on
         }
     joined = records.join(dim, on=on, how="left")
-    fact_cols = (
-        [F.col(c) for c in records.columns]
-        if isinstance(on, str)
-        else [records[c] for c in records.columns]
-    )
+    # records[c] unconditionally: with a string join key, another column
+    # name shared by both frames would make F.col(c) ambiguous in the
+    # joined frame (AMBIGUOUS_REFERENCE at analysis)
+    fact_cols = [records[c] for c in records.columns]
     return joined.select(*fact_cols, *[dim[s].alias(d) for s, d in take.items()])
 
 

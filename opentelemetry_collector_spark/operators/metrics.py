@@ -98,12 +98,29 @@ def events_to_sum_points(
     window start/end as start/time nanos (aggregation_temporality.go:29:
     "changes since last report time"). Single hash-aggregate shuffle.
     """
+    return _sum_points(events, key_col, ts_col, value_col, width_seconds, metric_name)
+
+
+def _sum_points(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    width_seconds: int,
+    metric_name: str,
+    extra_aggs: list[Column] | None = None,
+    extra_cols: list[Column] | None = None,
+) -> DataFrame:
+    """Shared Delta-Sum envelope: tumbling-window hash aggregate + the
+    metric/point projection. ``extra_aggs`` ride the same single shuffle;
+    ``extra_cols`` extend the projection (exemplars, below)."""
     w = F.window(F.col(ts_col), f"{width_seconds} seconds")
     return (
         events.groupBy(w.alias("w"), F.col(key_col))
         .agg(
             F.count("*").alias("point_count"),
             F.round(F.sum(value_col), 4).alias("value_double"),
+            *(extra_aggs or []),
         )
         .select(
             F.lit(metric_name).alias("metric_name"),
@@ -120,6 +137,7 @@ def events_to_sum_points(
             F.col(key_col).alias("attr_key"),
             F.col("point_count"),
             F.col("value_double"),
+            *(extra_cols or []),
         )
     )
 
@@ -407,7 +425,6 @@ def sum_points_with_exemplars(
     over a (value, id) struct (lexicographic, matching the oracle's
     ORDER BY value DESC, id DESC rank).
     """
-    w = F.window(F.col(ts_col), f"{width_seconds} seconds")
     ev_ns = (F.unix_micros(F.col(ts_col).cast("timestamp")) * F.lit(1000)).cast("long")
     ex = F.struct(
         ev_ns.alias("time_unix_nano"),
@@ -420,28 +437,15 @@ def sum_points_with_exemplars(
             "filtered_attributes"
         ),
     )
-    return (
-        events.groupBy(w.alias("w"), F.col(key_col))
-        .agg(
-            F.count("*").alias("point_count"),
-            F.round(F.sum(value_col), 4).alias("value_double"),
-            F.max_by(ex, F.struct(F.col(value_col), F.col(id_col))).alias("__ex"),
-        )
-        .select(
-            F.lit(metric_name).alias("metric_name"),
-            F.lit(METRIC_TYPE["Sum"]).alias("metric_type"),
-            F.lit(TEMPORALITY_DELTA).alias("aggregation_temporality"),
-            F.lit(True).alias("is_monotonic"),
-            (F.unix_timestamp(F.col("w.start")) * F.lit(1_000_000_000))
-            .cast("long")
-            .alias("start_time_unix_nano"),
-            (F.unix_timestamp(F.col("w.end")) * F.lit(1_000_000_000))
-            .cast("long")
-            .alias("time_unix_nano"),
-            F.create_map(F.lit(key_col), F.col(key_col)).alias("attributes"),
-            F.col(key_col).alias("attr_key"),
-            F.col("point_count"),
-            F.col("value_double"),
-            F.array(F.col("__ex")).alias("exemplars"),
-        )
+    return _sum_points(
+        events,
+        key_col,
+        ts_col,
+        value_col,
+        width_seconds,
+        metric_name,
+        extra_aggs=[
+            F.max_by(ex, F.struct(F.col(value_col), F.col(id_col))).alias("__ex")
+        ],
+        extra_cols=[F.array(F.col("__ex")).alias("exemplars")],
     )

@@ -285,8 +285,12 @@ def _c(v) -> Column:
 _FUNCS: dict[str, Callable[..., Column]] = {
     "IsMatch": lambda target, pattern: _c(target).rlike(_lit_str(pattern)),
     "Len": lambda target: F.length(_c(target)),
-    "Int": lambda target: _c(target).cast("long"),
-    "Double": lambda target: _c(target).cast("double"),
+    # try_cast, not cast: OTTL's Int()/Double() converters return nil on an
+    # unconvertible value (the condition then evaluates false for that
+    # row); under the session's ANSI mode a plain cast of e.g. "12x"
+    # would abort the whole job instead
+    "Int": lambda target: _c(target).try_cast("long"),
+    "Double": lambda target: _c(target).try_cast("double"),
     "Concat": lambda sep, *parts: F.concat_ws(_lit_str(sep), *[_c(p) for p in parts]),
     "Lower": lambda target: F.lower(_c(target)),
     "Upper": lambda target: F.upper(_c(target)),
@@ -401,13 +405,26 @@ class OTTLCompiler:
                 raise OTTLSyntaxError("set() target must be a path")
             if target.key is not None:
                 key = target.key
-                new_attrs = F.map_concat(
-                    F.map_filter(F.col(self.attributes_col), lambda k, v: k != F.lit(key)),
-                    F.map_from_arrays(F.array(F.lit(key)), F.array(value)),
-                )
+                # set(target, nil) is a NO-OP per the reference's set()
+                # ("no action" on nil value): the map — including any
+                # existing entry under this key — must pass through
+                # untouched, not lose the key or gain a NULL-valued entry
+                new_attrs = F.when(
+                    value.isNotNull(),
+                    F.map_concat(
+                        F.map_filter(
+                            F.col(self.attributes_col), lambda k, v: k != F.lit(key)
+                        ),
+                        F.map_from_arrays(F.array(F.lit(key)), F.array(value)),
+                    ),
+                ).otherwise(F.col(self.attributes_col))
                 return self._apply_to_col(self.attributes_col, new_attrs, cond)
             col_name = ".".join(target.parts)
-            return self._apply_to_col(col_name, self._as_operand(self.expr(value_node)), cond)
+            operand = self._as_operand(self.expr(value_node))
+            # same nil no-op for column targets: keep the old value
+            return self._apply_to_col(
+                col_name, F.coalesce(operand, F.col(col_name)), cond
+            )
 
         if ed.name == "delete" or ed.name == "delete_key":
             target = ed.args[0]
