@@ -884,6 +884,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["repetition_signals"] = repetition_signals_q
 
+    def unigram_ppl_q(spark, sf):  # CCNet-style LM-perplexity quality filter
+        return ts_ops.unigram_logperplexity(
+            _t(spark, sf, "documents"), vocab_size=1000
+        )
+
+    q["unigram_logperplexity"] = unigram_ppl_q
+
     def url_host_stats(spark, sf):  # per-host curation rollup
         from opentelemetry_collector_spark.operators.urls import host_stats
 
@@ -1526,6 +1533,32 @@ WITH r AS (
   FROM documents
 )
 SELECT doc_id, lang, rk::BIGINT AS sample_rank FROM r WHERE rk <= 10
+"""
+
+    # unigram LM perplexity: top-1000 vocab by (count DESC, tok ASC), MLE
+    # log2-probs over the FULL corpus total, half-count OOV floor; per-tok
+    # logps 9-dp rounded in both engines before averaging (libm guard)
+    o["unigram_logperplexity"] = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS tok
+  FROM documents WHERE text IS NOT NULL
+), counts AS (
+  SELECT tok, count(*)::DOUBLE AS c FROM toks GROUP BY tok
+), tot AS (
+  SELECT sum(c) AS t FROM counts
+), model AS (
+  SELECT tok, round(log2(c / t), 9) AS logp
+  FROM counts, tot ORDER BY c DESC, tok ASC LIMIT 1000
+), oov AS (
+  SELECT round(log2(0.5 / t), 9) AS oov_logp FROM tot
+), scored AS (
+  SELECT doc_id, coalesce(m.logp, o.oov_logp) AS lp
+  FROM toks LEFT JOIN model m USING (tok), oov o
+)
+SELECT doc_id, count(*)::BIGINT AS n_tokens,
+  round(-avg(lp), 4) AS bits_per_token,
+  round(pow(2.0, -avg(lp)), 4) AS perplexity
+FROM scored GROUP BY doc_id
 """
 
     # decontamination: 8-gram shingle overlap vs the doc_id%50 benchmark

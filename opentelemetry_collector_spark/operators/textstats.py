@@ -296,6 +296,78 @@ def sample_stratified(
     )
 
 
+def unigram_logperplexity(
+    df: DataFrame,
+    model: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 1000,
+) -> DataFrame:
+    """Per-document unigram cross-entropy (bits/token) and perplexity —
+    the LM-perplexity quality filter of web-corpus curation (CCNet-style:
+    score each document under a reference language model; unusually
+    high-perplexity docs are gibberish/boilerplate, unusually low ones are
+    repetitive templates), here with a unigram model so the whole pass
+    stays columnar and engine-reproducible.
+
+    ``model``: a ``(tok, logp)`` reference model (e.g. from a clean
+    corpus) — broadcast at scoring time, so its size must stay bounded
+    (that's what ``vocab_size`` is for). ``None`` trains one on ``df``
+    itself: token counts (one word-count shuffle), keep the
+    ``vocab_size`` most frequent tokens (deterministic ties:
+    count DESC, token ASC — a map-side partial top-k, never a full
+    sort), MLE log2-probs against the FULL corpus token total. Tokens
+    outside the vocabulary score at the half-count OOV floor
+    log2(0.5/total).
+
+    Scoring is explode → broadcast-join → one per-doc aggregate: the
+    corpus never shuffles on the token key; the only wide exchange is the
+    final groupBy(doc). Per-token logps are 9-dp rounded in both engines
+    before averaging (1-ulp libm log2 divergence guard); outputs 4-dp.
+    """
+    docs = df.where(F.col(text_col).isNotNull())
+    toks = docs.select(
+        F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("tok")
+    )
+    if model is None:
+        counts = toks.groupBy("tok").agg(F.count("*").alias("c"))
+        totals = counts.agg(F.sum("c").alias("t"))
+        model = (
+            counts.orderBy(F.col("c").desc(), F.col("tok").asc())
+            .limit(vocab_size)
+            .crossJoin(F.broadcast(totals))
+            .select(
+                F.col("tok"),
+                F.round(F.log2(F.col("c") / F.col("t")), 9).alias("logp"),
+                F.round(F.log2(F.lit(0.5) / F.col("t")), 9).alias("oov_logp"),
+            )
+        )
+        # materialize the trained model (≤vocab_size rows): without this
+        # the wordcount subtree is inlined THREE times into the scoring
+        # plan (model build, its total, the OOV floor) — three full
+        # corpus scans. Train-then-score is a natural pipeline breaker; a
+        # production run would persist the model table anyway.
+        model = model.localCheckpoint(eager=True)
+    if "oov_logp" in model.columns:
+        oov = model.agg(F.min("oov_logp").alias("oov_logp"))
+        model = model.select("tok", "logp")
+    else:
+        # foreign model without an explicit floor: one bit below its
+        # rarest in-vocabulary token
+        oov = model.agg((F.min("logp") - F.lit(1.0)).alias("oov_logp"))
+    scored = (
+        toks.join(F.broadcast(model), "tok", "left")
+        .crossJoin(F.broadcast(oov))
+        .select(F.col(id_col), F.coalesce(F.col("logp"), F.col("oov_logp")).alias("lp"))
+    )
+    avg_lp = F.avg("lp")
+    return scored.groupBy(F.col(id_col)).agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.round(-avg_lp, 4).alias("bits_per_token"),
+        F.round(F.pow(F.lit(2.0), -avg_lp), 4).alias("perplexity"),
+    )
+
+
 def contamination_overlap(
     df: DataFrame,
     benchmark: DataFrame,

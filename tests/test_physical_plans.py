@@ -159,6 +159,7 @@ _PLAN_SHUFFLE_BUDGET = {
     "blocklist_filter": 1,  # blocklist-side distinct only; pages never shuffle
     "sample_stratified": 1,  # rank window per group
     "contamination_overlap": 2,  # bench distinct agg + per-doc agg (bench broadcast)
+    "unigram_logperplexity": 1,  # model trained+checkpointed up front; scoring = broadcast join + per-doc agg
     "embedding_neardup": 0,  # broadcast nested-loop cross join
     "ann_topk_bruteforce": 2,  # partial + final top-k
     "ann_lsh_pairs": 1,

@@ -201,6 +201,42 @@ def test_contamination_overlap_flags_benchmark_copies(spark):
     assert got[4]["n_shingles"] == 0 and got[4]["contamination_frac"] == 0.0
 
 
+def test_unigram_logperplexity_hand_computed(spark):
+    import math
+
+    from opentelemetry_collector_spark.operators.textstats import unigram_logperplexity
+
+    # corpus tokens: a,a,b,a,c → counts a=3,b=1,c=1; total=5.
+    # vocab_size=2 keeps a and b (tie b/c broken by tok ASC) → c is OOV.
+    df = spark.createDataFrame([(0, "a a b"), (1, "a c")], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in unigram_logperplexity(df, vocab_size=2).collect()}
+    lp_a = round(math.log2(3 / 5), 9)
+    lp_b = round(math.log2(1 / 5), 9)
+    oov = round(math.log2(0.5 / 5), 9)
+    bits0 = -(lp_a + lp_a + lp_b) / 3
+    bits1 = -(lp_a + oov) / 2
+    assert got[0]["n_tokens"] == 3
+    assert got[0]["bits_per_token"] == round(bits0, 4)
+    assert got[0]["perplexity"] == round(2.0**bits0, 4)
+    assert got[1]["bits_per_token"] == round(bits1, 4)
+    # a doc full of OOV gibberish scores strictly worse than in-vocab text
+    assert got[1]["bits_per_token"] > got[0]["bits_per_token"]
+
+
+def test_unigram_logperplexity_foreign_model_and_empty(spark):
+    from opentelemetry_collector_spark.operators.textstats import unigram_logperplexity
+
+    df = spark.createDataFrame([(0, "a z")], "doc_id long, text string")
+    model = spark.createDataFrame(
+        [("a", -1.0), ("b", -3.0)], "tok string, logp double"
+    )
+    # foreign model without an explicit floor: OOV = min(logp) - 1 = -4
+    got = unigram_logperplexity(df, model=model).collect()[0]
+    assert got["bits_per_token"] == round((1.0 + 4.0) / 2, 4)
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert unigram_logperplexity(empty).count() == 0
+
+
 def test_redact_pii(spark):
     from opentelemetry_collector_spark.operators.redact import redact_pii
 
