@@ -297,3 +297,57 @@ def test_full_metric_union_roundtrips(spark):
     dp0 = metric["histogram"]["dataPoints"][0]
     assert isinstance(dp0["count"], str)  # uint64 → decimal string
     assert all(isinstance(c, str) for c in dp0["bucketCounts"])
+
+
+# ---------------------------------------------------------------------------
+# Property-based round-trip (json_test.go's fuzz analog): arbitrary unicode
+# bodies/attrs/urls, extreme uint64-range timestamps, random severities —
+# every generated record must survive marshal → unmarshal bit-exactly.
+# ---------------------------------------------------------------------------
+
+from datetime import datetime  # noqa: E402
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_TXT = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=30
+)
+_ATTR_KEY = _TXT.filter(lambda k: k not in (otlp_json.URL_ATTR, otlp_json.LINE_NO_ATTR))
+_HEX = st.text(alphabet="0123456789abcdef", max_size=32)
+
+_REC = st.tuples(
+    _TXT,  # url
+    st.integers(min_value=0, max_value=2**62),  # time_unix_nano
+    st.datetimes(
+        min_value=datetime(1970, 1, 1), max_value=datetime(2100, 1, 1)
+    ),  # observed_ts (session TZ is UTC)
+    st.integers(min_value=0, max_value=24),  # severity_number
+    _TXT,  # severity_text
+    _TXT,  # body
+    st.dictionaries(_ATTR_KEY, _TXT, max_size=4),  # attributes
+    _HEX,  # trace_id
+    _HEX,  # span_id
+    st.integers(min_value=0, max_value=2**31 - 1),  # flags
+    st.integers(min_value=0, max_value=1000),  # dropped_attributes_count
+    st.tuples(st.sampled_from(["web-1", "web-2", ""]), st.sampled_from(["en", "xx"])),
+    st.integers(min_value=0, max_value=10**6),  # line_no
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(recs=st.lists(_REC, min_size=1, max_size=8))
+def test_logs_roundtrip_property(spark, recs):
+    from opentelemetry_collector_spark.schemas import LOG_RECORDS_SCHEMA
+
+    # microsecond-floor the generated datetimes: pcommon ns timestamps
+    # carry µs precision through the model (TimestampType), and hypothesis
+    # generates them at µs resolution already — this is a no-op guard
+    df = spark.createDataFrame(recs, LOG_RECORDS_SCHEMA)
+    back = otlp_json.roundtrip(df)
+    assert back.columns == df.columns
+    assert _canon(back.collect()) == _canon(df.collect())
