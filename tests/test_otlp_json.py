@@ -351,3 +351,63 @@ def test_logs_roundtrip_property(spark, recs):
     back = otlp_json.roundtrip(df)
     assert back.columns == df.columns
     assert _canon(back.collect()) == _canon(df.collect())
+
+
+_EV = st.tuples(
+    st.integers(min_value=0, max_value=2**62),
+    _TXT,
+    st.dictionaries(_TXT, _TXT, max_size=2),
+)
+_LINK = st.tuples(_HEX, _HEX, _TXT, st.dictionaries(_TXT, _TXT, max_size=2))
+_SPAN = st.tuples(
+    st.text(alphabet="0123456789abcdef", min_size=32, max_size=32),  # trace_id
+    st.text(alphabet="0123456789abcdef", min_size=16, max_size=16),  # span_id
+    st.sampled_from(["", "1111222233334444"]),  # parent_span_id ("" = root)
+    _TXT,  # trace_state
+    _TXT,  # name
+    st.integers(min_value=0, max_value=5),  # kind
+    st.integers(min_value=0, max_value=2**62),  # start
+    st.integers(min_value=0, max_value=2**62),  # end
+    st.dictionaries(_TXT, _TXT, max_size=3),  # attributes
+    st.integers(min_value=0, max_value=2),  # status_code
+    _TXT,  # status_message
+    st.lists(_EV, max_size=2),  # events
+    st.lists(_LINK, max_size=2),  # links
+    st.tuples(st.sampled_from(["svc-0", "svc-1"])),  # resource
+)
+
+
+def _canon_spans(rows):
+    out = []
+    for r in rows:
+        d = r.asDict(recursive=True)
+        d["attributes"] = tuple(sorted(d["attributes"].items()))
+        d["resource"] = tuple(sorted(d["resource"].items()))
+        d["events"] = tuple(
+            (e["time_unix_nano"], e["name"], tuple(sorted(e["attributes"].items())))
+            for e in d["events"]
+        )
+        d["links"] = tuple(
+            (l["trace_id"], l["span_id"], l["trace_state"],
+             tuple(sorted(l["attributes"].items())))
+            for l in d["links"]
+        )
+        out.append(tuple(sorted(d.items())))
+    return sorted(out)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(recs=st.lists(_SPAN, min_size=1, max_size=6))
+def test_spans_roundtrip_property(spark, recs):
+    """ptrace codec fuzz: arbitrary unicode names/states/attrs and nested
+    events/links survive marshal → unmarshal exactly."""
+    from opentelemetry_collector_spark.operators.traces import SPANS_SCHEMA
+
+    df = spark.createDataFrame(recs, SPANS_SCHEMA)
+    back = otlp_json.otlp_json_to_spans(otlp_json.spans_to_otlp_json(df))
+    assert back.columns == df.columns
+    assert _canon_spans(back.collect()) == _canon_spans(df.collect())
