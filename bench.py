@@ -319,7 +319,10 @@ def main() -> None:
         round_cost = 160.0  # refined from the first measured round
         n_last = n_scale
         while len(history) < rounds:
-            if time.monotonic() + 30 > deadline:
+            # the first pair ALWAYS runs (one sample beats none, and the
+            # summary below indexes best/effs): only later iterations may
+            # stop on the deadline
+            if history and time.monotonic() + 30 > deadline:
                 break
             _r0 = time.monotonic()
             # bracket the engine pair with calibrations: a single pre-pair
@@ -340,7 +343,14 @@ def main() -> None:
             # the retry loop to a single sample; the efficiency is a
             # throughput RATIO on identical inputs, so the size only needs
             # to keep fixed overhead small vs the timed section
-            n_round = n_scale if calm_est >= calm_bar else max(n_scale // 2, 100_000)
+            n_round = (
+                n_scale
+                if calm_est >= calm_bar
+                # floor at 100k so fixed overhead stays small — but never
+                # ABOVE the configured size (a 50k quick-run config must
+                # not hand the throttled host a larger pair than calm ones)
+                else max(n_scale // 2, min(n_scale, 100_000))
+            )
             # skip the pair only if the MEASURED per-round cost (scaled to
             # this round's size, with a 25% degraded-host margin) doesn't
             # fit; the first round always runs (one sample beats none)
@@ -378,6 +388,9 @@ def main() -> None:
                 r["calmness"] < calm_bar for r in history
             ):
                 break  # paired samples + cheap probes: host never permitted it
+        if best is None:  # only reachable via SPARK_GRAFT_SCALE_ROUNDS=0
+            print(json.dumps(result))
+            return
         effs = sorted(r["efficiency"] for r in history)
         median_eff = effs[len(effs) // 2] if len(effs) % 2 else round(
             (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2, 3

@@ -1067,17 +1067,21 @@ def otlp_json_to_exp_histogram_points(
     ).select(
         "metric_name",
         "aggregation_temporality",
-        F.col("p.scale").alias("scale"),
+        # proto3 JSON omits zero-valued fields: a canonical writer drops
+        # "scale":0, "offset":0, and an all-empty "positive" message
+        # entirely, so absent must read as zero/empty — NOT as NULL (our
+        # own marshal always writes them, so only foreign payloads hit
+        # this; an un-coalesced __counts would NULL the concat'd entries
+        # array and silently drop the zero-bucket row)
+        F.coalesce(F.col("p.scale"), F.lit(0)).alias("scale"),
         F.element_at(_kv_array_to_map(F.col("p.attributes")), attr_name).alias("attr_key"),
         F.col("p.count").try_cast("long").alias("dp_count"),
         F.col("p.sum").alias("dp_sum"),
         F.col("p.zeroCount").try_cast("long").alias("__zero"),
-        # proto3 JSON omits zero-valued fields: a canonical writer drops
-        # "offset":0 entirely, so an absent offset means 0, not "no
-        # positive buckets" (our own marshal always writes it, so only
-        # foreign payloads hit this)
         F.coalesce(F.col("p.positive.offset"), F.lit(0)).alias("__offset"),
-        F.col("p.positive.bucketCounts").alias("__counts"),
+        F.coalesce(
+            F.col("p.positive.bucketCounts"), F.array().cast("array<string>")
+        ).alias("__counts"),
     )
     base = [
         "metric_name",

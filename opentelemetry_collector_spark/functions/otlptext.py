@@ -115,8 +115,13 @@ def render_log_record(prefix_index: Column | None = None) -> Column:
         if prefix_index is not None
         else F.lit("LogRecord\n")
     )
+    # epoch-0 is pcommon.Timestamp's zero value and renders the same
+    # "+0000 UTC" unset form as _ts_str(0) — NULL-only handling here
+    # would print the fractional form for an unset observed time while
+    # the sibling Timestamp field prints the zero form
+    obs_us = F.unix_micros(F.col("observed_ts").cast("timestamp"))
     observed = F.when(
-        F.col("observed_ts").isNotNull(),
+        F.col("observed_ts").isNotNull() & (obs_us != 0),
         F.date_format(F.col("observed_ts"), _TS_FMT),
     ).otherwise(F.lit(_EPOCH_ZERO))
     return F.concat(

@@ -490,7 +490,7 @@ def chunk_dedup(
     """
     from pyspark.sql import Window
 
-    words_expr = tokenize(F.trim(F.col(text_col)))
+    words_expr = tokenize(F.col(text_col))
 
     def per_doc(w: Column) -> Column:
         n_chunks = F.floor(F.size(w) / F.lit(k)).cast("int")

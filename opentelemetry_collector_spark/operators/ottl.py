@@ -421,10 +421,9 @@ class OTTLCompiler:
                 return self._apply_to_col(self.attributes_col, new_attrs, cond)
             col_name = ".".join(target.parts)
             operand = self._as_operand(self.expr(value_node))
-            # same nil no-op for column targets: keep the old value
-            return self._apply_to_col(
-                col_name, F.coalesce(operand, F.col(col_name)), cond
-            )
+            # same nil no-op for column targets — resolved at apply time
+            # so set() can still CREATE a column that doesn't exist yet
+            return self._apply_to_col(col_name, operand, cond, nil_keep_old=True)
 
         if ed.name == "delete" or ed.name == "delete_key":
             target = ed.args[0]
@@ -533,9 +532,25 @@ class OTTLCompiler:
             return self._apply_to_col(self.attributes_col, new_attrs, cond)
         return self._apply_to_col(".".join(target.parts), value, cond)
 
-    def _apply_to_col(self, col_name: str, new_value: Column, cond: Column | None):
+    def _apply_to_col(
+        self,
+        col_name: str,
+        new_value: Column,
+        cond: Column | None,
+        nil_keep_old: bool = False,
+    ):
         def apply(df: DataFrame) -> DataFrame:
-            val = new_value if cond is None else F.when(cond, new_value).otherwise(F.col(col_name))
+            # column existence is only knowable at apply time; a set()
+            # that CREATES a column must not reference the old value
+            # (unresolved-column analysis error), so the nil-no-op
+            # coalesce and the where-else branch fall back to NULL then
+            exists = col_name in df.columns
+            old = F.col(col_name) if exists else F.lit(None)
+            val = (
+                F.coalesce(new_value, old) if (nil_keep_old and exists) else new_value
+            )
+            if cond is not None:
+                val = F.when(cond, val).otherwise(old)
             return df.withColumn(col_name, val)
 
         return apply

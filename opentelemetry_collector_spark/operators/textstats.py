@@ -224,7 +224,7 @@ def repetition_signals(
     # NULL-text documents are excluded (the SQL twin's unnest-join drops
     # them; size(NULL) would otherwise emit a nonsense n_words=-1 row)
     df = df.where(F.col(text_col).isNotNull())
-    words_expr = tokenize(F.trim(F.col(text_col)))
+    words_expr = tokenize(F.col(text_col))
 
     def signals(w: Column) -> Column:
         n = F.size(w)

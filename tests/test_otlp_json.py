@@ -411,3 +411,38 @@ def test_spans_roundtrip_property(spark, recs):
     back = otlp_json.otlp_json_to_spans(otlp_json.spans_to_otlp_json(df))
     assert back.columns == df.columns
     assert _canon_spans(back.collect()) == _canon_spans(df.collect())
+
+
+def test_exp_histogram_unmarshal_foreign_zero_omissions(spark):
+    """Canonical proto3-JSON writers omit zero-valued fields: a data point
+    with only a zeroCount (no "positive" message, no "scale") must still
+    yield its NULL-index zero-bucket row with scale 0 — absent means
+    zero/empty, never NULL (json.go unmarshal defaults)."""
+    req = {
+        "resourceMetrics": [{
+            "scopeMetrics": [{
+                "metrics": [{
+                    "name": "events.hist",
+                    "exponentialHistogram": {
+                        "aggregationTemporality": 1,
+                        "dataPoints": [{
+                            "attributes": [
+                                {"key": "event_type",
+                                 "value": {"stringValue": "view"}}
+                            ],
+                            "count": "5",
+                            "zeroCount": "5",
+                        }],
+                    },
+                }],
+            }],
+        }],
+    }
+    df = spark.createDataFrame([(json.dumps(req),)], "request_json string")
+    rows = otlp_json.otlp_json_to_exp_histogram_points(df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["attr_key"] == "view"
+    assert r["bucket_index"] is None and r["n"] == 5
+    assert r["scale"] == 0
+    assert r["dp_count"] == 5

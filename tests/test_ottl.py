@@ -173,3 +173,28 @@ def test_filter_pushdown_through_parse(spark, tmp_path):
     keep_lang = compile_condition('lang == "en"')
     plan = pages.where(keep_lang).select("url")._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan
+
+
+def test_set_creates_new_column_and_nil_noop(records):
+    # set() on a column path that doesn't exist yet must CREATE it (the
+    # nil-no-op coalesce resolves at apply time, so it cannot reference
+    # the not-yet-existing old value)
+    out = compile_statements(['set(brand_new, "x")'])(records)
+    assert out.where(F.col("brand_new") != "x").count() == 0
+    # conditional create: non-matching rows fall back to NULL
+    out = compile_statements(['set(also_new, "y") where severity_text == "ERROR"'])(
+        records
+    )
+    assert (
+        out.where(F.col("also_new").isNotNull()).count()
+        == records.where(F.col("severity_text") == "ERROR").count()
+    )
+    # nil value on an EXISTING column keeps the old value (reference
+    # set() takes "no action" on nil): a lookup of an absent attribute
+    # key is nil for every row
+    out = compile_statements(['set(severity_text, attributes["no_such_key"])'])(
+        records
+    )
+    n = records.count()
+    assert out.where(F.col("severity_text").isNull()).count() == 0
+    assert out.count() == n
