@@ -207,6 +207,44 @@ SELECT v1, v2, round({cos}, 4) AS sim FROM cand WHERE {cos} >= {threshold}
 """
 
 
+def _lsh_cell_dedup_sql(
+    dim: int = 64, planes: int = 4, seed: int = 7, threshold: float = 0.4
+) -> str:
+    """DuckDB twin of similarity.lsh_cell_dedup: the cell is the full
+    sign-LSH signature, whose ±1 planes are md5-derived constants embedded
+    here as literals (same trick as :func:`_ann_lsh_sql`); projections sum
+    left-to-right like the Spark fold, so cells, within-cell candidate
+    pairs, verified cosines, and the min-id keep rule all match exactly."""
+    from opentelemetry_collector_spark.operators.similarity import _rp_planes
+
+    rows = _rp_planes(dim, planes, seed)
+    proj = [
+        "(" + " + ".join(f"v[{d + 1}]*({float(x)})" for d, x in enumerate(row)) + ")"
+        for row in rows
+    ]
+    cell = " + ".join(
+        f"(CASE WHEN {p} >= 0 THEN 1 ELSE 0 END) * {1 << i}"
+        for i, p in enumerate(proj)
+    )
+    cos = (
+        "list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i] * b.v[i]))"
+        " / (sqrt(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i] * a.v[i])))"
+        " * sqrt(list_sum(list_transform(range(1, len(b.v)+1), i -> b.v[i] * b.v[i]))))"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sig AS (SELECT vec_id, v, ({cell})::BIGINT AS cell FROM e),
+dup AS (
+  SELECT b.vec_id AS vid, min(a.vec_id) AS dup_of
+  FROM sig a JOIN sig b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE {cos} >= {threshold}
+  GROUP BY b.vec_id
+)
+SELECT s.vec_id, s.cell, d.dup_of, d.dup_of IS NULL AS kept
+FROM sig s LEFT JOIN dup d ON s.vec_id = d.vid
+"""
+
+
 _WINNOW_SQL = f"""
 WITH g AS (
   SELECT doc_id,
@@ -891,6 +929,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["unigram_logperplexity"] = unigram_ppl_q
 
+    def ccnet_buckets_q(spark, sf):  # CCNet head/middle/tail per language
+        return ts_ops.ccnet_perplexity_buckets(_t(spark, sf, "documents"))
+
+    q["ccnet_buckets"] = ccnet_buckets_q
+
+    def tfidf_q(spark, sf):  # tf-idf keyword extraction per source
+        return ts_ops.tfidf_top_terms(_t(spark, sf, "documents"), k=3)
+
+    q["tfidf_top_terms"] = tfidf_q
+
+    def emb_dedup_lsh_q(spark, sf):  # SemDeDup-style cell-scoped dedup
+        return sim_ops.lsh_cell_dedup(_t(spark, sf, "embeddings"))
+
+    q["embedding_dedup_lsh"] = emb_dedup_lsh_q
+
     def url_host_stats(spark, sf):  # per-host curation rollup
         from opentelemetry_collector_spark.operators.urls import host_stats
 
@@ -1561,6 +1614,70 @@ SELECT doc_id, count(*)::BIGINT AS n_tokens,
 FROM scored GROUP BY doc_id
 """
 
+    # CCNet head/middle/tail: same unigram scoring, then per-language
+    # tertile CUTS (quantile_cont ≡ Spark's exact percentile, both
+    # 6-dp-rounded) joined back — never a per-language sort
+    o["ccnet_buckets"] = f"""
+WITH toks AS (
+  SELECT doc_id, lang, unnest(string_split_regex(trim(text), ' +')) AS tok
+  FROM documents WHERE text IS NOT NULL
+), counts AS (
+  SELECT tok, count(*)::DOUBLE AS c FROM toks GROUP BY tok
+), tot AS (
+  SELECT sum(c) AS t FROM counts
+), model AS (
+  SELECT tok, round(log2(c / t), 9) AS logp
+  FROM counts, tot ORDER BY c DESC, tok ASC LIMIT 1000
+), oov AS (
+  SELECT round(log2(0.5 / t), 9) AS oov_logp FROM tot
+), scored AS (
+  SELECT doc_id, lang, coalesce(m.logp, o.oov_logp) AS lp
+  FROM toks LEFT JOIN model m USING (tok), oov o
+), ppl AS (
+  SELECT doc_id, lang, count(*)::BIGINT AS n_tokens,
+    round(-avg(lp), 4) AS bits_per_token,
+    round(pow(2.0, -avg(lp)), 4) AS perplexity
+  FROM scored GROUP BY doc_id, lang
+), cut AS (
+  SELECT lang,
+    round(quantile_cont(bits_per_token, {1.0 / 3!r}), 6) AS c1,
+    round(quantile_cont(bits_per_token, {2.0 / 3!r}), 6) AS c2
+  FROM ppl GROUP BY lang
+)
+SELECT p.doc_id, p.lang, p.n_tokens, p.bits_per_token, p.perplexity,
+  CASE WHEN p.bits_per_token <= c.c1 THEN 'head'
+       WHEN p.bits_per_token <= c.c2 THEN 'middle'
+       ELSE 'tail' END AS ppl_bucket
+FROM ppl p JOIN cut c USING (lang)
+"""
+
+    # tf-idf keywords: ln + tf*idf both ranked on the 9-dp rounding
+    # (term ASC tiebreak) exactly like the Spark window
+    o["tfidf_top_terms"] = """
+WITH docs AS (
+  SELECT doc_id, source, text FROM documents WHERE text IS NOT NULL
+), toks AS (
+  SELECT doc_id, source, unnest(string_split_regex(trim(text), ' +')) AS term
+  FROM docs
+), nd AS (
+  SELECT count(*)::DOUBLE AS n FROM docs
+), dft AS (
+  SELECT term, round(ln(n / count(DISTINCT doc_id)), 9) AS idf
+  FROM toks, nd GROUP BY term, n
+), tf AS (
+  SELECT source, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2
+), scored AS (
+  SELECT source, term, tf, round(tf * idf, 9) AS s9
+  FROM tf JOIN dft USING (term)
+), ranked AS (
+  SELECT source, term, tf, s9,
+    row_number() OVER (PARTITION BY source ORDER BY s9 DESC, term ASC)::INT AS rank
+  FROM scored
+)
+SELECT source, term, tf, round(s9, 4) AS score, rank
+FROM ranked WHERE rank <= 3
+"""
+
     # decontamination: 8-gram shingle overlap vs the doc_id%50 benchmark
     # subset; LEFT JOIN from documents keeps shingle-less docs at 0/0
     o["contamination_overlap"] = """
@@ -1618,6 +1735,7 @@ SELECT doc_id, host FROM p WHERE host NOT IN (SELECT host FROM b)
     o["embedding_neardup"] = _EMB_NEARDUP_SQL
     o["ann_topk_bruteforce"] = _ANN_TOPK_SQL
     o["ann_lsh_pairs"] = _ann_lsh_sql()
+    o["embedding_dedup_lsh"] = _lsh_cell_dedup_sql()
     # recall gate: deterministic seeded KMeans + fixed tie-breaks → the
     # per-query boolean is stable; the oracle expects TRUE for every query
     o["ann_ivf_topk"] = """

@@ -316,3 +316,75 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select(query_id_col, id_col, "rank", "sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic dedup in LSH cells
+# ---------------------------------------------------------------------------
+
+def lsh_cell_dedup(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    planes: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """Semantic deduplication, SemDeDup-shaped: partition the corpus into
+    cells, compare vectors pairwise only WITHIN a cell, and drop a vector
+    when a same-cell lower-id vector is ≥ ``threshold`` cosine-similar
+    (the kept representative is deterministic: the smallest id).
+
+    SemDeDup (Abbas et al. 2023) uses k-means cells; here the cell is the
+    full ``planes``-bit sign-LSH signature (:func:`rp_signature`,
+    deterministic ±1 planes) so the assignment is a pure expression —
+    engine-reproducible, no iterative fit — and the DuckDB oracle can
+    replay the exact cells.  The semantics are the same: dedup is scoped
+    to a cell, and cross-cell near-duplicates are the accepted recall
+    loss (that is what makes the op subquadratic).
+
+    Scale: pairwise work is Σ cell² ≈ n²/2^planes — ``planes`` is the
+    knob that bounds per-cell pair counts at a given corpus size; at
+    100 TB the cell key doubles as the write-time partitioning so the
+    self-join co-locates.  Output: one row per input vector with its
+    cell, ``kept`` flag, and ``dup_of`` (the retained lower id, NULL for
+    kept rows).  Zero-norm vectors have NULL cosine to everything and are
+    always kept.
+    """
+    sig = rp_signature(F.col(vec_col), dim, planes, seed)
+    base = emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        norm(F.col(vec_col)).alias("__n"),
+        sig.alias("cell"),
+    )
+    a = base.select(
+        F.col(id_col).alias("__i"),
+        F.col(vec_col).alias("__a"),
+        F.col("__n").alias("__na"),
+        "cell",
+    )
+    b = base.select(
+        F.col(id_col).alias("__j"),
+        F.col(vec_col).alias("__b"),
+        F.col("__n").alias("__nb"),
+        "cell",
+    )
+    sim = _cosine_pre(F.col("__a"), F.col("__b"), F.col("__na"), F.col("__nb"))
+    dup = (
+        a.join(b, "cell")
+        .where(F.col("__i") < F.col("__j"))
+        .where(sim >= F.lit(threshold))
+        .groupBy("__j")
+        .agg(F.min("__i").alias("dup_of"))
+    )
+    return (
+        base.join(dup, base[id_col] == dup["__j"], "left")
+        .select(
+            F.col(id_col),
+            F.col("cell").cast("long").alias("cell"),
+            F.col("dup_of"),
+            F.col("dup_of").isNull().alias("kept"),
+        )
+    )

@@ -302,6 +302,7 @@ def unigram_logperplexity(
     id_col: str = "doc_id",
     text_col: str = "text",
     vocab_size: int = 1000,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Per-document unigram cross-entropy (bits/token) and perplexity —
     the LM-perplexity quality filter of web-corpus curation (CCNet-style:
@@ -326,8 +327,13 @@ def unigram_logperplexity(
     before averaging (1-ulp libm log2 divergence guard); outputs 4-dp.
     """
     docs = df.where(F.col(text_col).isNotNull())
+    # carry_cols ride the explode and the final groupBy (id_col is unique
+    # per doc, so extra keys don't change the grouping) — lets callers
+    # keep e.g. the language column without a second doc-keyed join
     toks = docs.select(
-        F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("tok")
+        F.col(id_col),
+        *[F.col(c) for c in carry_cols],
+        F.explode(tokenize(F.col(text_col))).alias("tok"),
     )
     if model is None:
         counts = toks.groupBy("tok").agg(F.count("*").alias("c"))
@@ -358,10 +364,14 @@ def unigram_logperplexity(
     scored = (
         toks.join(F.broadcast(model), "tok", "left")
         .crossJoin(F.broadcast(oov))
-        .select(F.col(id_col), F.coalesce(F.col("logp"), F.col("oov_logp")).alias("lp"))
+        .select(
+            F.col(id_col),
+            *[F.col(c) for c in carry_cols],
+            F.coalesce(F.col("logp"), F.col("oov_logp")).alias("lp"),
+        )
     )
     avg_lp = F.avg("lp")
-    return scored.groupBy(F.col(id_col)).agg(
+    return scored.groupBy(F.col(id_col), *[F.col(c) for c in carry_cols]).agg(
         F.count("*").cast("long").alias("n_tokens"),
         F.round(-avg_lp, 4).alias("bits_per_token"),
         F.round(F.pow(F.lit(2.0), -avg_lp), 4).alias("perplexity"),
@@ -413,4 +423,102 @@ def contamination_overlap(
                 F.round(F.col("n_contaminated") / F.col("n_shingles"), 4),
             ).otherwise(F.lit(0.0)),
         )
+    )
+
+
+def ccnet_perplexity_buckets(
+    df: DataFrame,
+    model: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    cuts: tuple[float, float] = (1.0 / 3, 2.0 / 3),
+) -> DataFrame:
+    """CCNet's head/middle/tail corpus split (Wenzek et al. 2019): score
+    every document's LM perplexity, then partition EACH LANGUAGE into
+    three quality tiers at the per-language perplexity tertiles — head is
+    the lowest-perplexity (most fluent) third.
+
+    Scale shape: the tier boundaries are a per-language percentile
+    AGGREGATE (one row per language) broadcast back onto the scored
+    corpus — never a per-language global sort/ntile, which would funnel a
+    whole language through one reducer at 100 TB.  Exact ``percentile``
+    keeps the small-scale oracle bit-comparable (DuckDB ``quantile_cont``
+    computes the same linear interpolation); swap in
+    ``approx_percentile`` at real scale where a 1e-4-quantile error is
+    irrelevant.  Cut values are 6-dp rounded in both engines before the
+    bucket comparison (1-ulp interpolation guard).
+    """
+    ppl = unigram_logperplexity(
+        df, model, id_col=id_col, text_col=text_col, carry_cols=(lang_col,)
+    )
+    cut = ppl.groupBy(lang_col).agg(
+        F.round(F.percentile("bits_per_token", F.lit(cuts[0])), 6).alias("__c1"),
+        F.round(F.percentile("bits_per_token", F.lit(cuts[1])), 6).alias("__c2"),
+    )
+    bucket = (
+        F.when(F.col("bits_per_token") <= F.col("__c1"), F.lit("head"))
+        .when(F.col("bits_per_token") <= F.col("__c2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return ppl.join(F.broadcast(cut), lang_col).select(
+        F.col(id_col),
+        F.col(lang_col),
+        "n_tokens",
+        "bits_per_token",
+        "perplexity",
+        bucket.alias("ppl_bucket"),
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """tf-idf keyword extraction per corpus slice: the ``k`` terms most
+    characteristic of each ``group_col`` value (source/domain/crawl).
+
+    tf is the term's count within the group; idf = ln(N_docs / df) over
+    the whole corpus (df = number of documents containing the term).
+    Plan: one token explode feeds both the per-group tf aggregate and the
+    corpus df aggregate; df is vocabulary-sized, so it broadcasts back
+    onto tf, and the top-k window partitions by group (group × vocab
+    rows, already small).  Ranking compares the 9-dp-rounded score
+    (ties → term ASC) so 1-ulp libm ``ln`` divergence can't flip ranks
+    across engines; the reported score is 4-dp.
+    """
+    from pyspark.sql import Window
+
+    docs = df.where(F.col(text_col).isNotNull())
+    toks = docs.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.explode(tokenize(F.col(text_col))).alias("term"),
+    )
+    n_docs = docs.agg(F.count("*").cast("double").alias("__n"))
+    df_t = (
+        toks.groupBy("term")
+        .agg(F.count_distinct(F.col(id_col)).alias("__df"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term", F.round(F.log(F.col("__n") / F.col("__df")), 9).alias("__idf")
+        )
+    )
+    tf = toks.groupBy(group_col, "term").agg(F.count("*").alias("tf"))
+    scored = tf.join(F.broadcast(df_t), "term").select(
+        F.col(group_col),
+        "term",
+        F.col("tf").cast("long").alias("tf"),
+        F.round(F.col("tf") * F.col("__idf"), 9).alias("__s9"),
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("__s9").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select(group_col, "term", "tf", F.round(F.col("__s9"), 4).alias("score"), "rank")
     )

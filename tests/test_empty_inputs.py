@@ -159,3 +159,15 @@ def test_redact_and_blocklist_empty(spark, empty_docs):
     assert filter_blocked_hosts(empty_pages, no_block).count() == 0
     some_block = spark.createDataFrame([("x",)], "host string")
     assert filter_blocked_hosts(empty_pages, some_block).count() == 0
+
+
+def test_new_round3_operators_empty(spark, empty_docs, empty_emb):
+    assert sim.lsh_cell_dedup(empty_emb, dim=4, planes=2).count() == 0
+    empty_docs_src = spark.createDataFrame(
+        [], "doc_id long, text string, source string"
+    )
+    assert ts.tfidf_top_terms(empty_docs_src).count() == 0
+    empty_docs_lang = spark.createDataFrame(
+        [], "doc_id long, text string, lang string"
+    )
+    assert ts.ccnet_perplexity_buckets(empty_docs_lang).count() == 0

@@ -106,3 +106,45 @@ def test_ivf_topk_recall(emb):
     assert recall >= 0.5  # probing half the cells on clustered data
     # the planted near-dup must be found even approximately
     assert (0, 1) in approx
+
+
+def test_lsh_cell_dedup_drops_planted_dups_and_partitions(emb):
+    from opentelemetry_collector_spark.operators.similarity import lsh_cell_dedup
+
+    out = lsh_cell_dedup(emb, threshold=0.95, dim=DIM, planes=2).collect()
+    assert len(out) == N  # one row per input vector
+    by_id = {r["vec_id"]: r for r in out}
+    vs = _vecs()
+
+    def cos(i, j):
+        return float(
+            np.dot(vs[i], vs[j]) / (np.linalg.norm(vs[i]) * np.linalg.norm(vs[j]))
+        )
+
+    # the planted near-identical pairs share any sign-LSH cell (cos≈1 ⇒
+    # same side of every plane) so the higher id must be dropped with the
+    # lower id as its representative
+    for keep, drop in ((0, 1), (10, 11)):
+        assert by_id[keep]["cell"] == by_id[drop]["cell"]
+        assert by_id[keep]["kept"] and by_id[keep]["dup_of"] is None
+        assert not by_id[drop]["kept"] and by_id[drop]["dup_of"] == keep
+    # every drop is justified: dup_of is a same-cell lower id above τ
+    for r in out:
+        if not r["kept"]:
+            d = r["dup_of"]
+            assert d < r["vec_id"]
+            assert by_id[d]["cell"] == r["cell"]
+            assert cos(d, r["vec_id"]) >= 0.95
+
+
+def test_lsh_cell_dedup_keeps_zero_norm_vectors(spark):
+    from opentelemetry_collector_spark.operators.similarity import lsh_cell_dedup
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r["vec_id"]: r for r in lsh_cell_dedup(df, threshold=0.9, dim=2, planes=1).collect()}
+    assert rows[0]["kept"] and not rows[1]["kept"] and rows[1]["dup_of"] == 0
+    # NULL cosine against everything — never dropped
+    assert rows[2]["kept"]

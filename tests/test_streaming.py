@@ -310,7 +310,7 @@ def test_watch_driven_reload_resumes_from_checkpoint(spark, tmp_path):
     t = threading.Thread(target=runner, daemon=True)
     t.start()
 
-    def wait_until(cond, timeout=90):
+    def wait_until(cond, timeout=180):
         deadline = time.time() + timeout
         while time.time() < deadline:
             if cond():

@@ -285,3 +285,60 @@ def test_filter_blocked_hosts_broadcast_anti(spark):
     # must not hash-shuffle
     plan = kept._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_ccnet_perplexity_buckets_tiers_are_ordered(spark):
+    from opentelemetry_collector_spark.operators.textstats import (
+        ccnet_perplexity_buckets,
+    )
+
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = ccnet_perplexity_buckets(docs).collect()
+    assert len(out) == docs.where(F.col("text").isNotNull()).count()
+    per_lang: dict[str, dict[str, list[float]]] = {}
+    for r in out:
+        per_lang.setdefault(r["lang"], {}).setdefault(r["ppl_bucket"], []).append(
+            r["bits_per_token"]
+        )
+    for lang, buckets in per_lang.items():
+        # all three tiers populated, and strictly ordered by perplexity:
+        # head (≤ c1) < middle (≤ c2) < tail
+        assert set(buckets) == {"head", "middle", "tail"}, lang
+        assert max(buckets["head"]) <= min(buckets["middle"])
+        assert max(buckets["middle"]) <= min(buckets["tail"])
+        # tertile cuts put roughly a third in each tier
+        n = sum(len(v) for v in buckets.values())
+        for tier in ("head", "middle", "tail"):
+            assert len(buckets[tier]) >= n // 4
+
+
+def test_tfidf_top_terms_hand_computed(spark):
+    import math
+
+    from opentelemetry_collector_spark.operators.textstats import tfidf_top_terms
+
+    # 4 docs, 2 sources; 'rare' appears in 1 of 4 docs, only in s1
+    df = spark.createDataFrame(
+        [
+            (0, "s1", "common rare common"),
+            (1, "s1", "common common"),
+            (2, "s2", "common other"),
+            (3, "s2", "other other common"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {(r["source"], r["rank"]): r for r in tfidf_top_terms(df, k=2).collect()}
+    idf_rare = round(math.log(4 / 1), 9)
+    idf_other = round(math.log(4 / 2), 9)
+    # s1: rare tf=1 score≈1.386 beats common (idf=0); s2: other tf=3
+    r = out[("s1", 1)]
+    assert r["term"] == "rare" and r["tf"] == 1
+    assert r["score"] == round(round(1 * idf_rare, 9), 4)
+    assert out[("s1", 2)]["term"] == "common"  # idf 0 ⇒ score 0
+    r2 = out[("s2", 1)]
+    assert r2["term"] == "other" and r2["tf"] == 3
+    assert r2["score"] == round(round(3 * idf_other, 9), 4)
+    # exactly k rows per source, ranks contiguous
+    assert {k for k in out} == {("s1", 1), ("s1", 2), ("s2", 1), ("s2", 2)}
