@@ -1124,6 +1124,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["multimodal_decode_stub"] = mm_decode
 
+    def mm_frames(spark, sf):  # 1→N Arrow fan-out: stride-64 byte frames
+        blobs = mm_ops.attach_blob(_t(spark, sf, "documents"))
+        return mm_ops.frame_sample(blobs, every_n_bytes=64)
+
+    q["multimodal_frame_sample"] = mm_frames
+
     def parse_arrow(spark, sf):  # rows-only: Arrow-engine parse parity is pytest-locked
         pages = pages_from_documents(_t(spark, sf, "documents"))
         recs = parse_pages(pages, engine="arrow")
@@ -1774,6 +1780,20 @@ FROM documents
 """
 
     o["multimodal_decode_stub"] = _MM_DECODE_SQL
+
+    # frame_sample's stub frames are fixed-stride byte windows of the
+    # UTF-8 payload; the corpus is ASCII so byte offsets == char offsets
+    # and DuckDB's VARCHAR substr + sha256 reproduce each frame digest
+    # exactly (an empty payload still yields frame 0 over zero bytes)
+    o["multimodal_frame_sample"] = """
+WITH d AS (
+  SELECT doc_id, text, length(text) AS n FROM documents
+)
+SELECT doc_id, i::INT AS frame_no,
+  sha256(substr(text, i * 64 + 1, 64)) AS frame_sha256
+FROM d, unnest(generate_series(0,
+  CASE WHEN n = 0 THEN 0 ELSE CAST(ceil(n / 64.0) AS INT) - 1 END)) AS t(i)
+"""
 
     # Arrow-engine parse: per-host record counts reduce to non-empty-line
     # counts per source (url = https://{source}.example.com/doc/{id});

@@ -177,7 +177,11 @@ _PLAN_SHUFFLE_BUDGET = {
 }
 
 # the ONLY queries allowed Python eval nodes: the declared Arrow surfaces
-_PYTHON_ALLOWED = {"multimodal_decode_stub", "parse_arrow_engine"}
+_PYTHON_ALLOWED = {
+    "multimodal_decode_stub",
+    "multimodal_frame_sample",
+    "parse_arrow_engine",
+}
 
 
 def test_all_queries_stay_jvm_side_with_bounded_shuffles(spark):
