@@ -155,7 +155,7 @@ _MM_DECODE_SQL = f"""
 WITH h AS (
   SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
     sha256(text) AS sha256, md5(text) AS m
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 )
 SELECT doc_id, n_bytes, sha256,
   (64 + ({_dd_hexbyte('m', 0)} + {_dd_hexbyte('m', 1)} * 256) % 1985)::INTEGER AS width,
@@ -1788,6 +1788,7 @@ FROM documents
     o["multimodal_frame_sample"] = """
 WITH d AS (
   SELECT doc_id, text, length(text) AS n FROM documents
+  WHERE text IS NOT NULL
 )
 SELECT doc_id, i::INT AS frame_no,
   sha256(substr(text, i * 64 + 1, 64)) AS frame_sha256

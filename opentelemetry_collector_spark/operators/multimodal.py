@@ -76,8 +76,13 @@ def decode_image_meta(
     schema) is production-shaped; only the codec call is stubbed. With
     ``fake=False`` the UDF raises NotImplementedError — replace
     ``_fake_decode`` with PIL/pyav there.
+
+    NULL payloads are dropped before the Arrow hop (there is nothing to
+    decode, and ``bytes(None)`` inside the UDF would abort the job).
     """
-    pruned = blobs.select(F.col(id_col).alias("doc_id"), "blob")
+    pruned = blobs.select(F.col(id_col).alias("doc_id"), "blob").where(
+        F.col("blob").isNotNull()
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -117,8 +122,11 @@ def frame_sample(
     """Frame-sampling plumbing: 1 output row per sampled "frame" (stubbed
     as fixed-stride byte windows). Demonstrates the 1→N Arrow fan-out shape
     a video frame sampler uses; a real implementation decodes containers.
+    NULL payloads are dropped (no container, no frames).
     """
-    pruned = blobs.select(F.col(id_col).alias("doc_id"), "blob")
+    pruned = blobs.select(F.col(id_col).alias("doc_id"), "blob").where(
+        F.col("blob").isNotNull()
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -348,9 +348,14 @@ def lsh_cell_dedup(
     knob that bounds per-cell pair counts at a given corpus size; at
     100 TB the cell key doubles as the write-time partitioning so the
     self-join co-locates.  Output: one row per input vector with its
-    cell, ``kept`` flag, and ``dup_of`` (the retained lower id, NULL for
-    kept rows).  Zero-norm vectors have NULL cosine to everything and are
-    always kept.
+    cell, ``kept`` flag, and ``dup_of`` (the smallest same-cell lower-id
+    near-duplicate, NULL for kept rows).  ``dup_of`` may itself be a
+    dropped row (a→b→c similarity chains): the kept set is the greedy
+    min-id rule's survivors, not per-chain representatives — follow the
+    chain, or use :func:`~.dedup.connected_components` over the pair
+    edges when one canonical representative per group is required.
+    Zero-norm vectors have NULL cosine to everything and are always
+    kept.
     """
     sig = rp_signature(F.col(vec_col), dim, planes, seed)
     base = emb.select(

@@ -61,3 +61,18 @@ def test_frame_sample_fanout(blobs):
     assert len(by_doc[0]) == 1  # 11 bytes → 1 frame
     assert len(by_doc[1]) == 4  # 200 bytes / 64 → 4 frames
     assert [f["frame_no"] for f in sorted(by_doc[1], key=lambda x: x["frame_no"])] == [0, 1, 2, 3]
+
+
+def test_null_payloads_are_dropped_not_fatal(spark):
+    """A NULL blob (e.g. encode of NULL text) must be dropped before the
+    Arrow hop — bytes(None) inside the UDF would abort the whole job —
+    and produce no frames."""
+    from opentelemetry_collector_spark.operators import multimodal as mm
+
+    df = spark.createDataFrame(
+        [(0, b"hello world"), (1, None)], "doc_id long, blob binary"
+    )
+    got = mm.decode_image_meta(df, fake=True).collect()
+    assert [r["doc_id"] for r in got] == [0]
+    frames = mm.frame_sample(df, every_n_bytes=4).collect()
+    assert {r["doc_id"] for r in frames} == {0}
