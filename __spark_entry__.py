@@ -207,6 +207,39 @@ SELECT v1, v2, round({cos}, 4) AS sim FROM cand WHERE {cos} >= {threshold}
 """
 
 
+# common-log-format grok pattern for the grok_access_log query; the
+# compiled regex (RE2∩Java subset) is embedded verbatim in the oracle so
+# both engines run the exact same pattern with the same group numbering
+_GROK_ACCESS = (
+    r'^%{IPV4:client} - - \[%{HTTPDATE:ts}\] '
+    r'"%{HTTPMETHOD:method} %{NOTSPACE:path} HTTP/%{NUMBER:httpver}" '
+    r'%{INT:status:int} %{INT:bytes:int}$'
+)
+
+
+def _grok_access_sql() -> str:
+    from opentelemetry_collector_spark.operators.grok import compile_grok
+
+    regex, fields = compile_grok(_GROK_ACCESS)
+    casts = {"status": "::BIGINT", "bytes": "::BIGINT"}
+    caps = ",\n  ".join(
+        f"regexp_extract(line, '{regex}', {i}){casts.get(name, '')} AS {name}"
+        for i, (name, _) in enumerate(fields, start=1)
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+    '10.' || (doc_id % 200) || '.0.' || (doc_id % 250)
+      || ' - - [02/Jan/2024:03:04:05 +0000] "GET /doc/' || doc_id
+      || ' HTTP/1.1" ' || (200 + (doc_id % 4) * 100) || ' ' || length(text) AS line
+  FROM documents
+)
+SELECT doc_id,
+  {caps}
+FROM d
+"""
+
+
 def _lsh_cell_dedup_sql(
     dim: int = 64, planes: int = 4, seed: int = 7, threshold: float = 0.4
 ) -> str:
@@ -1130,6 +1163,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["multimodal_frame_sample"] = mm_frames
 
+    def grok_access(spark, sf):  # grok-syntax compiler over planted CLF lines
+        from opentelemetry_collector_spark.operators.grok import grok_extract
+
+        docs = _t(spark, sf, "documents").select(
+            "doc_id",
+            F.concat(
+                F.lit("10."),
+                (F.col("doc_id") % 200).cast("string"),
+                F.lit(".0."),
+                (F.col("doc_id") % 250).cast("string"),
+                F.lit(' - - [02/Jan/2024:03:04:05 +0000] "GET /doc/'),
+                F.col("doc_id").cast("string"),
+                F.lit(' HTTP/1.1" '),
+                (F.lit(200) + (F.col("doc_id") % 4) * 100).cast("string"),
+                F.lit(" "),
+                F.length("text").cast("string"),
+            ).alias("line"),
+        )
+        out = grok_extract(docs, _GROK_ACCESS, "line")
+        return out.select(
+            "doc_id", "client", "ts", "method", "path", "httpver", "status", "bytes"
+        )
+
+    q["grok_access_log"] = grok_access
+
     def parse_arrow(spark, sf):  # rows-only: Arrow-engine parse parity is pytest-locked
         pages = pages_from_documents(_t(spark, sf, "documents"))
         recs = parse_pages(pages, engine="arrow")
@@ -1742,6 +1800,7 @@ SELECT doc_id, host FROM p WHERE host NOT IN (SELECT host FROM b)
     o["ann_topk_bruteforce"] = _ANN_TOPK_SQL
     o["ann_lsh_pairs"] = _ann_lsh_sql()
     o["embedding_dedup_lsh"] = _lsh_cell_dedup_sql()
+    o["grok_access_log"] = _grok_access_sql()
     # recall gate: deterministic seeded KMeans + fixed tie-breaks → the
     # per-query boolean is stable; the oracle expects TRUE for every query
     o["ann_ivf_topk"] = """

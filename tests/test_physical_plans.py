@@ -163,6 +163,7 @@ _PLAN_SHUFFLE_BUDGET = {
     "ccnet_buckets": 3,  # per-doc score agg (inlined both sides of the cut join; AQE reuses) + langs-row cut agg, cuts broadcast back
     "tfidf_top_terms": 4,  # df count-distinct (two aggs) + per-group tf agg + top-k window; idf broadcast
     "embedding_dedup_lsh": 2,  # same-cell self-join; dup set broadcast back
+    "grok_access_log": 0,  # narrow typed regex projection, scan speed
     "embedding_neardup": 0,  # broadcast nested-loop cross join
     "ann_topk_bruteforce": 2,  # partial + final top-k
     "ann_lsh_pairs": 1,
