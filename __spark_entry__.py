@@ -524,6 +524,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ottl_attributes_ops"] = ottl_attributes_ops
 
+    def ottl_converters(spark, sf):  # converter-function registry breadth
+        from opentelemetry_collector_spark.operators.ottl import compile_statements
+
+        recs = events_to_records(_t(spark, sf, "events"))
+        out = compile_statements(
+            [
+                "set(unix_sec, UnixSeconds(time_unix_nano))",
+                "set(unix_ms, UnixMilli(time_unix_nano))",
+                'set(hour_bucket, TruncateTime(time_unix_nano, "1h"))',
+                'set(et_upper, ConvertCase(event_type, "upper"))',
+                "set(body_head, Substring(body, 0, 8))",
+                "set(body_trim_len, Len(Trim(body)))",
+            ]
+        )(recs)
+        return out.select(
+            "event_id",
+            "unix_sec",
+            "unix_ms",
+            "hour_bucket",
+            "et_upper",
+            "body_head",
+            F.col("body_trim_len").cast("long").alias("body_trim_len"),
+        )
+
+    q["ottl_converters"] = ottl_converters
+
     def batch_split(spark, sf):  # P2-P4 deterministic split
         records = events_to_records(_t(spark, sf, "events"))
         head, _rest = split_head(records, 100, order_by=["event_id"])
@@ -1247,6 +1273,21 @@ FROM events WHERE NOT (event_type = 'view')
 
     # the limit(attributes, 4) keeps the 4 smallest keys of
     # {browser, k, k_hash, major, type, ua} → type/ua dropped
+    o["ottl_converters"] = """
+WITH r AS (
+  SELECT event_id, epoch_us(ts) * 1000 AS t, event_type, props AS body
+  FROM events
+)
+SELECT event_id,
+  t // 1000000000 AS unix_sec,
+  t // 1000000 AS unix_ms,
+  t - (t % 3600000000000) AS hour_bucket,
+  upper(event_type) AS et_upper,
+  substr(body, 1, 8) AS body_head,
+  length(trim(body))::BIGINT AS body_trim_len
+FROM r
+"""
+
     o["ottl_attributes_ops"] = """
 SELECT event_id,
   'Browser' AS browser,

@@ -303,7 +303,60 @@ _FUNCS: dict[str, Callable[..., Column]] = {
     "SHA1": lambda target: F.sha1(_c(target).cast("binary")),
     "SHA256": lambda target: F.sha2(_c(target).cast("binary"), 256),
     "MD5": lambda target: F.md5(_c(target).cast("binary")),
+    "Trim": lambda target: F.trim(_c(target)),
+    # OTTL Split takes a literal delimiter (not a regex): \Q..\E quotes it
+    # for the Java regex engine behind F.split
+    "Split": lambda target, sep: F.split(
+        _c(target), "\\Q" + _lit_str(sep) + "\\E"
+    ),
+    # ParseJSON → the flat map model (nested values come back as their
+    # JSON text; a non-object document yields nil, matching the
+    # converter's error-becomes-no-op behavior under set())
+    "ParseJSON": lambda target: F.from_json(_c(target), "map<string,string>"),
+    "ConvertCase": lambda target, mode: _convert_case(_c(target), _lit_str(mode)),
+    # the Unix* family over the model's ns-epoch longs; integer division
+    # (ns exceeds 2^53 — a double /1e3 loses the microsecond)
+    "UnixNano": lambda t: _c(t).cast("long"),
+    "UnixMicro": lambda t: _ns_div(_c(t), 1_000),
+    "UnixMilli": lambda t: _ns_div(_c(t), 1_000_000),
+    "UnixSeconds": lambda t: _ns_div(_c(t), 1_000_000_000),
+    # TruncateTime(t, "1h"): floor the ns epoch to the duration bucket
+    "TruncateTime": lambda t, d: _c(t).cast("long")
+    - F.pmod(_c(t).cast("long"), F.lit(_parse_duration_ns(_lit_str(d)))),
 }
+
+
+def _ns_div(col: Column, divisor: int) -> Column:
+    return F.call_function("div", col.cast("long"), F.lit(divisor))
+
+
+def _convert_case(col: Column, mode: str) -> Column:
+    """OTTL ConvertCase modes over the engine-portable subset: lower,
+    upper, and snake (camel/Pascal humps → underscored lowercase)."""
+    if mode == "lower":
+        return F.lower(col)
+    if mode == "upper":
+        return F.upper(col)
+    if mode == "snake":
+        return F.lower(F.regexp_replace(col, "([a-z0-9])([A-Z])", "$1_$2"))
+    raise OTTLSyntaxError(f"ConvertCase: unsupported mode {mode!r}")
+
+
+_DUR_RE = re.compile(r"(\d+(?:\.\d+)?)(ns|us|ms|s|m|h)", re.ASCII)
+_DUR_NS = {"ns": 1, "us": 1_000, "ms": 1_000_000, "s": 10**9, "m": 60 * 10**9, "h": 3600 * 10**9}
+
+
+def _parse_duration_ns(text: str) -> int:
+    """Go-style duration literal ("90s", "1h30m", "250ms") → nanoseconds."""
+    pos, total = 0, 0
+    for m in _DUR_RE.finditer(text):
+        if m.start() != pos:
+            raise OTTLSyntaxError(f"bad duration literal {text!r}")
+        total += int(float(m.group(1)) * _DUR_NS[m.group(2)])
+        pos = m.end()
+    if pos != len(text) or total <= 0:
+        raise OTTLSyntaxError(f"bad duration literal {text!r}")
+    return total
 
 
 def _lit_str(v) -> str:

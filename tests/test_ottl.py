@@ -198,3 +198,55 @@ def test_set_creates_new_column_and_nil_noop(records):
     n = records.count()
     assert out.where(F.col("severity_text").isNull()).count() == 0
     assert out.count() == n
+
+
+def test_converter_functions(spark):
+    df = spark.createDataFrame(
+        [
+            (
+                0,
+                1704067200_123456789,
+                "  padded  ",
+                "a,b,c",
+                '{"k": "v", "n": 2}',
+                "requestCount",
+            ),
+            (1, 999, "x", "solo", "not json", "already_snake"),
+        ],
+        "id long, t long, pad string, csv string, js string, name string",
+    )
+    out = compile_statements(
+        [
+            "set(sec, UnixSeconds(t))",
+            "set(ms, UnixMilli(t))",
+            "set(us, UnixMicro(t))",
+            'set(bucket, TruncateTime(t, "1h"))',
+            "set(trimmed, Trim(pad))",
+            'set(parts, Split(csv, ","))',
+            "set(parsed, ParseJSON(js))",
+            'set(snake, ConvertCase(name, "snake"))',
+        ]
+    )(df)
+    r = {x["id"]: x for x in out.collect()}
+    assert r[0]["sec"] == 1704067200
+    assert r[0]["ms"] == 1704067200_123
+    assert r[0]["us"] == 1704067200_123456
+    assert r[0]["bucket"] == 1704067200 * 10**9  # 00:00 UTC is on the hour
+    assert r[0]["trimmed"] == "padded"
+    assert r[0]["parts"] == ["a", "b", "c"]
+    assert r[0]["parsed"] == {"k": "v", "n": "2"}
+    assert r[0]["snake"] == "request_count"
+    # sub-second epoch: integer division truncates toward zero
+    assert r[1]["sec"] == 0 and r[1]["us"] == 0
+    assert r[1]["parts"] == ["solo"]
+    # unparseable JSON → nil → set() keeps the old value (none: column
+    # created as NULL on that row)
+    assert r[1]["parsed"] is None
+    assert r[1]["snake"] == "already_snake"
+
+
+def test_converter_errors():
+    with pytest.raises(OTTLSyntaxError, match="unsupported mode"):
+        compile_statements(['set(x, ConvertCase(body, "studly"))'])
+    with pytest.raises(OTTLSyntaxError, match="duration"):
+        compile_statements(['set(x, TruncateTime(t, "1d"))'])

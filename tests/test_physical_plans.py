@@ -121,6 +121,7 @@ _PLAN_SHUFFLE_BUDGET = {
     "router_counts": 0,  # single global conditional aggregation
     "ottl_transform": 0,
     "ottl_attributes_ops": 0,
+    "ottl_converters": 0,  # narrow converter projection, scan speed
     "batch_split_head": 1,  # per-partition candidates (balanced)
     "window_tumbling": 1,
     "spanmetrics_connector": 1,
