@@ -67,3 +67,69 @@ def test_resolver_total(text):
 def test_named_group_scanner_total(pattern):
     out = _named_groups(pattern)
     assert all(isinstance(k, str) and isinstance(v, int) for k, v in out.items())
+
+
+# --- grok compiler totality + soundness ---
+
+_GROK_FRAGMENTS = st.sampled_from(
+    [
+        "%{", "}", "%{INT}", "%{WORD:w}", "%{NUMBER:n:float}", "%{NOPE}",
+        "%{INT:x:decimal}", ":", "%", "{", "\\[", "(", ")", "[", "a-", " ",
+        "literal", "\\d+", "^", "$", "|", "*",
+    ]
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(_GROK_FRAGMENTS, min_size=0, max_size=10).map("".join))
+def test_grok_compiler_total(pattern):
+    """compile_grok either succeeds or raises GrokError — never an
+    unrelated exception — and a success is always a valid ASCII regex
+    whose capture-group count equals the field list."""
+    import re as _re
+
+    from opentelemetry_collector_spark.operators.grok import GrokError, compile_grok
+
+    try:
+        regex, fields = compile_grok(pattern)
+    except GrokError:
+        return
+    compiled = _re.compile(regex, _re.ASCII)
+    assert compiled.groups == len(fields)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.sampled_from(
+            ["WORD", "INT", "NUMBER", "IPV4", "NOTSPACE", "UUID", "LOGLEVEL"]
+        ),
+        min_size=1,
+        max_size=6,
+        unique=True,
+    )
+)
+def test_grok_field_binding_positions(names):
+    """Every named capture binds to its own group, in declaration order,
+    regardless of which library patterns surround it."""
+    import re as _re
+
+    from opentelemetry_collector_spark.operators.grok import compile_grok
+
+    pattern = " ".join(f"%{{{n}:f{i}}}" for i, n in enumerate(names))
+    regex, fields = compile_grok(pattern)
+    assert [f for f, _ in fields] == [f"f{i}" for i in range(len(names))]
+    samples = {
+        "WORD": "abc_1",
+        "INT": "-42",
+        "NUMBER": "3.14",
+        "IPV4": "10.0.0.255",
+        "NOTSPACE": "a/b?c=d",
+        "UUID": "123e4567-e89b-42d3-a456-426614174000",
+        "LOGLEVEL": "WARN",
+    }
+    line = " ".join(samples[n] for n in names)
+    m = _re.fullmatch(regex, line, _re.ASCII)
+    assert m is not None
+    for i, n in enumerate(names):
+        assert m.group(i + 1) == samples[n]
