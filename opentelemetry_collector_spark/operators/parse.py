@@ -239,7 +239,13 @@ def _parse_chunk_pandas(pdf: pd.DataFrame) -> pd.DataFrame:
             acc.loc[is_access, 1], format="%d/%b/%Y:%H:%M:%S %z", errors="coerce", utc=True
         )
     if is_applog.any():
-        ts.loc[is_applog] = pd.to_datetime(app.loc[is_applog, 0], errors="coerce", utc=True)
+        # format="ISO8601", not inference: pandas 2 infers the format
+        # from the FIRST element and coerces the rest, so a batch mixing
+        # whole-second and fractional timestamps would NaT the minority
+        # shape (the SQL engine parses each line independently)
+        ts.loc[is_applog] = pd.to_datetime(
+            app.loc[is_applog, 0], format="ISO8601", errors="coerce", utc=True
+        )
     nano_raw = ts.fillna(pd.Timestamp(0, tz="UTC")).astype("int64")
     # truncate to whole microseconds: the SQL engine goes through
     # unix_micros()*1000, so sub-µs fractional digits (7+ in the line)

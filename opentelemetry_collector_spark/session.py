@@ -17,6 +17,18 @@ import os
 
 from pyspark.sql import SparkSession
 
+# Long-running-JVM headroom, needed by any driver/executor that lives for
+# hours (a production streaming collector as much as a full pytest run):
+# whole-stage codegen emits thousands of classes, and once the default
+# 240m code cache fills, the JIT shuts off and interpreted frames are
+# several times larger — at which point Java-regex backtracking over a
+# repeated-group grammar (the KV line match) can overflow the default
+# thread stack mid-stream (observed: StackOverflowError inside
+# Pattern.match in a stream-execution thread only after ~200 tests in one
+# JVM). A bigger code cache keeps the JIT alive; a bigger stack makes the
+# recursion safe either way.
+_JVM_LONGRUN_OPTS = "-Xss16m -XX:ReservedCodeCacheSize=512m"
+
 DEFAULT_CONF = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
@@ -40,7 +52,7 @@ DEFAULT_CONF = {
     # ParallelGC beats G1 ~1.7x for this allocation-heavy local workload
     # (measured: 140k vs 80k docs/s at 32 threads on the parse pipeline);
     # G1's concurrent marking fights the 32 worker threads for cores.
-    "spark.driver.extraJavaOptions": "-XX:+UseParallelGC",
+    "spark.driver.extraJavaOptions": "-XX:+UseParallelGC " + _JVM_LONGRUN_OPTS,
     "spark.ui.enabled": "false",
 }
 
@@ -70,7 +82,8 @@ def get_spark(
             # parallelism — free compute that inflates the low-cores
             # scaling sample. A real N-core executor gets N-core GC.
             conf["spark.driver.extraJavaOptions"] = (
-                f"-XX:+UseParallelGC -XX:ParallelGCThreads={max(int(inner), 2)}"
+                f"-XX:+UseParallelGC -XX:ParallelGCThreads={max(int(inner), 2)} "
+                + _JVM_LONGRUN_OPTS
             )
     # scaling-bench knob: split size chosen per parallelism level so both
     # levels see the same number of WAVES (a fixed 16m split count
