@@ -376,13 +376,21 @@ def main() -> None:
             )
             round_cost = time.monotonic() - _r0
             n_last = n_round
-            # report the CALMEST-host round, not the max efficiency: a
-            # throttled 2-core run yields super-linear "efficiency" that
-            # is noise, not evidence — the round whose bracketing host
-            # windows are most interpretable is the measurement
-            if best is None or calm > best["calmness"]:
+            # a super-linear "efficiency" is self-refuting for pure-CPU
+            # scaling: it means the 2-core child was throttled INSIDE the
+            # pair where the bracketing calibrations can't see it
+            # (observed: eff 2.33 between two 0.87-calm calibrations).
+            # Such a round is corrupted evidence regardless of calmness.
+            history[-1]["sane"] = 0.0 < eff <= 1.05
+            # report the CALMEST-host SANE round, not the max efficiency:
+            # the round whose windows are most interpretable is the
+            # measurement (corrupted rounds only as a last resort)
+            if best is None or (
+                history[-1]["sane"]
+                and (not best.get("sane") or calm > best["calmness"])
+            ):
                 best = history[-1]
-            if calm >= calm_bar and eff >= 0.8:
+            if calm >= calm_bar and 0.8 <= eff <= 1.05:
                 break  # calm-window raw pass captured — done
             if len(history) + len(probes) >= 3 and all(
                 r["calmness"] < calm_bar for r in history
@@ -391,7 +399,11 @@ def main() -> None:
         if best is None:  # only reachable via SPARK_GRAFT_SCALE_ROUNDS=0
             print(json.dumps(result))
             return
-        effs = sorted(r["efficiency"] for r in history)
+        # median over sane rounds only (all rounds as a last resort):
+        # corrupted super-linear samples are noise, not evidence
+        effs = sorted(
+            r["efficiency"] for r in history if r.get("sane", True)
+        ) or sorted(r["efficiency"] for r in history)
         median_eff = effs[len(effs) // 2] if len(effs) % 2 else round(
             (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2, 3
         )
@@ -416,7 +428,8 @@ def main() -> None:
             # north-rule bar measured when the host permitted measurement)
             "calm_bar": calm_bar,
             "calm_raw_pass": any(
-                r["calmness"] >= calm_bar and r["efficiency"] >= 0.8
+                r["calmness"] >= calm_bar
+                and 0.8 <= r["efficiency"] <= 1.05
                 for r in history
             ),
             # engine efficiency normalized by what the host permitted
