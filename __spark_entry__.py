@@ -550,6 +550,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ottl_converters"] = ottl_converters
 
+    def enrich_asof_versions(spark, sf):  # temporal (SCD2/as-of) enrichment
+        from opentelemetry_collector_spark.operators.enrich import enrich_asof
+
+        recs = events_to_records(_t(spark, sf, "events")).select(
+            "event_id", "event_type", "time_unix_nano"
+        )
+        base = 1704067200 * 10**9  # 2024-01-01T00:00Z as ns
+        step = 10 * 86400 * 10**9  # a new config version every 10 days
+        versions = F.array(
+            *[
+                F.struct(
+                    F.lit(base + i * step).cast("long").alias("valid_from"),
+                    F.concat(
+                        F.col("event_type"), F.lit(f"-v{i + 1}")
+                    ).alias("label"),
+                )
+                for i in range(3)
+            ]
+        )
+        dim = (
+            recs.select("event_type")
+            .distinct()
+            .select("event_type", F.explode(versions).alias("v"))
+            .select("event_type", F.col("v.valid_from"), F.col("v.label"))
+        )
+        return enrich_asof(
+            recs,
+            dim,
+            key="event_type",
+            ts_col="time_unix_nano",
+            take={"label": "cfg_version"},
+        )
+
+    q["enrich_asof_versions"] = enrich_asof_versions
+
+    def url_canonicalize(spark, sf):  # canonical URL keys for crawl dedup
+        from opentelemetry_collector_spark.operators.urls import canonicalize_url
+
+        docs = _t(spark, sf, "documents").select(
+            "doc_id",
+            F.concat(
+                F.lit("HTTPS://"),
+                F.upper(F.col("source")),
+                F.lit(".Example.COM:443/doc/"),
+                F.col("doc_id").cast("string"),
+                F.lit("?utm_source=feed&b="),
+                (F.col("doc_id") % 3).cast("string"),
+                F.lit("&a="),
+                (F.col("doc_id") % 5).cast("string"),
+                F.lit("#sec"),
+                (F.col("doc_id") % 7).cast("string"),
+            ).alias("url"),
+        )
+        out = docs.select(
+            "doc_id", canonicalize_url(F.col("url")).alias("canonical_url")
+        )
+        return out.select(
+            "doc_id", "canonical_url", F.md5("canonical_url").alias("url_key")
+        )
+
+    q["url_canonicalize"] = url_canonicalize
+
     def batch_split(spark, sf):  # P2-P4 deterministic split
         records = events_to_records(_t(spark, sf, "events"))
         head, _rest = split_head(records, 100, order_by=["event_id"])
@@ -1286,6 +1348,74 @@ SELECT event_id,
   substr(body, 1, 8) AS body_head,
   length(trim(body))::BIGINT AS body_trim_len
 FROM r
+"""
+
+    # as-of enrichment: same intervalization (lead over the dim) + range
+    # join — the ASOF JOIN shape spelled out so the interval logic is the
+    # thing compared
+    o["enrich_asof_versions"] = """
+WITH r AS (
+  SELECT event_id, event_type, epoch_us(ts) * 1000 AS t FROM events
+), v AS (
+  SELECT DISTINCT event_type FROM events
+), dim AS (
+  SELECT event_type,
+    1704067200000000000 + (i - 1) * 864000000000000 AS valid_from,
+    event_type || '-v' || i AS label
+  FROM v, unnest(generate_series(1, 3)) AS s(i)
+), iv AS (
+  SELECT event_type, valid_from, label,
+    lead(valid_from) OVER (PARTITION BY event_type ORDER BY valid_from)
+      AS valid_to
+  FROM dim
+)
+SELECT r.event_id, r.event_type, r.t AS time_unix_nano,
+  iv.label AS cfg_version
+FROM r LEFT JOIN iv ON r.event_type = iv.event_type
+  AND r.t >= iv.valid_from
+  AND (iv.valid_to IS NULL OR r.t < iv.valid_to)
+"""
+
+    # canonicalize_url's regex/array pipeline replayed with RE2 + list ops
+    o["url_canonicalize"] = r"""
+WITH d AS (
+  SELECT doc_id,
+    'HTTPS://' || upper(source) || '.Example.COM:443/doc/' || doc_id
+      || '?utm_source=feed&b=' || (doc_id % 3) || '&a=' || (doc_id % 5)
+      || '#sec' || (doc_id % 7) AS url
+  FROM documents
+), parts AS (
+  SELECT doc_id, regexp_replace(url, '#.*$', '') AS nf FROM d
+), split1 AS (
+  SELECT doc_id, nf,
+    lower(regexp_extract(nf, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+    lower(regexp_extract(nf, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+    regexp_replace(nf, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', '') AS rest
+  FROM parts
+), norm AS (
+  SELECT doc_id, scheme,
+    CASE WHEN scheme = 'http' AND hostport LIKE '%:80'
+           THEN regexp_replace(hostport, ':80$', '')
+         WHEN scheme = 'https' AND hostport LIKE '%:443'
+           THEN regexp_replace(hostport, ':443$', '')
+         ELSE hostport END AS host,
+    CASE WHEN regexp_extract(rest, '^([^?]*)', 1) = '' THEN '/'
+         ELSE regexp_extract(rest, '^([^?]*)', 1) END AS path,
+    list_sort(list_filter(
+      string_split(regexp_extract(rest, '\?(.*)$', 1), '&'),
+      p -> p != '' AND NOT regexp_matches(p,
+        '^(utm_[^=]*|gclid|fbclid|msclkid|ref)(=.*)?$')
+    )) AS kept
+  FROM split1
+)
+SELECT doc_id,
+  scheme || '://' || host || path
+    || CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&')
+            ELSE '' END AS canonical_url,
+  md5(scheme || '://' || host || path
+    || CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&')
+            ELSE '' END) AS url_key
+FROM norm
 """
 
     o["ottl_attributes_ops"] = """

@@ -107,3 +107,63 @@ def enrich_lang_family(records: DataFrame, lkp_lang: DataFrame) -> DataFrame:
     )
     cols = [F.col(c) for c in records.columns if c != "attributes"]
     return joined.select(*cols, new_attrs.alias("attributes")).select(*records.columns)
+
+
+def enrich_asof(
+    records: DataFrame,
+    dim_versions: DataFrame,
+    key: str,
+    ts_col: str,
+    valid_from_col: str = "valid_from",
+    take: dict[str, str] | None = None,
+) -> DataFrame:
+    """Temporal (as-of / SCD2-style) enrichment: attach the dimension
+    VERSION that was active at each record's timestamp — the
+    log-pipeline form of "enrich with the geo/config mapping as of the
+    event time", which a plain broadcast join cannot express.
+
+    ``dim_versions`` holds (key, valid_from, attrs...) — multiple rows
+    per key.  Plan: the dim is intervalized map-side (``lead`` over
+    (key, valid_from) closes each version with the next one's start —
+    the window runs over the TINY dim, never the fact), then broadcast
+    and joined with a half-open range predicate
+    ``valid_from <= ts < valid_to`` — exactly one match per record, so
+    the fact side never shuffles and never fans out.  Records older than
+    the key's first version (or with an unknown key) enrich to NULL,
+    like a missed lookup.  Equivalent to DuckDB/ANSI ``ASOF JOIN``.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy(F.col(valid_from_col).asc())
+    iv = dim_versions.withColumn(
+        "__valid_to",
+        F.coalesce(
+            F.lead(valid_from_col).over(w),
+            F.lit(None).cast(dim_versions.schema[valid_from_col].dataType),
+        ),
+    )
+    if take is None:
+        take = {
+            c: c
+            for c in dim_versions.columns
+            if c not in (key, valid_from_col)
+        }
+    if key not in records.columns:
+        raise ValueError(f"enrich_asof: records has no key column {key!r}")
+    # alias-qualified resolution, not DataFrame attribute access: a dim
+    # DERIVED from the fact frame (e.g. distinct keys of the records
+    # themselves) shares expression ids with it, and records[key] ==
+    # dim[key] is then an ambiguous self-join
+    fact = records.alias("__fact")
+    dim = F.broadcast(iv.alias("__dim"))
+    ts = F.col(f"__fact.{ts_col}")
+    cond = (
+        (F.col(f"__fact.{key}") == F.col(f"__dim.{key}"))
+        & (ts >= F.col(f"__dim.{valid_from_col}"))
+        & (F.col("__dim.__valid_to").isNull() | (ts < F.col("__dim.__valid_to")))
+    )
+    joined = fact.join(dim, on=cond, how="left")
+    return joined.select(
+        *[F.col(f"__fact.{c}") for c in records.columns],
+        *[F.col(f"__dim.{s}").alias(d) for s, d in take.items()],
+    )

@@ -86,3 +86,47 @@ def host_stats(
         "dup_rate",
         F.round(F.lit(1.0) - F.col("n_unique_texts") / F.col("n_docs"), 4),
     )
+
+
+# tracking parameters dropped during canonicalization (the standard
+# click-ID inventory; extend per deployment)
+TRACKING_PARAM_RE = r"^(utm_[^=]*|gclid|fbclid|msclkid|ref)(=.*)?$"
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical URL form for dedup/curation joins: lower-cased scheme and
+    host, default ports stripped (:80 http / :443 https), fragment
+    removed, query parameters sorted with tracking params dropped, empty
+    path normalized to '/'.  Two crawls of the same page under cosmetic
+    URL variation map to one canonical key.
+
+    Pure built-in expressions (regex in the RE2∩Java common subset +
+    array ops), so the DuckDB oracle reproduces it exactly; narrow, runs
+    at scan speed.
+    """
+    no_frag = F.regexp_replace(url, "#.*$", "")
+    scheme = F.lower(F.regexp_extract(no_frag, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    hostport = F.lower(
+        F.regexp_extract(no_frag, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1)
+    )
+    host = F.when(
+        (scheme == "http") & hostport.endswith(":80"),
+        F.regexp_replace(hostport, ":80$", ""),
+    ).when(
+        (scheme == "https") & hostport.endswith(":443"),
+        F.regexp_replace(hostport, ":443$", ""),
+    ).otherwise(hostport)
+    rest = F.regexp_replace(no_frag, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", "")
+    path = F.regexp_extract(rest, "^([^?]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(rest, r"\?(.*)$", 1)
+    kept = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+        )
+    )
+    qpart = F.when(
+        F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))
+    ).otherwise(F.lit(""))
+    return F.concat(scheme, F.lit("://"), host, path, qpart)

@@ -165,6 +165,8 @@ _PLAN_SHUFFLE_BUDGET = {
     "tfidf_top_terms": 4,  # df count-distinct (two aggs) + per-group tf agg + top-k window; idf broadcast
     "embedding_dedup_lsh": 2,  # same-cell self-join; dup set broadcast back
     "grok_access_log": 0,  # narrow typed regex projection, scan speed
+    "enrich_asof_versions": 1,  # dim distinct agg; intervalized dim broadcast, facts never shuffle
+    "url_canonicalize": 0,  # narrow regex/array projection, scan speed
     "embedding_neardup": 0,  # broadcast nested-loop cross join
     "ann_topk_bruteforce": 2,  # partial + final top-k
     "ann_lsh_pairs": 1,

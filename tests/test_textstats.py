@@ -342,3 +342,49 @@ def test_tfidf_top_terms_hand_computed(spark):
     assert r2["score"] == round(round(3 * idf_other, 9), 4)
     # exactly k rows per source, ranks contiguous
     assert {k for k in out} == {("s1", 1), ("s1", 2), ("s2", 1), ("s2", 2)}
+
+
+def test_canonicalize_url(spark):
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_spark.operators.urls import canonicalize_url
+
+    cases = [
+        # (input, expected)
+        ("HTTPS://WWW.Example.COM:443/a/b?utm_source=x&z=1&a=2#frag",
+         "https://www.example.com/a/b?a=2&z=1"),
+        ("http://host.example.com:80", "http://host.example.com/"),
+        ("http://host.example.com:8080/p", "http://host.example.com:8080/p"),
+        ("https://h.example.org/p?gclid=abc&fbclid=d&ref=rss",
+         "https://h.example.org/p"),
+        ("https://h.example.org/p?b=2&a=1&a=0",
+         "https://h.example.org/p?a=0&a=1&b=2"),
+        ("https://h.example.org/#only-frag", "https://h.example.org/"),
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)], "i long, url string")
+    got = {r["i"]: r["c"] for r in df.select("i", canonicalize_url(F.col("url")).alias("c")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_enrich_asof_picks_version_active_at_event_time(spark):
+    from opentelemetry_collector_spark.operators.enrich import enrich_asof
+
+    recs = spark.createDataFrame(
+        [(0, "a", 5), (1, "a", 15), (2, "a", 25), (3, "b", 10), (4, "a", 1), (5, "zz", 50)],
+        "rid long, k string, ts long",
+    )
+    dim = spark.createDataFrame(
+        [("a", 2, "a-v1"), ("a", 10, "a-v2"), ("a", 20, "a-v3"), ("b", 0, "b-v1")],
+        "k string, valid_from long, label string",
+    )
+    out = {r["rid"]: r["label"] for r in enrich_asof(recs, dim, key="k", ts_col="ts").collect()}
+    assert out == {0: "a-v1", 1: "a-v2", 2: "a-v3", 3: "b-v1", 4: None, 5: None}
+    # exactly one output row per record (the interval join can't fan out)
+    assert enrich_asof(recs, dim, key="k", ts_col="ts").count() == 6
+    # plan: dim broadcast, fact never shuffles
+    plan = (
+        enrich_asof(recs, dim, key="k", ts_col="ts")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
