@@ -71,6 +71,23 @@ def _build_processor(spark: SparkSession, kind: str, opts: dict) -> Stage:
         if not stmts:
             raise ConfigError("filter processor needs drop_where or keep_where")
         return compile_statements(stmts)
+    if kind == "grok":
+        # filelog-operator analog: grok-syntax field extraction from a
+        # text column into typed columns (regex_parser with the pattern
+        # library); compile eagerly so a bad pattern fails at config
+        # load, not mid-pipeline
+        from ..operators.grok import GrokError, compile_grok, grok_extract
+
+        pattern = opts.get("pattern")
+        if not pattern:
+            raise ConfigError("grok processor needs a pattern")
+        custom = opts.get("custom") or None
+        try:
+            compile_grok(pattern, custom)
+        except GrokError as e:
+            raise ConfigError(f"grok processor: {e}") from e
+        source = opts.get("source", "body")
+        return lambda df: grok_extract(df, pattern, source, custom)
     if kind == "enrich_geo":
         dim = lkp_geo(spark)
         return lambda df: enrich_resource_geo(df, dim)

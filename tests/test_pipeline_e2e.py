@@ -385,3 +385,58 @@ def test_harvest_skips_unmaterialized_observations(spark):
     assert done.wait(30), "harvest() blocked on an unmaterialized observation"
     assert t.counters("receiver/live").accepted == 10
     assert t.counters("receiver/dead").accepted == 0
+
+
+def test_grok_processor_kind(spark, tmp_path):
+    """A config-declared grok processor extracts typed fields from the
+    parsed body (filelog regex_parser analog); bad patterns fail at
+    config load."""
+    cfg = load_config(
+        """
+receivers:
+  pages_synthetic: {n_rows: 40}
+processors:
+  parse: {engine: sql}
+  grok/clf:
+    kind: grok
+    source: body
+    pattern: '^%{IPV4:g_ip} - - \\[%{HTTPDATE:g_ts}\\] "%{HTTPMETHOD:g_m} %{NOTSPACE:g_p} HTTP/%{NUMBER:g_v}" %{INT:g_status:int} %{INT:g_bytes:int}$'
+exporters:
+  out: {kind: parquet, all: true}
+service:
+  pipelines:
+    logs:
+      receivers: [pages_synthetic]
+      processors: [parse, grok/clf]
+      exporters: [out]
+"""
+    )
+    runner = BatchPipelineRunner(spark, cfg, str(tmp_path / "grok"))
+    runner.run()
+    df = runner.read_sink("logs", "out")
+    hits = df.where(F.col("g_ip").isNotNull())
+    assert hits.count() > 0
+    # typed capture agrees with the parse engine's own attribute
+    assert (
+        hits.where(
+            F.col("g_status").cast("string") != F.element_at("attributes", "status")
+        ).count()
+        == 0
+    )
+    # non-access lines: NULL captures, rows retained
+    assert df.where(F.col("g_ip").isNull()).count() > 0
+    bad = load_config(
+        """
+receivers:
+  pages_synthetic: {n_rows: 1}
+processors:
+  grok/bad: {kind: grok, pattern: '%{NOPE:x}'}
+exporters:
+  out: {kind: parquet, all: true}
+service:
+  pipelines:
+    logs: {receivers: [pages_synthetic], processors: [grok/bad], exporters: [out]}
+"""
+    )
+    with pytest.raises(ConfigError, match="grok"):
+        BatchPipelineRunner(spark, bad, str(tmp_path / "grok-bad")).run()
