@@ -131,6 +131,12 @@ def enrich_asof(
     the fact side never shuffles and never fans out.  Records older than
     the key's first version (or with an unknown key) enrich to NULL,
     like a missed lookup.  Equivalent to DuckDB/ANSI ``ASOF JOIN``.
+
+    ``dim_versions`` must not repeat (key, valid_from): two versions
+    starting at the same instant have no defined order, so one would get
+    an empty interval chosen nondeterministically.  Callers dedupe at
+    dim build time (a real SCD feed is unique on that pair by
+    construction).
     """
     from pyspark.sql import Window
 

@@ -102,7 +102,9 @@ def canonicalize_url(url: Column) -> Column:
 
     Pure built-in expressions (regex in the RE2∩Java common subset +
     array ops), so the DuckDB oracle reproduces it exactly; narrow, runs
-    at scan speed.
+    at scan speed.  Expects absolute ``scheme://`` URLs (the crawl's url
+    column always is); relative inputs pass through deterministically but
+    un-normalized.
     """
     no_frag = F.regexp_replace(url, "#.*$", "")
     scheme = F.lower(F.regexp_extract(no_frag, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
