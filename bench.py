@@ -189,6 +189,44 @@ def host_cpu_efficiency(lo_procs: int = 2, hi_procs: int = 8) -> dict:
     }
 
 
+def _membw_loop(n_copies: int) -> float:
+    import numpy as np
+
+    src = np.ones(32 * 1024 * 1024, dtype=np.uint8)  # 32 MB, beats any L3
+    dst = np.empty_like(src)
+    for _ in range(n_copies):
+        np.copyto(dst, src)
+    return float(dst[0])
+
+
+def host_membw_efficiency(lo_procs: int = 2, hi_procs: int = 8) -> dict:
+    """Memory-BANDWIDTH multiprocess calibration, the second host ceiling.
+
+    The parse pipeline is memory-bound, not hash-bound: a co-tenant
+    saturating the socket's memory controllers suppresses the high-
+    parallelism child far more than the low one while the pure-CPU md5
+    calibration still reads calm (observed: local[8] at ~half its calm
+    rate under cpu-calm windows). Large-array copies measure the
+    bandwidth actually available at each parallelism level; engine
+    scaling should be read against min(cpu, membw) ceilings.
+    """
+    import multiprocessing as mp
+
+    total_copies = 48
+    rates = {}
+    for procs in (lo_procs, hi_procs):
+        t0 = time.monotonic()
+        with mp.Pool(procs) as p:
+            p.map(_membw_loop, [total_copies // procs] * procs)
+        rates[procs] = total_copies * 64 / (time.monotonic() - t0)  # MB copied r+w
+    ratio = hi_procs / lo_procs
+    return {
+        f"procs{lo_procs}_gb_per_sec": round(rates[lo_procs] / 1024, 2),
+        f"procs{hi_procs}_gb_per_sec": round(rates[hi_procs] / 1024, 2),
+        "efficiency": round((rates[hi_procs] / rates[lo_procs]) / ratio, 3),
+    }
+
+
 def _dir_bytes(path: str) -> int:
     total = 0
     for root, _, files in os.walk(path):
@@ -358,6 +396,12 @@ def main() -> None:
                 n_round / max(n_last, 1)
             ) > deadline:
                 break
+            # second ceiling dimension: the parse pipeline is memory-
+            # bound, and this host's memory bandwidth often stops scaling
+            # (observed 0.41 membw vs 0.68 cpu in the same window) —
+            # invisible to the md5 loop but a hard cap on any
+            # memory-bound engine's 2→8 efficiency
+            membw = host_membw_efficiency(2, 8)
             lo = scaling_run(2, SF_DIR, n_round)
             hi = scaling_run(8, SF_DIR, n_round)
             cal_after = host_cpu_efficiency(2, 8)
@@ -371,6 +415,8 @@ def main() -> None:
                     "efficiency": eff,
                     "host_ceiling": cal_before["efficiency"],
                     "host_ceiling_after": cal_after["efficiency"],
+                    "membw_ceiling": membw["efficiency"],
+                    "membw_gb_per_sec_2": membw["procs2_gb_per_sec"],
                     "calmness": calm,
                 }
             )
@@ -393,9 +439,14 @@ def main() -> None:
             if calm >= calm_bar and 0.8 <= eff <= 1.05:
                 break  # calm-window raw pass captured — done
             if len(history) + len(probes) >= 3 and all(
-                r["calmness"] < calm_bar for r in history
+                r["calmness"] < calm_bar or r["membw_ceiling"] < 0.8
+                for r in history
             ):
-                break  # paired samples + cheap probes: host never permitted it
+                # paired samples + cheap probes: host never permitted it —
+                # a window whose memory bandwidth stops scaling below 0.8
+                # cannot show 0.8 raw from a memory-bound engine any more
+                # than a cpu-throttled one can
+                break
         if best is None:  # only reachable via SPARK_GRAFT_SCALE_ROUNDS=0
             print(json.dumps(result))
             return
@@ -422,6 +473,11 @@ def main() -> None:
             # the calibration itself was throttled, see `calmness`)
             "host_cpu_ceiling_2_8": best["host_ceiling"],
             "host_cpu_ceiling_after": best["host_ceiling_after"],
+            # the host's memory-bandwidth scaling in the same window: the
+            # binding ceiling for this memory-bound pipeline whenever it
+            # is below the cpu ceiling (large-array copy calibration)
+            "host_membw_ceiling_2_8": best["membw_ceiling"],
+            "host_membw_gb_per_sec_2": best["membw_gb_per_sec_2"],
             "host_calmness": best["calmness"],
             # retry-until-calm outcome: True when a round paired ≥calm_bar
             # bracketing host windows with a ≥0.8 raw efficiency (the
@@ -440,6 +496,16 @@ def main() -> None:
                 best["efficiency"] / min(best["host_ceiling"], 1.0), 3
             )
             if best["host_ceiling"]
+            else None,
+            # normalized by the BINDING ceiling min(cpu, membw): ~1.0
+            # means the engine scaled as well as the host's weakest
+            # shared resource allowed in that window
+            "efficiency_vs_host_effective": round(
+                best["efficiency"]
+                / min(best["host_ceiling"], best["membw_ceiling"], 1.0),
+                3,
+            )
+            if min(best["host_ceiling"], best["membw_ceiling"]) > 0
             else None,
             "rounds": history,
             # calibration-only samples taken instead of pairs while the
