@@ -1055,6 +1055,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ccnet_buckets"] = ccnet_buckets_q
 
+    def char_entropy_q(spark, sf):  # Shannon bits/char gibberish signal
+        return ts_ops.char_entropy(_t(spark, sf, "documents"))
+
+    q["char_entropy"] = char_entropy_q
+
     def tfidf_q(spark, sf):  # tf-idf keyword extraction per source
         return ts_ops.tfidf_top_terms(_t(spark, sf, "documents"), k=3)
 
@@ -1884,6 +1889,26 @@ SELECT p.doc_id, p.lang, p.n_tokens, p.bits_per_token, p.perplexity,
        WHEN p.bits_per_token <= c.c2 THEN 'middle'
        ELSE 'tail' END AS ppl_bucket
 FROM ppl p JOIN cut c USING (lang)
+"""
+
+    # char entropy: same per-distinct-char fold; terms 9-dp rounded, the
+    # distinct order differs between engines but a sum of ≤alphabet
+    # 9-dp terms re-associates well inside the 4-dp output rounding;
+    # "+ 0.0" normalizes -0.0 on zero-entropy docs in both engines
+    o["char_entropy"] = """
+WITH d AS (
+  SELECT doc_id, coalesce(length(text), 0)::BIGINT AS n_chars,
+    string_split(coalesce(text, ''), '') AS cs
+  FROM documents
+)
+SELECT doc_id, n_chars,
+  CASE WHEN n_chars > 0 THEN
+    round(-list_sum(list_transform(list_distinct(cs),
+      c -> round((len(list_filter(cs, x -> x = c))::DOUBLE / len(cs))
+           * log2(len(list_filter(cs, x -> x = c))::DOUBLE / len(cs)), 9)
+    )), 4) + 0.0
+  ELSE 0.0 END AS entropy_bits_per_char
+FROM d
 """
 
     # tf-idf keywords: ln + tf*idf both ranked on the 9-dp rounding

@@ -522,3 +522,41 @@ def tfidf_top_terms(
         .where(F.col("rank") <= k)
         .select(group_col, "term", "tf", F.round(F.col("__s9"), 4).alias("score"), "rank")
     )
+
+
+def char_entropy(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Shannon character entropy (bits/char) — the classic cheap
+    gibberish/boilerplate signal: natural text sits around 4 bits/char,
+    base64 blobs and repeated padding fall far outside.
+
+    Pure built-ins: the per-distinct-character probabilities come from
+    counting occurrences inside an array fold (alphabet × length work per
+    row — tiny for real alphabets), so the operator is a zero-shuffle
+    scan like the rest of this module.  Per-character terms are 9-dp
+    rounded in both engines before summing (libm log2 1-ulp guard);
+    output 4-dp.  Empty or NULL text scores 0.
+    """
+    text = F.col(text_col)
+    chars = F.split(text, "")
+    n = F.size(chars)
+    distinct = F.array_distinct(chars)
+    term = lambda c: F.round(
+        (F.size(F.filter(chars, lambda x: x == c)) / n)
+        * F.log2(F.size(F.filter(chars, lambda x: x == c)) / n),
+        9,
+    )
+    ent = F.when(
+        n > 0,
+        -F.aggregate(distinct, F.lit(0.0), lambda acc, c: acc + term(c)),
+    ).otherwise(F.lit(0.0))
+    # + 0.0 normalizes the -0.0 a single-repeated-char doc produces
+    # (-Σ of all-zero terms) so both engines hash identically
+    return df.select(
+        F.col(id_col),
+        F.coalesce(F.length(text), F.lit(0)).cast("long").alias("n_chars"),
+        (F.round(F.coalesce(ent, F.lit(0.0)), 4) + F.lit(0.0)).alias(
+            "entropy_bits_per_char"
+        ),
+    )

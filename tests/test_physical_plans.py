@@ -167,6 +167,7 @@ _PLAN_SHUFFLE_BUDGET = {
     "grok_access_log": 0,  # narrow typed regex projection, scan speed
     "enrich_asof_versions": 1,  # dim distinct agg; intervalized dim broadcast, facts never shuffle
     "url_canonicalize": 0,  # narrow regex/array projection, scan speed
+    "char_entropy": 0,  # per-row distinct-char fold, scan speed
     "embedding_neardup": 0,  # broadcast nested-loop cross join
     "ann_topk_bruteforce": 2,  # partial + final top-k
     "ann_lsh_pairs": 1,

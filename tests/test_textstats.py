@@ -388,3 +388,24 @@ def test_enrich_asof_picks_version_active_at_event_time(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_char_entropy_hand_computed(spark):
+    import math
+
+    from opentelemetry_collector_spark.operators.textstats import char_entropy
+
+    df = spark.createDataFrame(
+        [(0, "aab"), (1, "abab"), (2, "aaaa"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in char_entropy(df).collect()}
+    e_aab = -(
+        round((2 / 3) * math.log2(2 / 3), 9) + round((1 / 3) * math.log2(1 / 3), 9)
+    )
+    assert got[0]["entropy_bits_per_char"] == round(e_aab, 4)
+    assert got[1]["entropy_bits_per_char"] == 1.0
+    # zero entropy, never -0.0
+    assert str(got[2]["entropy_bits_per_char"]) == "0.0"
+    assert got[3]["entropy_bits_per_char"] == 0.0 and got[3]["n_chars"] == 0
+    assert got[4]["entropy_bits_per_char"] == 0.0 and got[4]["n_chars"] == 0
