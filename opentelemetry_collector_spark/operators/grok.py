@@ -83,10 +83,12 @@ def compile_grok(
     """Expand a grok pattern to ``(regex, fields)``.
 
     ``fields`` is the ordered list of ``(name, cast)`` for the capture
-    groups, so field i binds to regex group i+1.  Named references become
-    capturing groups, unnamed ones non-capturing; the expanded bodies of
-    *named* references are themselves fully non-capturing (a nested
-    library alternation must not shift group numbers).
+    groups, so field i binds to regex group i+1.  ONLY ``%{NAME:field}``
+    references capture: expanded bodies and any capturing groups a user
+    writes in the raw-regex portion are rewritten non-capturing (a bare
+    ``(...)`` would otherwise shift every later field's group number and
+    silently mis-bind it — matching semantics are unchanged, and a
+    backreference to such a group turns into a loud compile error).
     """
     if _depth > 16:
         raise GrokError("grok expansion too deep (pattern cycle?)")
@@ -96,31 +98,39 @@ def compile_grok(
     fields: list[tuple[str, str | None]] = []
     out: list[str] = []
     pos = 0
+
+    def _noncapture(chunk: str) -> str:
+        # the lookbehind spares escaped literal parens
+        return re.sub(r"(?<!\\)\((?!\?)", "(?:", chunk)
+
     for m in _REF_RE.finditer(pattern):
-        out.append(pattern[pos : m.start()])
+        out.append(_noncapture(pattern[pos : m.start()]))
         pos = m.end()
         name, field, cast = m.group(1), m.group(2), m.group(3)
         if name not in library:
             raise GrokError(f"unknown grok pattern %{{{name}}}")
         if cast is not None and cast not in _CASTS:
             raise GrokError(f"unknown grok cast :{cast} (use int/long/float/double)")
-        body, inner = compile_grok(library[name], custom, _depth + 1)
-        if inner:
-            # a library/custom body with its own named refs: flatten the
-            # names away (grok nests semantics, not group structure);
-            # the lookbehind spares escaped literal parens
-            body = re.sub(r"(?<!\\)\((?!\?)", "(?:", body)
+        body, _inner = compile_grok(library[name], custom, _depth + 1)
+        body = _noncapture(body)
         if field:
             fields.append((field, _CASTS.get(cast) if cast else None))
             out.append(f"({body})")
         else:
             out.append(f"(?:{body})")
-    out.append(pattern[pos:])
+    out.append(_noncapture(pattern[pos:]))
     regex = "".join(out)
     try:
-        re.compile(regex, re.ASCII)
+        compiled = re.compile(regex, re.ASCII)
     except re.error as e:
         raise GrokError(f"expanded grok regex invalid: {e}") from e
+    if compiled.groups != len(fields):
+        # enforced invariant: an unneutralized capture (e.g. behind a
+        # double backslash) must fail loudly, never mis-bind fields
+        raise GrokError(
+            f"grok group accounting mismatch: {compiled.groups} regex groups "
+            f"for {len(fields)} fields in {pattern!r}"
+        )
     return regex, fields
 
 

@@ -93,3 +93,15 @@ def test_grok_matches_handwritten_access_parse(spark):
         | (F.regexp_extract("line", ACCESS_RE, 6).cast("long") != F.col("bytes"))
     )
     assert mismatch.count() == 0
+
+
+def test_user_capturing_groups_do_not_shift_field_binding():
+    """A bare (...) in the raw-regex portion must not steal a group
+    number from the declared fields (the fuzz-found mis-binding)."""
+    import re as _re
+
+    regex, fields = compile_grok(r"(\d+)-%{WORD:w} (x|y)%{INT:n:int}")
+    assert [f for f, _ in fields] == ["w", "n"]
+    m = _re.fullmatch(regex, "12-abc x7", _re.ASCII)
+    assert m is not None
+    assert m.group(1) == "abc" and m.group(2) == "7"
