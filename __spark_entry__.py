@@ -1348,7 +1348,7 @@ WITH r AS (
 SELECT event_id,
   t // 1000000000 AS unix_sec,
   t // 1000000 AS unix_ms,
-  t - (t % 3600000000000) AS hour_bucket,
+  t - ((t % 3600000000000 + 3600000000000) % 3600000000000) AS hour_bucket,
   upper(event_type) AS et_upper,
   substr(body, 1, 8) AS body_head,
   length(trim(body))::BIGINT AS body_trim_len

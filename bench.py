@@ -177,10 +177,13 @@ def host_cpu_efficiency(lo_procs: int = 2, hi_procs: int = 8) -> dict:
     total = 8_000_000
     rates = {}
     for procs in (lo_procs, hi_procs):
-        t0 = time.monotonic()
         with mp.Pool(procs) as p:
+            # warm the pool outside the timed window (worker spawn on a
+            # loaded host costs seconds and is not host compute)
+            p.map(work, [1000] * procs)
+            t0 = time.monotonic()
             p.map(work, [total // procs] * procs)
-        rates[procs] = total / (time.monotonic() - t0)
+            rates[procs] = total / (time.monotonic() - t0)
     ratio = hi_procs / lo_procs
     return {
         f"procs{lo_procs}_mhash_per_sec": round(rates[lo_procs] / 1e6, 2),
@@ -215,10 +218,14 @@ def host_membw_efficiency(lo_procs: int = 2, hi_procs: int = 8) -> dict:
     total_copies = 48
     rates = {}
     for procs in (lo_procs, hi_procs):
-        t0 = time.monotonic()
         with mp.Pool(procs) as p:
+            # warm the pool OUTSIDE the timed window: on a loaded host,
+            # spawning 8 workers alone can cost seconds, which would be
+            # billed as "bandwidth" and fake a near-zero ceiling
+            p.map(_membw_loop, [1] * procs)
+            t0 = time.monotonic()
             p.map(_membw_loop, [total_copies // procs] * procs)
-        rates[procs] = total_copies * 64 / (time.monotonic() - t0)  # MB copied r+w
+            rates[procs] = total_copies * 64 / (time.monotonic() - t0)  # MB r+w
     ratio = hi_procs / lo_procs
     return {
         f"procs{lo_procs}_gb_per_sec": round(rates[lo_procs] / 1024, 2),
@@ -431,11 +438,13 @@ def main() -> None:
             # report the CALMEST-host SANE round, not the max efficiency:
             # the round whose windows are most interpretable is the
             # measurement (corrupted rounds only as a last resort)
-            if best is None or (
-                history[-1]["sane"]
-                and (not best.get("sane") or calm > best["calmness"])
+            cand = history[-1]
+            if (
+                best is None
+                or (cand["sane"] and not best["sane"])
+                or (cand["sane"] == best["sane"] and calm > best["calmness"])
             ):
-                best = history[-1]
+                best = cand
             if calm >= calm_bar and 0.8 <= eff <= 1.05:
                 break  # calm-window raw pass captured — done
             if len(history) + len(probes) >= 3 and all(
@@ -499,13 +508,17 @@ def main() -> None:
             else None,
             # normalized by the BINDING ceiling min(cpu, membw): ~1.0
             # means the engine scaled as well as the host's weakest
-            # shared resource allowed in that window
+            # shared resource allowed in that window. Null below a 0.2
+            # ceiling: dividing by a collapsed calibration would print
+            # nonsense multiples (the engine's partially cache-resident
+            # working set legitimately decouples from the copy benchmark
+            # in that regime — read the raw ceilings instead)
             "efficiency_vs_host_effective": round(
                 best["efficiency"]
                 / min(best["host_ceiling"], best["membw_ceiling"], 1.0),
                 3,
             )
-            if min(best["host_ceiling"], best["membw_ceiling"]) > 0
+            if min(best["host_ceiling"], best["membw_ceiling"]) >= 0.2
             else None,
             "rounds": history,
             # calibration-only samples taken instead of pairs while the

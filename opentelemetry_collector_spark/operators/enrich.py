@@ -142,11 +142,7 @@ def enrich_asof(
 
     w = Window.partitionBy(key).orderBy(F.col(valid_from_col).asc())
     iv = dim_versions.withColumn(
-        "__valid_to",
-        F.coalesce(
-            F.lead(valid_from_col).over(w),
-            F.lit(None).cast(dim_versions.schema[valid_from_col].dataType),
-        ),
+        "__valid_to", F.lead(valid_from_col).over(w)
     )
     if take is None:
         take = {

@@ -59,7 +59,10 @@ GROK_PATTERNS: dict[str, str] = {
     "IP": r"(?:\d{1,3}\.){3}\d{1,3}",  # v4 only: v6 zone syntax is not engine-portable
     "HOSTNAME": r"[a-zA-Z0-9](?:[a-zA-Z0-9-]*[a-zA-Z0-9])?(?:\.[a-zA-Z0-9](?:[a-zA-Z0-9-]*[a-zA-Z0-9])?)*",
     "UUID": r"[0-9a-fA-F]{8}-(?:[0-9a-fA-F]{4}-){3}[0-9a-fA-F]{12}",
-    "PATH": r"(?:/[^\s?#]*)+",
+    # single linear form, NOT (?:/[^\s?#]*)+ — the inner class matches
+    # '/' so segment boundaries are ambiguous and a failing match
+    # backtracks exponentially (2^segments); this is match-equivalent
+    "PATH": r"/[^\s?#]*",
     "URIPARAM": r"\?[^\s#]*",
     "QS": r'"[^"]*"',
     "QUOTEDSTRING": r'"[^"]*"',
@@ -100,8 +103,30 @@ def compile_grok(
     pos = 0
 
     def _noncapture(chunk: str) -> str:
-        # the lookbehind spares escaped literal parens
-        return re.sub(r"(?<!\\)\((?!\?)", "(?:", chunk)
+        # rewrite capturing '(' to '(?:' — but only OUTSIDE character
+        # classes ('[(]' must stay a literal paren class, not become
+        # '[(?:]') and never when escaped
+        out_chars: list[str] = []
+        in_class = escaped = False
+        i = 0
+        while i < len(chunk):
+            ch = chunk[i]
+            if escaped:
+                escaped = False
+            elif ch == "\\":
+                escaped = True
+            elif in_class:
+                if ch == "]":
+                    in_class = False
+            elif ch == "[":
+                in_class = True
+            elif ch == "(" and chunk[i + 1 : i + 2] != "?":
+                out_chars.append("(?:")
+                i += 1
+                continue
+            out_chars.append(ch)
+            i += 1
+        return "".join(out_chars)
 
     for m in _REF_RE.finditer(pattern):
         out.append(_noncapture(pattern[pos : m.start()]))

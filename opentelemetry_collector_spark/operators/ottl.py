@@ -305,9 +305,12 @@ _FUNCS: dict[str, Callable[..., Column]] = {
     "MD5": lambda target: F.md5(_c(target).cast("binary")),
     "Trim": lambda target: F.trim(_c(target)),
     # OTTL Split takes a literal delimiter (not a regex): \Q..\E quotes it
-    # for the Java regex engine behind F.split
+    # for the Java regex engine behind F.split; an embedded \E would
+    # terminate the quoting early (classic injection), so it is split
+    # out and matched as escaped literal characters
     "Split": lambda target, sep: F.split(
-        _c(target), "\\Q" + _lit_str(sep) + "\\E"
+        _c(target),
+        "\\Q" + _lit_str(sep).replace("\\E", "\\E\\\\E\\Q") + "\\E",
     ),
     # ParseJSON → the flat map model (nested values come back as their
     # JSON text; a non-object document yields nil, matching the
@@ -320,7 +323,10 @@ _FUNCS: dict[str, Callable[..., Column]] = {
     "UnixMicro": lambda t: _ns_div(_c(t), 1_000),
     "UnixMilli": lambda t: _ns_div(_c(t), 1_000_000),
     "UnixSeconds": lambda t: _ns_div(_c(t), 1_000_000_000),
-    # TruncateTime(t, "1h"): floor the ns epoch to the duration bucket
+    # TruncateTime(t, "1h"): round DOWN to the duration bucket (pmod
+    # floors for negative epochs too — Go Time.Truncate "rounds down",
+    # so a pre-1970 instant lands in the bucket below zero, not above;
+    # an oracle twin must floor likewise: t - ((t % s + s) % s))
     "TruncateTime": lambda t, d: _c(t).cast("long")
     - F.pmod(_c(t).cast("long"), F.lit(_parse_duration_ns(_lit_str(d)))),
 }

@@ -539,18 +539,29 @@ def char_entropy(
     output 4-dp.  Empty or NULL text scores 0.
     """
     text = F.col(text_col)
-    chars = F.split(text, "")
-    n = F.size(chars)
-    distinct = F.array_distinct(chars)
-    term = lambda c: F.round(
-        (F.size(F.filter(chars, lambda x: x == c)) / n)
-        * F.log2(F.size(F.filter(chars, lambda x: x == c)) / n),
-        9,
-    )
-    ent = F.when(
-        n > 0,
-        -F.aggregate(distinct, F.lit(0.0), lambda acc, c: acc + term(c)),
-    ).otherwise(F.lit(0.0))
+
+    # bind the split array (and each per-char probability) through
+    # single-element transform lambdas so they evaluate ONCE: expressions
+    # referenced from inside lambda scopes are re-inlined per element
+    # (no cross-scope CSE — the winnowing/minhash lesson), which would
+    # re-split the text ~2×alphabet times per row
+    def _ent_of(cs: Column) -> Column:
+        n = F.size(cs)
+
+        def term(c: Column) -> Column:
+            p = F.size(F.filter(cs, lambda x: x == c)) / n
+            return F.element_at(
+                F.transform(F.array(p), lambda q: F.round(q * F.log2(q), 9)), 1
+            )
+
+        return F.when(
+            n > 0,
+            -F.aggregate(
+                F.array_distinct(cs), F.lit(0.0), lambda acc, c: acc + term(c)
+            ),
+        ).otherwise(F.lit(0.0))
+
+    ent = F.element_at(F.transform(F.array(F.split(text, "")), _ent_of), 1)
     # + 0.0 normalizes the -0.0 a single-repeated-char doc produces
     # (-Σ of all-zero terms) so both engines hash identically
     return df.select(

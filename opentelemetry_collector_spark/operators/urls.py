@@ -131,4 +131,8 @@ def canonicalize_url(url: Column) -> Column:
     qpart = F.when(
         F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))
     ).otherwise(F.lit(""))
-    return F.concat(scheme, F.lit("://"), host, path, qpart)
+    # scheme-less/relative input: genuinely pass through unchanged (the
+    # assembled form would prefix a bogus '://')
+    return F.when(scheme == "", url).otherwise(
+        F.concat(scheme, F.lit("://"), host, path, qpart)
+    )
