@@ -343,8 +343,20 @@ def test_watch_driven_reload_resumes_from_checkpoint(spark, tmp_path):
         1
     ).write.mode("append").parquet(in_dir)
     expected2 = _batch_expected(spark, in_dir)["audit"]
+    errors_sink = IdempotentParquetSink(str(tmp_path / "sinks" / "errors"), name="errors")
+    new_errors = (
+        parse_pages(spark.createDataFrame(generate_pages_pandas(ids), PAGES_SCHEMA))
+        .where(F.col("severity_number") >= 17)
+        .count()
+    )
     assert wait_until(lambda: audit_sink.committed_row_count() == expected2), (
         "post-reload drain incomplete"
+    )
+    # wait for the WHOLE epoch, not just the audit sink: stopping as soon
+    # as audit commits can interrupt the same epoch's errors write
+    # mid-flight (exactly-once then rightly leaves it uncommitted)
+    assert wait_until(lambda: errors_sink.committed_row_count() == new_errors), (
+        f"errors drain: {errors_sink.committed_row_count()} != {new_errors}"
     )
 
     stop.set()
@@ -355,12 +367,6 @@ def test_watch_driven_reload_resumes_from_checkpoint(spark, tmp_path):
     # exactly-once across the reload: no loss, no duplicates
     assert audit_sink.committed_row_count() == expected2
     # the new route only sees post-reload epochs
-    errors_sink = IdempotentParquetSink(str(tmp_path / "sinks" / "errors"), name="errors")
-    new_errors = (
-        parse_pages(spark.createDataFrame(generate_pages_pandas(ids), PAGES_SCHEMA))
-        .where(F.col("severity_number") >= 17)
-        .count()
-    )
     assert errors_sink.committed_row_count() == new_errors
 
 
