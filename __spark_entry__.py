@@ -1060,6 +1060,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["char_entropy"] = char_entropy_q
 
+    def mixture_weights_q(spark, sf):  # data-mixing resampling weights
+        return ts_ops.mixture_weights(
+            _t(spark, sf, "documents"),
+            {"en": 0.3, "de": 0.2, "fr": 0.2, "es": 0.2, "zh": 0.1},
+            group_col="lang",
+        )
+
+    q["mixture_weights"] = mixture_weights_q
+
+    def pack_sequences_q(spark, sf):  # GPT-style token-stream packing
+        return ts_ops.pack_sequences(_t(spark, sf, "documents"), budget=512)
+
+    q["pack_sequences"] = pack_sequences_q
+
     def tfidf_q(spark, sf):  # tf-idf keyword extraction per source
         return ts_ops.tfidf_top_terms(_t(spark, sf, "documents"), k=3)
 
@@ -1909,6 +1923,44 @@ SELECT doc_id, n_chars,
     )), 4) + 0.0
   ELSE 0.0 END AS entropy_bits_per_char
 FROM d
+"""
+
+    # mixture weights: one token aggregate, then arithmetic (weight uses
+    # the 9-dp share under the 4-dp output, like the Spark side)
+    o["mixture_weights"] = """
+WITH toks AS (
+  SELECT lang, len(string_split_regex(trim(text), ' +'))::BIGINT AS n
+  FROM documents WHERE text IS NOT NULL
+), per AS (
+  SELECT lang, sum(n)::BIGINT AS n_tokens FROM toks GROUP BY lang
+), tot AS (
+  SELECT sum(n_tokens)::DOUBLE AS t FROM per
+), tgt(lang, ts) AS (
+  VALUES ('en', 0.3), ('de', 0.2), ('fr', 0.2), ('es', 0.2), ('zh', 0.1)
+)
+SELECT per.lang, n_tokens,
+  round(round(n_tokens / t, 9), 4) AS share,
+  round(coalesce(ts::DOUBLE, 0.0), 4) AS target_share,
+  round(coalesce(ts::DOUBLE, 0.0) / round(n_tokens / t, 9), 4) AS weight
+FROM per CROSS JOIN tot LEFT JOIN tgt ON per.lang = tgt.lang
+"""
+
+    # sequence packing: the plain global window cumsum IS the oracle —
+    # the Spark side's two-phase range-partition formulation must equal
+    # it exactly
+    o["pack_sequences"] = """
+WITH t AS (
+  SELECT doc_id, len(string_split_regex(trim(text), ' +'))::BIGINT AS n_tokens
+  FROM documents WHERE text IS NOT NULL
+), c AS (
+  SELECT doc_id, n_tokens,
+    sum(n_tokens) OVER (ORDER BY doc_id)::BIGINT AS cum
+  FROM t
+)
+SELECT doc_id, n_tokens,
+  (cum - n_tokens) AS start_offset,
+  ((cum - n_tokens) // 512)::BIGINT AS pack_id
+FROM c
 """
 
     # tf-idf keywords: ln + tf*idf both ranked on the 9-dp rounding

@@ -571,3 +571,91 @@ def char_entropy(
             "entropy_bits_per_char"
         ),
     )
+
+
+def mixture_weights(
+    df: DataFrame,
+    target: dict[str, float],
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-mixing weights: the per-slice resampling factor that moves
+    the corpus's token distribution to a ``target`` share per
+    ``group_col`` value (the data-mixture stage of training-set
+    assembly — DoReMi/Pile-style domain reweighting, here with given
+    targets rather than learned ones).
+
+    weight = target_share / actual_share (unlisted groups get target 0 ⇒
+    weight 0).  One token-count aggregate (#groups rows); everything
+    after is arithmetic on that tiny frame.  4-dp outputs, 9-dp shares
+    under the ratio for engine parity.
+    """
+    toks = df.where(F.col(text_col).isNotNull()).select(
+        F.col(group_col), F.size(tokenize(F.col(text_col))).alias("__n")
+    )
+    per = toks.groupBy(group_col).agg(F.sum("__n").alias("n_tokens"))
+    total = per.agg(F.sum("n_tokens").alias("__t"))
+    tgt = F.create_map(
+        *[F.lit(x) for kv in target.items() for x in kv]
+    )
+    share = F.round(F.col("n_tokens") / F.col("__t"), 9)
+    t_share = F.coalesce(F.element_at(tgt, F.col(group_col)), F.lit(0.0))
+    return (
+        per.crossJoin(F.broadcast(total))
+        .select(
+            group_col,
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.round(share, 4).alias("share"),
+            F.round(t_share, 4).alias("target_share"),
+            F.round(t_share / share, 4).alias("weight"),
+        )
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    partitions: int = 32,
+) -> DataFrame:
+    """GPT-style sequence packing: concatenate documents in ``id_col``
+    order and cut the token stream into fixed ``budget``-token windows —
+    each document reports the global ``start_offset`` of its first token
+    and the ``pack_id`` (window index) it starts in.
+
+    The global running sum is the interesting part at scale: a bare
+    ``Window.orderBy(id)`` funnels the whole corpus through ONE reducer.
+    This uses the two-phase formulation instead — range-partition by id
+    (RangePartitioner gives ascending ranges to ascending partition
+    ids), per-partition cumulative sums, then broadcast the tiny
+    per-partition totals back as offsets.  The output is independent of
+    where the sampled range boundaries land.
+    """
+    from pyspark.sql import Window
+
+    toks = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col), F.size(tokenize(F.col(text_col))).cast("long").alias("n_tokens")
+    )
+    t = toks.repartitionByRange(partitions, F.col(id_col)).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("__pid").orderBy(F.col(id_col).asc())
+    t = t.withColumn("__local_cum", F.sum("n_tokens").over(w))
+    totals = t.groupBy("__pid").agg(F.max("__local_cum").alias("__tot"))
+    # offsets: totals of all EARLIER partitions — a window over ≤
+    # `partitions` rows, never the data
+    ow = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = totals.withColumn(
+        "__off", F.coalesce(F.sum("__tot").over(ow), F.lit(0).cast("long"))
+    ).select("__pid", "__off")
+    start = F.col("__off") + F.col("__local_cum") - F.col("n_tokens")
+    return (
+        t.join(F.broadcast(offs), "__pid")
+        .select(
+            id_col,
+            "n_tokens",
+            start.alias("start_offset"),
+            F.floor(start / F.lit(budget)).cast("long").alias("pack_id"),
+        )
+    )

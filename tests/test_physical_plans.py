@@ -168,6 +168,8 @@ _PLAN_SHUFFLE_BUDGET = {
     "enrich_asof_versions": 1,  # dim distinct agg; intervalized dim broadcast, facts never shuffle
     "url_canonicalize": 0,  # narrow regex/array projection, scan speed
     "char_entropy": 0,  # per-row distinct-char fold, scan speed
+    "mixture_weights": 2,  # one token agg (count-distinct-free), #groups rows after
+    "pack_sequences": 4,  # range partition + per-partition window + tiny totals agg/window; offsets broadcast
     "embedding_neardup": 0,  # broadcast nested-loop cross join
     "ann_topk_bruteforce": 2,  # partial + final top-k
     "ann_lsh_pairs": 1,

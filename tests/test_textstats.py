@@ -409,3 +409,40 @@ def test_char_entropy_hand_computed(spark):
     assert str(got[2]["entropy_bits_per_char"]) == "0.0"
     assert got[3]["entropy_bits_per_char"] == 0.0 and got[3]["n_chars"] == 0
     assert got[4]["entropy_bits_per_char"] == 0.0 and got[4]["n_chars"] == 0
+
+
+def test_mixture_weights_hand_computed(spark):
+    from opentelemetry_collector_spark.operators.textstats import mixture_weights
+
+    df = spark.createDataFrame(
+        [(0, "a b c", "x"), (1, "d e", "x"), (2, "f g h i j", "y")],
+        "doc_id long, text string, source string",
+    )
+    # x: 5 tokens (share .5), y: 5 tokens (share .5)
+    got = {r["source"]: r for r in mixture_weights(df, {"x": 0.8, "y": 0.2}).collect()}
+    assert got["x"]["n_tokens"] == 5 and got["x"]["share"] == 0.5
+    assert got["x"]["weight"] == round(0.8 / 0.5, 4)
+    assert got["y"]["weight"] == round(0.2 / 0.5, 4)
+    # a group absent from the target gets weight 0 (dropped at sampling)
+    got2 = mixture_weights(df, {"x": 1.0}).collect()
+    assert {r["source"]: r["weight"] for r in got2} == {"x": 2.0, "y": 0.0}
+
+
+def test_pack_sequences_contiguous_and_budgeted(spark):
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_spark.operators.textstats import pack_sequences
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = pack_sequences(docs, budget=100, partitions=7).orderBy("doc_id").collect()
+    off = 0
+    for r in out:
+        # the token stream is contiguous in id order regardless of how
+        # the range partitioner split the ids
+        assert r["start_offset"] == off
+        assert r["pack_id"] == off // 100
+        off += r["n_tokens"]
+    assert out[-1]["pack_id"] > 0
+    # determinism across partition widths
+    again = pack_sequences(docs, budget=100, partitions=3).orderBy("doc_id").collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in out]
