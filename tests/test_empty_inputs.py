@@ -171,3 +171,10 @@ def test_new_round3_operators_empty(spark, empty_docs, empty_emb):
         [], "doc_id long, text string, lang string"
     )
     assert ts.ccnet_perplexity_buckets(empty_docs_lang).count() == 0
+
+
+def test_mixing_and_packing_empty(spark, empty_docs):
+    empty_src = spark.createDataFrame([], "doc_id long, text string, source string")
+    assert ts.mixture_weights(empty_src, {"x": 1.0}).count() == 0
+    assert ts.pack_sequences(empty_docs, budget=128).count() == 0
+    assert ts.char_entropy(empty_docs).count() == 0
