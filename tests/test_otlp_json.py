@@ -446,3 +446,56 @@ def test_exp_histogram_unmarshal_foreign_zero_omissions(spark):
     assert r["bucket_index"] is None and r["n"] == 5
     assert r["scale"] == 0
     assert r["dp_count"] == 5
+
+
+_SUMPT = st.tuples(
+    st.sampled_from(["events.count", "μetric-名"]),  # metric_name
+    st.integers(min_value=1, max_value=2),  # aggregation_temporality
+    st.booleans(),  # is_monotonic
+    st.integers(min_value=0, max_value=2**62),  # start
+    st.integers(min_value=0, max_value=2**62),  # time
+    st.floats(allow_nan=False, allow_infinity=False, width=64),  # value
+    st.dictionaries(_TXT, _TXT, max_size=3),  # attributes
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(pts=st.lists(_SUMPT, min_size=1, max_size=6))
+def test_sum_points_roundtrip_property(spark, pts):
+    """pmetric Sum codec fuzz: arbitrary unicode names/attrs, full-range
+    ns timestamps, and arbitrary finite doubles survive marshal →
+    unmarshal exactly (doubles ride JSON shortest-round-trip text)."""
+    schema = (
+        "metric_name string, aggregation_temporality int, is_monotonic boolean, "
+        "start_time_unix_nano long, time_unix_nano long, value_double double, "
+        "attributes map<string,string>"
+    )
+    df = spark.createDataFrame(pts, schema)
+    back = otlp_json.otlp_json_to_sum_points(
+        otlp_json.sum_points_to_otlp_json(df)
+    )
+
+    def canon(rows):
+        out = []
+        for r in rows:
+            d = r.asDict(recursive=True)
+            out.append(
+                (
+                    d["metric_name"],
+                    d["aggregation_temporality"],
+                    d["is_monotonic"],
+                    d["start_time_unix_nano"],
+                    d["time_unix_nano"],
+                    d["value_double"],
+                    tuple(sorted(d["attributes"].items())),
+                )
+            )
+        return sorted(out)
+
+    assert canon(back.collect()) == canon(df.collect())
+    # the int union member is NULL for every double-valued point
+    assert back.where(F.col("value_int").isNotNull()).count() == 0
