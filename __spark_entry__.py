@@ -358,31 +358,17 @@ def _stoplist_sql(lang: str) -> str:
     return "[" + ", ".join(f"'{w}'" for w in ts_ops.STOPWORDS[lang]) + "]"
 
 
-_QUALITY_SQL = f"""
+# one-pass twin of textstats.text_signals: token counts + quality
+# features + stopword-vote lang-id + content digests off one base CTE
+_TEXT_SIGNALS_SQL = f"""
 WITH base AS (
   SELECT doc_id, text, string_split_regex(trim(text), ' +') AS w FROM documents
 ), feat AS (
-  SELECT doc_id,
+  SELECT doc_id, text, w,
     len(w) AS n,
     CASE WHEN len(w) > 0 THEN list_sum(list_transform(w, t -> length(t)::DOUBLE)) / len(w) ELSE 0.0 END AS mwl,
     CASE WHEN len(w) > 0 THEN len(list_filter(w, t -> list_contains({_stoplist_sql('en')}, t)))::DOUBLE / len(w) ELSE 0.0 END AS stop_r,
-    CASE WHEN length(text) > 0 THEN length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))::DOUBLE / length(text) ELSE 0.0 END AS alpha_r
-  FROM base
-)
-SELECT doc_id,
-  n::BIGINT AS ws_tokens,
-  round(mwl, 4) AS mean_word_len,
-  round(stop_r, 4) AS stopword_ratio,
-  round(alpha_r, 4) AS alpha_ratio,
-  round(0.4 * least(n::DOUBLE / 100.0, 1.0) + 0.3 * stop_r + 0.3 * alpha_r, 4) AS quality
-FROM feat
-"""
-
-_LANGID_SQL = f"""
-WITH base AS (
-  SELECT doc_id, string_split_regex(trim(text), ' +') AS w FROM documents
-), sc AS (
-  SELECT doc_id,
+    CASE WHEN length(text) > 0 THEN length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))::DOUBLE / length(text) ELSE 0.0 END AS alpha_r,
     len(list_filter(w, t -> list_contains({_stoplist_sql('de')}, t))) AS s_de,
     len(list_filter(w, t -> list_contains({_stoplist_sql('en')}, t))) AS s_en,
     len(list_filter(w, t -> list_contains({_stoplist_sql('es')}, t))) AS s_es,
@@ -390,14 +376,50 @@ WITH base AS (
   FROM base
 )
 SELECT doc_id,
+  length(text)::BIGINT AS n_chars,
+  n::BIGINT AS ws_tokens,
+  len(regexp_extract_all(text, '{ts_ops.BPE_TOKEN_RE}'))::BIGINT AS bpe_tokens,
+  round(mwl, 4) AS mean_word_len,
+  round(stop_r, 4) AS stopword_ratio,
+  round(alpha_r, 4) AS alpha_ratio,
+  round(0.4 * least(n::DOUBLE / 100.0, 1.0) + 0.3 * stop_r + 0.3 * alpha_r, 4) AS quality,
   s_de::BIGINT AS score_de, s_en::BIGINT AS score_en,
   s_es::BIGINT AS score_es, s_fr::BIGINT AS score_fr,
   CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
        WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
        WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
        WHEN s_es >= s_fr THEN 'es'
-       ELSE 'fr' END AS pred_lang
-FROM sc
+       ELSE 'fr' END AS pred_lang,
+  md5(text) AS md5_raw,
+  md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS md5_norm
+FROM feat
+"""
+
+
+def _bpe_tokenize_sql() -> str:
+    """DuckDB twin of textstats.bpe_encode: the same wrapped-token
+    representation (\\x1f boundaries, doubled between tokens) and the
+    same literal replace() pass per merge in rank order — replace() is
+    left-to-right non-overlapping in both engines, so the merged token
+    sequences are byte-identical."""
+    sep = ts_ops.BPE_SEP
+    chain = f"regexp_replace(w, '(.)', '{sep}\\1{sep}', 'g')"
+    for a, b in ts_ops.DEFAULT_BPE_MERGES:
+        chain = f"replace({chain}, '{sep}{a}{sep}{sep}{b}{sep}', '{sep}{a}{b}{sep}')"
+    return f"""
+WITH e AS (
+  SELECT doc_id,
+    list_transform(string_split_regex(trim(text), ' +'), w -> {chain}) AS enc
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id,
+  len(list_filter(enc, s -> length(s) > 0))::BIGINT AS n_words,
+  coalesce(list_sum(list_transform(enc,
+    s -> CASE WHEN length(s) > 0
+              THEN len(string_split(s, '{sep}{sep}')) ELSE 0 END)), 0)::BIGINT
+    AS bpe_tokens,
+  replace(replace(enc[1], '{sep}{sep}', '|'), '{sep}', '') AS enc_head
+FROM e
 """
 
 _COS_EXPR = (
@@ -468,7 +490,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["router_counts"] = router_counts
 
-    def ottl_transform(spark, sf):  # P7-P9 OTTL → Column compiler
+    def ottl_suite(spark, sf):
+        # P7-P9 + converter registry, one 3-part union (each part is the
+        # former standalone query mapped onto a common column set):
+        # 'transform' = set/replace_match/drop-where; 'attrs' =
+        # SHA256/extract_patterns/limit editor actions; 'convert' = the
+        # Unix*/TruncateTime/ConvertCase/Substring/Len converters.
+        _S = F.lit(None).cast("string")
+        _L = F.lit(None).cast("long")
+
+        def common(part, df, s1=_S, s2=_S, s3=_S, l1=_L, l2=_L, l3=_L, l4=_L):
+            return df.select(
+                F.lit(part).alias("part"),
+                F.col("event_id"),
+                s1.alias("s1"), s2.alias("s2"), s3.alias("s3"),
+                l1.cast("long").alias("l1"), l2.cast("long").alias("l2"),
+                l3.cast("long").alias("l3"), l4.cast("long").alias("l4"),
+            )
+
         records = events_to_records(_t(spark, sf, "events")).select(
             "event_id",
             F.map_from_arrays(
@@ -483,17 +522,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 'drop() where attributes["type"] == "view"',
             ]
         )
-        out = xform(records)
-        return out.select(
-            "event_id",
-            F.element_at("attributes", "type").alias("type"),
-            F.element_at("attributes", "source").alias("source"),
-            F.element_at("attributes", "k").alias("k"),
+        p_transform = common(
+            "transform",
+            xform(records),
+            s1=F.element_at("attributes", "type"),
+            s2=F.element_at("attributes", "source"),
+            s3=F.element_at("attributes", "k"),
         )
 
-    q["ottl_transform"] = ottl_transform
-
-    def ottl_attributes_ops(spark, sf):  # hash/extract/limit editor actions
         ev = events_to_records(_t(spark, sf, "events")).select(
             "event_id",
             F.map_from_arrays(
@@ -505,30 +541,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 ),
             ).alias("attributes"),
         )
-        xform = compile_statements(
+        xform2 = compile_statements(
             [
                 'set(attributes["k_hash"], SHA256(attributes["k"]))',
                 'extract_patterns(attributes["ua"], "(?<browser>[A-Za-z]+)/(?<major>[0-9]+)")',
                 "limit(attributes, 4)",
             ]
         )
-        out = xform(ev)
-        return out.select(
-            "event_id",
-            F.element_at("attributes", "browser").alias("browser"),
-            F.element_at("attributes", "major").alias("major"),
-            F.element_at("attributes", "k_hash").alias("k_hash"),
-            F.element_at("attributes", "type").alias("dropped_type"),
-            F.size("attributes").alias("n_attrs"),
+        p_attrs = common(
+            "attrs",
+            xform2(ev),
+            s1=F.element_at("attributes", "browser"),
+            s2=F.element_at("attributes", "major"),
+            s3=F.element_at("attributes", "k_hash"),
+            l1=F.size("attributes"),
         )
 
-    q["ottl_attributes_ops"] = ottl_attributes_ops
-
-    def ottl_converters(spark, sf):  # converter-function registry breadth
-        from opentelemetry_collector_spark.operators.ottl import compile_statements
-
-        recs = events_to_records(_t(spark, sf, "events"))
-        out = compile_statements(
+        conv = compile_statements(
             [
                 "set(unix_sec, UnixSeconds(time_unix_nano))",
                 "set(unix_ms, UnixMilli(time_unix_nano))",
@@ -537,18 +566,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "set(body_head, Substring(body, 0, 8))",
                 "set(body_trim_len, Len(Trim(body)))",
             ]
-        )(recs)
-        return out.select(
-            "event_id",
-            "unix_sec",
-            "unix_ms",
-            "hour_bucket",
-            "et_upper",
-            "body_head",
-            F.col("body_trim_len").cast("long").alias("body_trim_len"),
+        )(events_to_records(_t(spark, sf, "events")))
+        p_convert = common(
+            "convert",
+            conv,
+            s1=F.col("et_upper"),
+            s2=F.col("body_head"),
+            l1=F.col("unix_sec"),
+            l2=F.col("unix_ms"),
+            l3=F.col("hour_bucket"),
+            l4=F.col("body_trim_len"),
         )
+        return p_transform.unionAll(p_attrs).unionAll(p_convert)
 
-    q["ottl_converters"] = ottl_converters
+    q["ottl_suite"] = ottl_suite
 
     def enrich_asof_versions(spark, sf):  # temporal (SCD2/as-of) enrichment
         from opentelemetry_collector_spark.operators.enrich import enrich_asof
@@ -585,8 +616,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["enrich_asof_versions"] = enrich_asof_versions
 
-    def url_canonicalize(spark, sf):  # canonical URL keys for crawl dedup
-        from opentelemetry_collector_spark.operators.urls import canonicalize_url
+    def url_suite(spark, sf):
+        # URL curation, one 2-part union: 'canon' = canonical URL keys for
+        # crawl dedup (per-doc); 'hosts' = per-host curation rollup.
+        from opentelemetry_collector_spark.operators.urls import (
+            canonicalize_url,
+            host_stats,
+        )
+
+        _S = F.lit(None).cast("string")
+        _L = F.lit(None).cast("long")
+        _D = F.lit(None).cast("double")
 
         docs = _t(spark, sf, "documents").select(
             "doc_id",
@@ -603,14 +643,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 (F.col("doc_id") % 7).cast("string"),
             ).alias("url"),
         )
-        out = docs.select(
+        canon = docs.select(
             "doc_id", canonicalize_url(F.col("url")).alias("canonical_url")
         )
-        return out.select(
-            "doc_id", "canonical_url", F.md5("canonical_url").alias("url_key")
+        p_canon = canon.select(
+            F.lit("canon").alias("part"),
+            F.col("canonical_url").alias("s1"),
+            F.md5("canonical_url").alias("s2"),
+            F.col("doc_id").cast("long").alias("k1"),
+            _L.alias("k2"), _L.alias("k3"), _D.alias("d1"),
         )
+        hosts = host_stats(pages_from_documents(_t(spark, sf, "documents")))
+        p_hosts = hosts.select(
+            F.lit("hosts").alias("part"),
+            F.col("host").alias("s1"),
+            _S.alias("s2"),
+            F.col("n_docs").cast("long").alias("k1"),
+            F.col("n_langs").cast("long").alias("k2"),
+            F.col("n_unique_texts").cast("long").alias("k3"),
+            F.col("dup_rate").cast("double").alias("d1"),
+        )
+        return p_canon.unionAll(p_hosts)
 
-    q["url_canonicalize"] = url_canonicalize
+    q["url_suite"] = url_suite
 
     def batch_split(spark, sf):  # P2-P4 deterministic split
         records = events_to_records(_t(spark, sf, "events"))
@@ -663,177 +718,139 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["metrics_temporality"] = metrics_temporality
 
-    def metrics_histogram(spark, sf):  # pmetric Histogram points (long form)
-        bounds = met_ops.DEFAULT_HIST_BOUNDS
-        hist = met_ops.histogram_points(_t(spark, sf, "events"), bounds=bounds)
-        return met_ops.histogram_buckets_long(hist, bounds).withColumnRenamed(
-            "attr_key", "event_type"
-        )
-
-    q["metrics_histogram"] = metrics_histogram
-
-    def metrics_gauge(spark, sf):  # pmetric type-1 points (last-value)
-        return met_ops.gauge_points(_t(spark, sf, "events")).withColumnRenamed(
-            "attr_key", "event_type"
-        )
-
-    q["metrics_gauge"] = metrics_gauge
-
-    def metrics_exp_histogram(spark, sf):  # pmetric type-4 points
-        return met_ops.exp_histogram_points(_t(spark, sf, "events")).withColumnRenamed(
-            "attr_key", "event_type"
-        )
-
-    q["metrics_exp_histogram"] = metrics_exp_histogram
-
-    def metrics_summary(spark, sf):  # pmetric type-5 points
-        return met_ops.summary_points(_t(spark, sf, "events")).withColumnRenamed(
-            "attr_key", "event_type"
-        )
-
-    q["metrics_summary"] = metrics_summary
-
-    def otlp_json_metrics_roundtrip(spark, sf):  # pmetric JSON codec ≡ identity
+    def otlp_json_metrics_roundtrip(spark, sf):
+        # pmetric JSON codec ≡ identity over the FULL 5-type metric union
+        # (+ asInt member + Exemplars), one 7-part union query — each part
+        # is the former standalone round-trip mapped onto a common packed
+        # column set (part, event_type, k1..k3, v_long, d1..d4, s1, s2).
         from opentelemetry_collector_spark.functions import otlp_json
 
-        pts = met_ops.events_to_sum_points(_t(spark, sf, "events"))
-        back = otlp_json.otlp_json_to_sum_points(
+        ev = _t(spark, sf, "events")
+        _L = F.lit(None).cast("long")
+        _D = F.lit(None).cast("double")
+        _S = F.lit(None).cast("string")
+
+        def common(part, df, event_type, k1=_L, k2=_L, k3=_L, v_long=_L,
+                   d1=_D, d2=_D, d3=_D, d4=_D, s1=_S, s2=_S):
+            return df.select(
+                F.lit(part).alias("part"),
+                event_type.alias("event_type"),
+                k1.cast("long").alias("k1"),
+                k2.cast("long").alias("k2"),
+                k3.cast("long").alias("k3"),
+                v_long.cast("long").alias("v_long"),
+                d1.cast("double").alias("d1"),
+                d2.cast("double").alias("d2"),
+                d3.cast("double").alias("d3"),
+                d4.cast("double").alias("d4"),
+                s1.cast("string").alias("s1"),
+                s2.cast("string").alias("s2"),
+            )
+
+        et = F.element_at("attributes", "event_type")
+
+        sum_back = otlp_json.otlp_json_to_sum_points(
             otlp_json.sum_points_to_otlp_json(
-                pts, salt_buckets=16, max_records_per_envelope=200
+                met_ops.events_to_sum_points(ev),
+                salt_buckets=16,
+                max_records_per_envelope=200,
             )
         )
-        return back.select(
-            "metric_name",
-            "aggregation_temporality",
-            F.element_at("attributes", "event_type").alias("event_type"),
-            "start_time_unix_nano",
-            "time_unix_nano",
-            "value_double",
+        p_sum = common(
+            "sum", sum_back, et,
+            k1=F.col("start_time_unix_nano"), k2=F.col("time_unix_nano"),
+            v_long=F.col("aggregation_temporality"),
+            d1=F.col("value_double"), s1=F.col("metric_name"),
         )
 
-    q["otlp_json_metrics_roundtrip"] = otlp_json_metrics_roundtrip
+        gauge_back = otlp_json.otlp_json_to_gauge_points(
+            otlp_json.gauge_points_to_otlp_json(met_ops.gauge_points(ev))
+        )
+        p_gauge = common(
+            "gauge", gauge_back, F.col("attr_key"),
+            k1=F.col("window_end"), v_long=F.col("metric_type"),
+            d1=F.col("value_double"), s1=F.col("metric_name"),
+        )
 
-    def otlp_json_gauge_roundtrip(spark, sf):  # Gauge JSON codec ≡ identity
-        from opentelemetry_collector_spark.functions import otlp_json
-
-        g = met_ops.gauge_points(_t(spark, sf, "events"))
-        back = otlp_json.otlp_json_to_gauge_points(otlp_json.gauge_points_to_otlp_json(g))
-        return back.withColumnRenamed("attr_key", "event_type")
-
-    q["otlp_json_gauge_roundtrip"] = otlp_json_gauge_roundtrip
-
-    def otlp_json_sum_int_roundtrip(spark, sf):  # NumberDataPoint asInt member
-        from opentelemetry_collector_spark.functions import otlp_json
-
-        pts = met_ops.events_to_sum_points(_t(spark, sf, "events"))
-        back = otlp_json.otlp_json_to_sum_points(
+        sum_int_back = otlp_json.otlp_json_to_sum_points(
             otlp_json.sum_points_to_otlp_json(
-                pts,
+                met_ops.events_to_sum_points(ev),
                 salt_buckets=16,
                 value_col="point_count",
                 as_int=True,
                 metric_name=F.lit("events.count"),
             )
         )
-        return back.select(
-            "metric_name",
-            F.element_at("attributes", "event_type").alias("event_type"),
-            "start_time_unix_nano",
-            "time_unix_nano",
-            F.col("value_int").alias("point_count"),
+        p_sum_int = common(
+            "sum_int", sum_int_back, et,
+            k1=F.col("start_time_unix_nano"), k2=F.col("time_unix_nano"),
+            v_long=F.col("value_int"), s1=F.col("metric_name"),
         )
 
-    q["otlp_json_sum_int_roundtrip"] = otlp_json_sum_int_roundtrip
-
-    def otlp_json_exemplar_roundtrip(spark, sf):  # Exemplars on data points
-        from opentelemetry_collector_spark.functions import otlp_json
-
-        pts = met_ops.sum_points_with_exemplars(_t(spark, sf, "events"))
-        back = otlp_json.otlp_json_to_sum_points(
-            otlp_json.sum_points_to_otlp_json(pts, salt_buckets=16)
+        ex_back = otlp_json.otlp_json_to_sum_points(
+            otlp_json.sum_points_to_otlp_json(
+                met_ops.sum_points_with_exemplars(ev), salt_buckets=16
+            )
         )
         ex = F.try_element_at(F.col("exemplars"), F.lit(1))
-        return back.select(
-            "metric_name",
-            F.element_at("attributes", "event_type").alias("event_type"),
-            "start_time_unix_nano",
-            "time_unix_nano",
-            "value_double",
-            ex.getField("time_unix_nano").alias("exemplar_ts"),
-            ex.getField("value_double").alias("exemplar_value"),
-            ex.getField("trace_id").alias("exemplar_trace_id"),
-            ex.getField("span_id").alias("exemplar_span_id"),
-            F.element_at(ex.getField("filtered_attributes"), "event_id").alias(
-                "exemplar_event_id"
+        p_ex = common(
+            "exemplar", ex_back, et,
+            k1=F.col("start_time_unix_nano"), k2=F.col("time_unix_nano"),
+            v_long=ex.getField("time_unix_nano"),
+            d1=F.col("value_double"), d2=ex.getField("value_double"),
+            s1=F.col("metric_name"),
+            s2=F.concat_ws(
+                "/",
+                ex.getField("trace_id"),
+                ex.getField("span_id"),
+                F.element_at(ex.getField("filtered_attributes"), "event_id"),
             ),
         )
 
-    q["otlp_json_exemplar_roundtrip"] = otlp_json_exemplar_roundtrip
-
-    def otlp_json_hist_roundtrip(spark, sf):  # Histogram JSON codec ≡ identity
-        from opentelemetry_collector_spark.functions import otlp_json
-
         bounds = met_ops.DEFAULT_HIST_BOUNDS
-        hist = met_ops.histogram_points(_t(spark, sf, "events"), bounds=bounds)
-        back = otlp_json.otlp_json_to_histogram_points(
-            otlp_json.histogram_points_to_otlp_json(hist)
+        hist_back = met_ops.histogram_buckets_long(
+            otlp_json.otlp_json_to_histogram_points(
+                otlp_json.histogram_points_to_otlp_json(
+                    met_ops.histogram_points(ev, bounds=bounds)
+                )
+            ),
+            bounds,
         )
-        return met_ops.histogram_buckets_long(back, bounds).withColumnRenamed(
-            "attr_key", "event_type"
-        )
-
-    q["otlp_json_hist_roundtrip"] = otlp_json_hist_roundtrip
-
-    def otlp_json_exphist_roundtrip(spark, sf):  # ExpHistogram JSON codec
-        from opentelemetry_collector_spark.functions import otlp_json
-
-        pts = met_ops.exp_histogram_points(_t(spark, sf, "events"))
-        back = otlp_json.otlp_json_to_exp_histogram_points(
-            otlp_json.exp_histogram_points_to_otlp_json(pts)
-        )
-        return back.select(
-            "metric_name",
-            "scale",
-            F.col("attr_key").alias("event_type"),
-            "bucket_index",
-            "n",
-            "dp_count",
-            "dp_sum",
+        p_hist = common(
+            "hist", hist_back, F.col("attr_key"),
+            k1=F.col("bucket_idx"), k2=F.col("n"), v_long=F.col("hist_count"),
+            d1=F.col("hist_sum"), d2=F.col("hist_min"), d3=F.col("hist_max"),
+            d4=F.col("le"),
         )
 
-    q["otlp_json_exphist_roundtrip"] = otlp_json_exphist_roundtrip
-
-    def otlp_json_summary_roundtrip(spark, sf):  # Summary JSON codec ≡ identity
-        from opentelemetry_collector_spark.functions import otlp_json
-
-        s = met_ops.summary_points(_t(spark, sf, "events"))
-        back = otlp_json.otlp_json_to_summary_points(
-            otlp_json.summary_points_to_otlp_json(s)
+        exphist_back = otlp_json.otlp_json_to_exp_histogram_points(
+            otlp_json.exp_histogram_points_to_otlp_json(
+                met_ops.exp_histogram_points(ev)
+            )
         )
-        return back.withColumnRenamed("attr_key", "event_type")
-
-    q["otlp_json_summary_roundtrip"] = otlp_json_summary_roundtrip
-
-    def spans_model(spark, sf):  # ptrace span frame, flat projection
-        spans = tr_ops.events_to_spans(_t(spark, sf, "events"))
-        return spans.select(
-            "trace_id",
-            "span_id",
-            "parent_span_id",
-            "trace_state",
-            "name",
-            "kind",
-            "start_time_unix_nano",
-            "end_time_unix_nano",
-            "status_code",
-            "status_message",
-            F.size("events").alias("n_events"),
-            F.size("links").alias("n_links"),
-            F.try_element_at(F.col("links"), F.lit(1)).getField("span_id").alias("link_span_id"),
-            F.col("resource.service").alias("service"),
+        p_exphist = common(
+            "exphist", exphist_back, F.col("attr_key"),
+            k1=F.col("bucket_index"), k2=F.col("n"), k3=F.col("scale"),
+            v_long=F.col("dp_count"), d1=F.col("dp_sum"),
+            s1=F.col("metric_name"),
         )
 
-    q["spans_model"] = spans_model
+        summary_back = otlp_json.otlp_json_to_summary_points(
+            otlp_json.summary_points_to_otlp_json(met_ops.summary_points(ev))
+        )
+        p_summary = common(
+            "summary", summary_back, F.col("attr_key"),
+            k3=F.col("metric_type"), v_long=F.col("summary_count"),
+            d1=F.col("summary_sum"), d2=F.col("quantile"),
+            d3=F.col("quantile_value"), s1=F.col("metric_name"),
+        )
+
+        out = p_sum
+        for p in (p_gauge, p_sum_int, p_ex, p_hist, p_exphist, p_summary):
+            out = out.unionAll(p)
+        return out
+
+    q["otlp_json_metrics_roundtrip"] = otlp_json_metrics_roundtrip
 
     def spanmetrics_spans(spark, sf):  # T5 connector with real span durations
         return tr_ops.spanmetrics(tr_ops.events_to_spans(_t(spark, sf, "events")))
@@ -891,11 +908,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["trace_summaries"] = trace_summaries
 
-    def otlp_json_roundtrip(spark, sf):  # D8: marshal→unmarshal ≡ identity
-        from opentelemetry_collector_spark.functions import otlp_json
-
+    def _events_plog(spark, sf):  # flat plog frame planted on events
         rec = events_to_records(_t(spark, sf, "events"))
-        plog = rec.select(
+        return rec.select(
             F.concat(F.lit("event://"), F.col("event_id")).alias("url"),
             F.col("time_unix_nano"),
             F.col("observed_ts").cast("timestamp").alias("observed_ts"),
@@ -922,9 +937,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).alias("resource"),
             F.lit(0).cast("int").alias("line_no"),
         )
-        # record-count-bounded envelopes (send_batch_max_size analog):
-        # salt for task parallelism, cap for per-request record count
-        rt = otlp_json.roundtrip(plog, salt_buckets=32, max_records_per_envelope=200)
+
+    def _flatten_plog(rt):
         return rt.select(
             F.substring(F.col("url"), 9, 32).cast("long").alias("event_id"),
             "time_unix_nano",
@@ -937,7 +951,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("resource.host").alias("host"),
         )
 
+    def otlp_json_roundtrip(spark, sf):  # D8: marshal→unmarshal ≡ identity
+        from opentelemetry_collector_spark.functions import otlp_json
+
+        # record-count-bounded envelopes (send_batch_max_size analog):
+        # salt for task parallelism, cap for per-request record count
+        return _flatten_plog(
+            otlp_json.roundtrip(
+                _events_plog(spark, sf), salt_buckets=32, max_records_per_envelope=200
+            )
+        )
+
     q["otlp_json_roundtrip"] = otlp_json_roundtrip
+
+    def otlp_pb_roundtrip(spark, sf):
+        # D8 wire form: OTLP protobuf BINARY marshal→unmarshal ≡ identity
+        # (pdata/plog/pb.go:26-40 analog; hand-written proto3 codec over a
+        # declared Arrow surface — no protoc in this container)
+        from opentelemetry_collector_spark.functions import otlp_pb
+
+        return _flatten_plog(
+            otlp_pb.roundtrip_pb(
+                _events_plog(spark, sf), salt_buckets=32, max_records_per_envelope=200
+            )
+        )
+
+    q["otlp_pb_roundtrip"] = otlp_pb_roundtrip
 
     def salted_rollup(spark, sf):  # P1 skew-safe two-phase aggregation
         from opentelemetry_collector_spark.operators.batch import salted_groupby_count
@@ -1038,27 +1077,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["chunk_dedup"] = chunk_dedup_q
 
-    def repetition_signals_q(spark, sf):  # Gopher-family repetition filters
-        return ts_ops.repetition_signals(_t(spark, sf, "documents"))
+    def doc_signals_q(spark, sf):
+        # Gopher-family repetition filters + Shannon bits/char gibberish
+        # signal, one narrow projection (former repetition_signals +
+        # char_entropy queries, same column semantics)
+        return ts_ops.doc_signals(_t(spark, sf, "documents"))
 
-    q["repetition_signals"] = repetition_signals_q
+    q["doc_signals"] = doc_signals_q
 
-    def unigram_ppl_q(spark, sf):  # CCNet-style LM-perplexity quality filter
-        return ts_ops.unigram_logperplexity(
-            _t(spark, sf, "documents"), vocab_size=1000
-        )
-
-    q["unigram_logperplexity"] = unigram_ppl_q
-
-    def ccnet_buckets_q(spark, sf):  # CCNet head/middle/tail per language
+    def ccnet_buckets_q(spark, sf):
+        # CCNet head/middle/tail per language; the per-doc
+        # unigram-LM-perplexity scores (bits_per_token / perplexity
+        # columns) ARE the former unigram_logperplexity query's output —
+        # this oracle evidences both operators
         return ts_ops.ccnet_perplexity_buckets(_t(spark, sf, "documents"))
 
     q["ccnet_buckets"] = ccnet_buckets_q
-
-    def char_entropy_q(spark, sf):  # Shannon bits/char gibberish signal
-        return ts_ops.char_entropy(_t(spark, sf, "documents"))
-
-    q["char_entropy"] = char_entropy_q
 
     def mixture_weights_q(spark, sf):  # data-mixing resampling weights
         return ts_ops.mixture_weights(
@@ -1080,24 +1114,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["tfidf_top_terms"] = tfidf_q
 
     def emb_dedup_lsh_q(spark, sf):  # SemDeDup-style cell-scoped dedup
-        return sim_ops.lsh_cell_dedup(_t(spark, sf, "embeddings"))
+        # planes pinned to 4 HERE so the oracle can embed the plane
+        # constants; the operator's default now auto-sizes the grid from
+        # the corpus (planes = ceil(log2(n / target_cell_rows)))
+        return sim_ops.lsh_cell_dedup(_t(spark, sf, "embeddings"), planes=4)
 
     q["embedding_dedup_lsh"] = emb_dedup_lsh_q
 
-    def url_host_stats(spark, sf):  # per-host curation rollup
-        from opentelemetry_collector_spark.operators.urls import host_stats
-
-        pages = pages_from_documents(_t(spark, sf, "documents"))
-        return host_stats(pages)
-
-    q["url_host_stats"] = url_host_stats
-
-    def sample_stratified_q(spark, sf):  # per-group quota sampling
-        return ts_ops.sample_stratified(
+    def sampling_suite(spark, sf):
+        # deterministic samplers, one 2-part union: 'stratified' =
+        # per-group quota sampling rows; 'hash' = salted-md5 10% sample
+        # rolled up per source.
+        strat = ts_ops.sample_stratified(
             _t(spark, sf, "documents"), group_col="lang", n_per_group=10
         )
+        p_strat = strat.select(
+            F.lit("stratified").alias("part"),
+            F.col("lang").alias("s1"),
+            F.col("doc_id").cast("long").alias("k1"),
+            F.col("sample_rank").cast("long").alias("k2"),
+        )
+        sampled = ts_ops.hash_sample(_t(spark, sf, "documents"), pct=0.10)
+        p_hash = sampled.groupBy("source").agg(
+            F.count("*").alias("n_sampled"), F.min("doc_id").alias("first_doc")
+        ).select(
+            F.lit("hash").alias("part"),
+            F.col("source").alias("s1"),
+            F.col("n_sampled").cast("long").alias("k1"),
+            F.col("first_doc").cast("long").alias("k2"),
+        )
+        return p_strat.unionAll(p_hash)
 
-    q["sample_stratified"] = sample_stratified_q
+    q["sampling_suite"] = sampling_suite
 
     def contamination_q(spark, sf):  # benchmark decontamination overlap
         docs = _t(spark, sf, "documents")
@@ -1210,33 +1258,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_ivf_topk"] = ann_ivf
 
     # --- text analysis ---
-    def tstats(spark, sf):
-        return ts_ops.token_stats(_t(spark, sf, "documents"))
+    def text_signals_q(spark, sf):
+        # token counts + quality features + language ID + content digests
+        # in one pass (former token_count / quality_score / lang_id /
+        # doc_fingerprint queries, identical per-column semantics)
+        return ts_ops.text_signals(_t(spark, sf, "documents"))
 
-    q["token_count"] = tstats
+    q["text_signals"] = text_signals_q
 
-    def tquality(spark, sf):
-        return ts_ops.quality_score(_t(spark, sf, "documents"))
+    def bpe_tokenize_q(spark, sf):  # merge-table BPE, fully columnar
+        return ts_ops.bpe_encode(_t(spark, sf, "documents"))
 
-    q["quality_score"] = tquality
-
-    def tlang(spark, sf):
-        return ts_ops.lang_id(_t(spark, sf, "documents"))
-
-    q["lang_id"] = tlang
-
-    def tfp(spark, sf):
-        return ts_ops.fingerprint(_t(spark, sf, "documents"))
-
-    q["doc_fingerprint"] = tfp
-
-    def sample_hash(spark, sf):  # deterministic 10% hash sample, per-source counts
-        sampled = ts_ops.hash_sample(_t(spark, sf, "documents"), pct=0.10)
-        return sampled.groupBy("source").agg(
-            F.count("*").alias("n_sampled"), F.min("doc_id").alias("first_doc")
-        )
-
-    q["sample_hash"] = sample_hash
+    q["bpe_tokenize"] = bpe_tokenize_q
 
     def twinnow(spark, sf):  # exploded (doc, fingerprint) rows → full oracle
         # explode_OUTER + post-filter, not plain explode: Catalyst's
@@ -1252,15 +1285,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["winnowing_fingerprints"] = twinnow
 
     # --- multimodal plumbing ---
-    def mm_meta(spark, sf):
+    def mm_decode(spark, sf):
+        # 2-part union: 'meta' = codec-free columnar blob metadata (pure
+        # built-ins); 'decode' = the Arrow-batched stubbed codec
+        # (deterministic fake header decode, md5-seeded)
         blobs = mm_ops.attach_blob(_t(spark, sf, "documents"))
-        return mm_ops.blob_meta_columnar(blobs)
-
-    q["multimodal_blob_meta"] = mm_meta
-
-    def mm_decode(spark, sf):  # rows-only: stubbed codec (deterministic fake)
-        blobs = mm_ops.attach_blob(_t(spark, sf, "documents"))
-        return mm_ops.decode_image_meta(blobs, fake=True)
+        _I = F.lit(None).cast("int")
+        _S = F.lit(None).cast("string")
+        p_meta = mm_ops.blob_meta_columnar(blobs).select(
+            F.lit("meta").alias("part"),
+            F.col("doc_id"),
+            F.col("n_bytes"),
+            F.col("sha256"),
+            _I.alias("width"), _I.alias("height"), _S.alias("format"),
+        )
+        p_decode = mm_ops.decode_image_meta(blobs, fake=True).select(
+            F.lit("decode").alias("part"),
+            F.col("doc_id"),
+            F.col("n_bytes"),
+            F.col("sha256"),
+            F.col("width"), F.col("height"), F.col("format"),
+        )
+        return p_meta.unionAll(p_decode)
 
     q["multimodal_decode_stub"] = mm_decode
 
@@ -1311,6 +1357,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # oracle_sql() — DuckDB twins
 # ---------------------------------------------------------------------------
 
+_MRT_DEFAULTS = {
+    "k1": "CAST(NULL AS BIGINT)",
+    "k2": "CAST(NULL AS BIGINT)",
+    "k3": "CAST(NULL AS BIGINT)",
+    "v_long": "CAST(NULL AS BIGINT)",
+    "d1": "CAST(NULL AS DOUBLE)",
+    "d2": "CAST(NULL AS DOUBLE)",
+    "d3": "CAST(NULL AS DOUBLE)",
+    "d4": "CAST(NULL AS DOUBLE)",
+    "s1": "CAST(NULL AS VARCHAR)",
+    "s2": "CAST(NULL AS VARCHAR)",
+}
+
+
+def _mrt_part(part: str, inner: str, event_type: str = "event_type", **cols: str) -> str:
+    """Wrap one metric-roundtrip oracle onto the packed common schema of
+    the merged ``otlp_json_metrics_roundtrip`` query."""
+    c = dict(_MRT_DEFAULTS)
+    for k, v in cols.items():
+        cast = "::BIGINT" if k.startswith(("k", "v")) else (
+            "::DOUBLE" if k.startswith("d") else "::VARCHAR"
+        )
+        c[k] = f"({v}){cast}"
+    return (
+        f"SELECT '{part}' AS part, {event_type} AS event_type,\n  "
+        + ",\n  ".join(f"{c[k]} AS {k}" for k in _MRT_DEFAULTS)
+        + f"\nFROM ({inner})"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
 
@@ -1344,29 +1420,37 @@ SELECT 'default' AS sink, count(*) AS n FROM events
 WHERE NOT (event_type = 'error') AND NOT (value >= 50.0)
 """
 
-    o["ottl_transform"] = """
-SELECT event_id,
-  CASE WHEN event_type LIKE 's%' THEN 's-class' ELSE event_type END AS type,
-  'web' AS source,
-  json_extract_string(props, '$.k') AS k
+    # 3-part union, one row set per former OTTL query. 'attrs': the
+    # limit(attributes, 4) keeps the 4 smallest keys of
+    # {browser, k, k_hash, major, type, ua} → type/ua dropped.
+    o["ottl_suite"] = """
+SELECT 'transform' AS part, event_id,
+  CASE WHEN event_type LIKE 's%' THEN 's-class' ELSE event_type END AS s1,
+  'web' AS s2,
+  json_extract_string(props, '$.k') AS s3,
+  CAST(NULL AS BIGINT) AS l1, CAST(NULL AS BIGINT) AS l2,
+  CAST(NULL AS BIGINT) AS l3, CAST(NULL AS BIGINT) AS l4
 FROM events WHERE NOT (event_type = 'view')
-"""
-
-    # the limit(attributes, 4) keeps the 4 smallest keys of
-    # {browser, k, k_hash, major, type, ua} → type/ua dropped
-    o["ottl_converters"] = """
-WITH r AS (
-  SELECT event_id, epoch_us(ts) * 1000 AS t, event_type, props AS body
-  FROM events
-)
-SELECT event_id,
-  t // 1000000000 AS unix_sec,
-  t // 1000000 AS unix_ms,
-  t - ((t % 3600000000000 + 3600000000000) % 3600000000000) AS hour_bucket,
-  upper(event_type) AS et_upper,
-  substr(body, 1, 8) AS body_head,
-  length(trim(body))::BIGINT AS body_trim_len
-FROM r
+UNION ALL
+SELECT 'attrs' AS part, event_id,
+  'Browser' AS s1,
+  json_extract_string(props, '$.k') AS s2,
+  sha256(json_extract_string(props, '$.k')) AS s3,
+  4 AS l1, CAST(NULL AS BIGINT) AS l2,
+  CAST(NULL AS BIGINT) AS l3, CAST(NULL AS BIGINT) AS l4
+FROM events
+UNION ALL
+SELECT 'convert' AS part, event_id,
+  upper(event_type) AS s1,
+  substr(props, 1, 8) AS s2,
+  CAST(NULL AS VARCHAR) AS s3,
+  (epoch_us(ts) * 1000) // 1000000000 AS l1,
+  (epoch_us(ts) * 1000) // 1000000 AS l2,
+  epoch_us(ts) * 1000
+    - ((epoch_us(ts) * 1000 % 3600000000000 + 3600000000000) % 3600000000000)
+    AS l3,
+  length(trim(props))::BIGINT AS l4
+FROM events
 """
 
     # as-of enrichment: same intervalization (lead over the dim) + range
@@ -1395,8 +1479,24 @@ FROM r LEFT JOIN iv ON r.event_type = iv.event_type
   AND (iv.valid_to IS NULL OR r.t < iv.valid_to)
 """
 
-    # canonicalize_url's regex/array pipeline replayed with RE2 + list ops
-    o["url_canonicalize"] = r"""
+    # 2-part union: canonicalize_url's regex/array pipeline replayed with
+    # RE2 + list ops, plus the per-host rollup (the host is re-derived
+    # from the documents source: url = https://<source>.example.com/...)
+    o["url_suite"] = r"""
+SELECT 'hosts' AS part, host AS s1, CAST(NULL AS VARCHAR) AS s2,
+  count(*)::BIGINT AS k1,
+  count(DISTINCT lang)::BIGINT AS k2,
+  count(DISTINCT digest)::BIGINT AS k3,
+  round(1.0 - count(DISTINCT digest)::DOUBLE / count(*), 4) AS d1
+FROM (
+  SELECT lower(source || '.example.com') AS host, lang, md5(text) AS digest
+  FROM documents
+) GROUP BY host
+UNION ALL
+SELECT 'canon' AS part, canonical_url AS s1, url_key AS s2,
+  doc_id::BIGINT AS k1, CAST(NULL AS BIGINT) AS k2,
+  CAST(NULL AS BIGINT) AS k3, CAST(NULL AS DOUBLE) AS d1
+FROM (
 WITH d AS (
   SELECT doc_id,
     'HTTPS://' || upper(source) || '.Example.COM:443/doc/' || doc_id
@@ -1435,16 +1535,7 @@ SELECT doc_id,
     || CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&')
             ELSE '' END) AS url_key
 FROM norm
-"""
-
-    o["ottl_attributes_ops"] = """
-SELECT event_id,
-  'Browser' AS browser,
-  json_extract_string(props, '$.k') AS major,
-  sha256(json_extract_string(props, '$.k')) AS k_hash,
-  CAST(NULL AS VARCHAR) AS dropped_type,
-  4 AS n_attrs
-FROM events
+)
 """
 
     o["batch_split_head"] = """
@@ -1504,6 +1595,10 @@ SELECT event_id,
 FROM events
 """
 
+    # the proto wire codec round-trips the SAME flat frame losslessly →
+    # identical identity oracle (pb.go round-trip equality analog)
+    o["otlp_pb_roundtrip"] = o["otlp_json_roundtrip"]
+
     o["metrics_temporality"] = """
 WITH w AS (
   SELECT event_type,
@@ -1524,9 +1619,9 @@ SELECT event_type, window_end,
 FROM w
 """
 
-    o["metrics_histogram"] = _metrics_histogram_sql(met_ops.DEFAULT_HIST_BOUNDS)
+    sql_hist = _metrics_histogram_sql(met_ops.DEFAULT_HIST_BOUNDS)
 
-    o["metrics_gauge"] = """
+    sql_gauge = """
 WITH r AS (
   SELECT event_type,
     ((floor(epoch(ts)/300)*300)::BIGINT + 300) AS window_end,
@@ -1541,21 +1636,9 @@ SELECT 'events.value.gauge' AS metric_name, 1 AS metric_type,
 FROM r WHERE rn = 1
 """
 
-    # base-2 exponential bucketing with the same 9-dp rounding guard
-    # against 1-ulp libm divergence (metrics.exp_histogram_points)
-    o["metrics_exp_histogram"] = """
-SELECT 'events.value.exphist' AS metric_name, 4 AS metric_type,
-  1 AS aggregation_temporality, 2 AS scale, event_type,
-  CASE WHEN value > 0
-       THEN (ceil(round(log2(value) * 4.0, 9)) - 1)::BIGINT END AS bucket_index,
-  count(*)::BIGINT AS n,
-  round(sum(value), 4) AS bucket_sum
-FROM events GROUP BY event_type, bucket_index
-"""
-
     # exact linear-interpolation quantiles (quantile_cont ≡ Spark's exact
     # percentile) — both engines sort the group, so values match at 4 dp
-    o["metrics_summary"] = """
+    sql_summary = """
 WITH agg AS (
   SELECT event_type, count(*)::BIGINT AS summary_count,
     round(sum(value), 4) AS summary_sum,
@@ -1569,7 +1652,7 @@ FROM agg, (VALUES (1, CAST(0.5 AS DOUBLE)), (2, CAST(0.9 AS DOUBLE)),
                   (3, CAST(0.99 AS DOUBLE))) AS q(i, q)
 """
 
-    o["spans_model"] = f"""
+    sql_spans = f"""
 WITH s AS (
   SELECT user_id, event_id, ts, event_type, value,
     md5('trace:' || user_id) AS trace_id,
@@ -1608,7 +1691,7 @@ SELECT md5('trace:' || user_id) AS trace_id,
 FROM events WHERE event_type = 'error'
 """
 
-    o["otlp_json_metrics_roundtrip"] = """
+    sql_sum = """
 SELECT 'events.value' AS metric_name, 1 AS aggregation_temporality,
   event_type,
   (floor(epoch(ts)/300)*300)::BIGINT * 1000000000 AS start_time_unix_nano,
@@ -1618,7 +1701,7 @@ FROM events GROUP BY 1, 2, 3, 4, 5
 """
 
     # traces JSON round-trip is lossless → identical oracle to spans_model
-    o["otlp_json_spans_roundtrip"] = o["spans_model"]
+    o["otlp_json_spans_roundtrip"] = sql_spans
 
     # trace assembly (the applyInPandasWithState op's batch twin — the
     # streaming/batch parity tests lock the two together; this locks the
@@ -1637,16 +1720,9 @@ SELECT trace_id, count(*)::BIGINT AS n_spans, sum(is_err)::BIGINT AS n_errors,
 FROM s GROUP BY trace_id
 """
 
-    # the remaining point-type codecs are lossless over their frames →
-    # identical oracles to the base metric queries (json_test.go
-    # round-trip-equality at the driver surface, all 5 union members)
-    o["otlp_json_gauge_roundtrip"] = o["metrics_gauge"]
-    o["otlp_json_hist_roundtrip"] = o["metrics_histogram"]
-    o["otlp_json_summary_roundtrip"] = o["metrics_summary"]
-
     # exemplars: the max-value event per window rides the data point with
     # its trace/span ids and filtered attributes, losslessly
-    o["otlp_json_exemplar_roundtrip"] = """
+    sql_exemplar = """
 WITH agg AS (
   SELECT event_type, (floor(epoch(ts)/300)*300)::BIGINT AS ws,
     round(sum(value), 4) AS s
@@ -1673,7 +1749,7 @@ FROM agg a JOIN win w
 
     # the int member of the NumberDataPoint value union round-trips the
     # per-window event counts losslessly (int64 ↔ proto3-JSON string)
-    o["otlp_json_sum_int_roundtrip"] = """
+    sql_sum_int = """
 SELECT 'events.count' AS metric_name, event_type,
   (floor(epoch(ts)/300)*300)::BIGINT * 1000000000 AS start_time_unix_nano,
   ((floor(epoch(ts)/300)*300)::BIGINT + 300) * 1000000000 AS time_unix_nano,
@@ -1683,7 +1759,7 @@ FROM events GROUP BY 1, 2, 3, 4
 
     # exp-histogram wire form carries DP totals but no per-bucket sums —
     # the oracle recomputes the long form + windowed totals directly
-    o["otlp_json_exphist_roundtrip"] = """
+    sql_exphist = """
 WITH b AS (
   SELECT event_type,
     CASE WHEN value > 0
@@ -1698,6 +1774,53 @@ SELECT 'events.value.exphist' AS metric_name, 2 AS scale, event_type,
   round(sum(bsum) OVER (PARTITION BY event_type), 4) AS dp_sum
 FROM b
 """
+
+    # merged pmetric JSON round-trip: the full 5-type union + asInt +
+    # Exemplars in one query — each part's oracle is the former
+    # standalone round-trip oracle mapped onto the packed common schema
+    # (every codec is lossless over its frame, json_test.go analog)
+    o["otlp_json_metrics_roundtrip"] = "\nUNION ALL\n".join(
+        [
+            _mrt_part(
+                "sum", sql_sum,
+                k1="start_time_unix_nano", k2="time_unix_nano",
+                v_long="aggregation_temporality", d1="value_double",
+                s1="metric_name",
+            ),
+            _mrt_part(
+                "gauge", sql_gauge,
+                k1="window_end", v_long="metric_type", d1="value_double",
+                s1="metric_name",
+            ),
+            _mrt_part(
+                "sum_int", sql_sum_int,
+                k1="start_time_unix_nano", k2="time_unix_nano",
+                v_long="point_count", s1="metric_name",
+            ),
+            _mrt_part(
+                "exemplar", sql_exemplar,
+                k1="start_time_unix_nano", k2="time_unix_nano",
+                v_long="exemplar_ts", d1="value_double", d2="exemplar_value",
+                s1="metric_name",
+                s2="exemplar_trace_id || '/' || exemplar_span_id || '/' || exemplar_event_id",
+            ),
+            _mrt_part(
+                "hist", sql_hist,
+                k1="bucket_idx", k2="n", v_long="hist_count",
+                d1="hist_sum", d2="hist_min", d3="hist_max", d4="le",
+            ),
+            _mrt_part(
+                "exphist", sql_exphist,
+                k1="bucket_index", k2="n", k3="scale", v_long="dp_count",
+                d1="dp_sum", s1="metric_name",
+            ),
+            _mrt_part(
+                "summary", sql_summary,
+                k3="metric_type", v_long="summary_count", d1="summary_sum",
+                d2="quantile", d3="quantile_value", s1="metric_name",
+            ),
+        ]
+    )
 
     o["spanmetrics_spans"] = f"""
 WITH s AS (
@@ -1794,15 +1917,21 @@ SELECT doc_id, count(*)::BIGINT AS n_chunks,
 FROM r GROUP BY doc_id
 """
 
-    # repetition signals: list-function twins of the bound-array lambdas
-    o["repetition_signals"] = """
-WITH w AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS ws FROM documents),
+    # merged repetition + entropy signals: list-function twins of the
+    # bound-array lambdas, joined per doc (both sides filter NULL text)
+    o["doc_signals"] = """
+WITH w AS (SELECT doc_id, text, string_split_regex(trim(text), ' +') AS ws
+           FROM documents WHERE text IS NOT NULL),
 b AS (SELECT doc_id, ws, len(ws) AS n, len(list_distinct(ws)) AS nd FROM w),
 top AS (
   SELECT doc_id, max(c) AS maxc
   FROM (SELECT doc_id, word, count(*) AS c
         FROM w, unnest(ws) AS u(word) GROUP BY doc_id, word)
   GROUP BY doc_id
+),
+ent AS (
+  SELECT doc_id, length(text)::BIGINT AS n_chars, string_split(text, '') AS cs
+  FROM w
 )
 SELECT b.doc_id, n::BIGINT AS n_words,
   round(1.0 - nd::DOUBLE / n, 4) AS dup_word_frac,
@@ -1812,63 +1941,45 @@ SELECT b.doc_id, n::BIGINT AS n_words,
   ELSE 0.0 END AS dup_2gram_frac,
   round(maxc::DOUBLE / n, 4) AS top_word_frac,
   round(list_aggregate(list_transform(ws, x -> length(x)), 'sum')::DOUBLE / n, 4)
-    AS mean_word_len
-FROM b JOIN top ON b.doc_id = top.doc_id
+    AS mean_word_len,
+  ent.n_chars,
+  CASE WHEN ent.n_chars > 0 THEN
+    round(-list_sum(list_transform(list_distinct(cs),
+      c -> round((len(list_filter(cs, x -> x = c))::DOUBLE / len(cs))
+           * log2(len(list_filter(cs, x -> x = c))::DOUBLE / len(cs)), 9)
+    )), 4) + 0.0
+  ELSE 0.0 END AS entropy_bits_per_char
+FROM b
+JOIN top ON b.doc_id = top.doc_id
+JOIN ent ON b.doc_id = ent.doc_id
 """
 
-    # per-host rollup: the host is re-derived from the documents source
-    # (pages_from_documents synthesizes url = https://<source>.example.com/...)
-    o["url_host_stats"] = """
-WITH p AS (
-  SELECT lower(source || '.example.com') AS host, lang, md5(text) AS digest
-  FROM documents
-)
-SELECT host, count(*)::BIGINT AS n_docs,
-  count(DISTINCT lang)::BIGINT AS n_langs,
-  count(DISTINCT digest)::BIGINT AS n_unique_texts,
-  round(1.0 - count(DISTINCT digest)::DOUBLE / count(*), 4) AS dup_rate
-FROM p GROUP BY host
-"""
-
-    # quota sampling: identical salted-md5 rank in both engines (hex
-    # strings compare byte-wise the same way)
-    o["sample_stratified"] = """
+    # merged deterministic samplers: quota sampling (identical salted-md5
+    # rank in both engines — hex strings compare byte-wise the same way)
+    # + the salted-md5 10% hash sample rolled up per source
+    o["sampling_suite"] = f"""
 WITH r AS (
   SELECT doc_id, lang,
     row_number() OVER (PARTITION BY lang
                        ORDER BY md5('sample:' || doc_id) ASC, doc_id ASC) AS rk
   FROM documents
 )
-SELECT doc_id, lang, rk::BIGINT AS sample_rank FROM r WHERE rk <= 10
+SELECT 'stratified' AS part, lang AS s1, doc_id::BIGINT AS k1,
+  rk::BIGINT AS k2
+FROM r WHERE rk <= 10
+UNION ALL
+SELECT 'hash' AS part, source AS s1, count(*)::BIGINT AS k1,
+  min(doc_id)::BIGINT AS k2
+FROM documents
+WHERE {_dd_hexlong("'sample:' || doc_id")} % 10000 < 1000
+GROUP BY source
 """
 
-    # unigram LM perplexity: top-1000 vocab by (count DESC, tok ASC), MLE
-    # log2-probs over the FULL corpus total, half-count OOV floor; per-tok
-    # logps 9-dp rounded in both engines before averaging (libm guard)
-    o["unigram_logperplexity"] = """
-WITH toks AS (
-  SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS tok
-  FROM documents WHERE text IS NOT NULL
-), counts AS (
-  SELECT tok, count(*)::DOUBLE AS c FROM toks GROUP BY tok
-), tot AS (
-  SELECT sum(c) AS t FROM counts
-), model AS (
-  SELECT tok, round(log2(c / t), 9) AS logp
-  FROM counts, tot ORDER BY c DESC, tok ASC LIMIT 1000
-), oov AS (
-  SELECT round(log2(0.5 / t), 9) AS oov_logp FROM tot
-), scored AS (
-  SELECT doc_id, coalesce(m.logp, o.oov_logp) AS lp
-  FROM toks LEFT JOIN model m USING (tok), oov o
-)
-SELECT doc_id, count(*)::BIGINT AS n_tokens,
-  round(-avg(lp), 4) AS bits_per_token,
-  round(pow(2.0, -avg(lp)), 4) AS perplexity
-FROM scored GROUP BY doc_id
-"""
-
-    # CCNet head/middle/tail: same unigram scoring, then per-language
+    # CCNet head/middle/tail: unigram LM scoring (top-1000 vocab by
+    # (count DESC, tok ASC), MLE log2-probs over the FULL corpus total,
+    # half-count OOV floor, per-tok logps 9-dp rounded in both engines
+    # before averaging — this oracle also evidences the former standalone
+    # unigram_logperplexity query), then per-language
     # tertile CUTS (quantile_cont ≡ Spark's exact percentile, both
     # 6-dp-rounded) joined back — never a per-language sort
     o["ccnet_buckets"] = f"""
@@ -1905,28 +2016,9 @@ SELECT p.doc_id, p.lang, p.n_tokens, p.bits_per_token, p.perplexity,
 FROM ppl p JOIN cut c USING (lang)
 """
 
-    # char entropy: same per-distinct-char fold; terms 9-dp rounded, the
-    # distinct order differs between engines but a sum of ≤alphabet
-    # 9-dp terms re-associates well inside the 4-dp output rounding;
-    # "+ 0.0" normalizes -0.0 on zero-entropy docs in both engines
-    o["char_entropy"] = """
-WITH d AS (
-  SELECT doc_id, coalesce(length(text), 0)::BIGINT AS n_chars,
-    string_split(coalesce(text, ''), '') AS cs
-  FROM documents
-)
-SELECT doc_id, n_chars,
-  CASE WHEN n_chars > 0 THEN
-    round(-list_sum(list_transform(list_distinct(cs),
-      c -> round((len(list_filter(cs, x -> x = c))::DOUBLE / len(cs))
-           * log2(len(list_filter(cs, x -> x = c))::DOUBLE / len(cs)), 9)
-    )), 4) + 0.0
-  ELSE 0.0 END AS entropy_bits_per_char
-FROM d
-"""
-
     # mixture weights: one token aggregate, then arithmetic (weight uses
-    # the 9-dp share under the 4-dp output, like the Spark side)
+    # the 9-dp share under the 4-dp output, like the Spark side; nullif
+    # guards the degenerate rounded-to-zero share in BOTH engines)
     o["mixture_weights"] = """
 WITH toks AS (
   SELECT lang, len(string_split_regex(trim(text), ' +'))::BIGINT AS n
@@ -1941,7 +2033,7 @@ WITH toks AS (
 SELECT per.lang, n_tokens,
   round(round(n_tokens / t, 9), 4) AS share,
   round(coalesce(ts::DOUBLE, 0.0), 4) AS target_share,
-  round(coalesce(ts::DOUBLE, 0.0) / round(n_tokens / t, 9), 4) AS weight
+  round(coalesce(ts::DOUBLE, 0.0) / nullif(round(n_tokens / t, 9), 0.0), 4) AS weight
 FROM per CROSS JOIN tot LEFT JOIN tgt ON per.lang = tgt.lang
 """
 
@@ -2057,36 +2149,22 @@ FROM embeddings WHERE vec_id < 3
 """
     o["winnowing_fingerprints"] = _WINNOW_SQL
 
-    o["token_count"] = f"""
-SELECT doc_id, length(text)::BIGINT AS n_chars,
-  len(string_split_regex(trim(text), ' +'))::BIGINT AS ws_tokens,
-  len(regexp_extract_all(text, '{ts_ops.BPE_TOKEN_RE}'))::BIGINT AS bpe_tokens
+    o["text_signals"] = _TEXT_SIGNALS_SQL
+    o["bpe_tokenize"] = _bpe_tokenize_sql()
+
+    # merged multimodal metadata: 'meta' = codec-free columnar digests,
+    # 'decode' = the md5-seeded deterministic fake header decode
+    o["multimodal_decode_stub"] = f"""
+SELECT 'meta' AS part, doc_id,
+  octet_length(encode(text))::BIGINT AS n_bytes,
+  sha256(text) AS sha256,
+  CAST(NULL AS INTEGER) AS width, CAST(NULL AS INTEGER) AS height,
+  CAST(NULL AS VARCHAR) AS format
 FROM documents
+UNION ALL
+SELECT 'decode' AS part, doc_id, n_bytes, sha256, width, height, format
+FROM ({_MM_DECODE_SQL})
 """
-
-    o["quality_score"] = _QUALITY_SQL
-    o["lang_id"] = _LANGID_SQL
-
-    o["sample_hash"] = f"""
-SELECT source, count(*) AS n_sampled, min(doc_id) AS first_doc
-FROM documents
-WHERE {_dd_hexlong("'sample:' || doc_id")} % 10000 < 1000
-GROUP BY 1
-"""
-
-    o["doc_fingerprint"] = """
-SELECT doc_id, md5(text) AS md5_raw,
-  md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS md5_norm
-FROM documents
-"""
-
-    o["multimodal_blob_meta"] = """
-SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
-  sha256(text) AS sha256
-FROM documents
-"""
-
-    o["multimodal_decode_stub"] = _MM_DECODE_SQL
 
     # frame_sample's stub frames are fixed-stride byte windows of the
     # UTF-8 payload; the corpus is ASCII so byte offsets == char offsets

@@ -1,0 +1,444 @@
+"""OTLP protobuf (binary wire) Logs marshal/unmarshal — the
+pdata/plog/pb.go:26-40 analog (MarshalProto / UnmarshalProto / Sizer).
+
+The reference marshals plog frames to the proto wire form of
+ExportLogsServiceRequest. This container has no protoc and no
+spark-protobuf descriptor registry, so the wire codec is a hand-written
+minimal proto3 encoder/decoder for the public OTLP logs schema
+(opentelemetry/proto/logs/v1/logs.proto + common/v1/common.proto +
+collector/logs/v1/logs_service.proto), applied over Arrow batches via
+``mapInPandas`` — a DECLARED Arrow surface (the same boundary class as
+the multimodal codec): envelopes are grouped/bounded JVM-side first, and
+only the byte-level encode/decode crosses into Python.
+
+Field map (wire numbers/types from the public .proto files):
+
+- ExportLogsServiceRequest: 1 repeated ResourceLogs
+- ResourceLogs:   1 Resource, 2 repeated ScopeLogs, 3 schema_url
+- Resource:       1 repeated KeyValue, 2 dropped_attributes_count
+- ScopeLogs:      1 InstrumentationScope{1 name, 2 version},
+                  2 repeated LogRecord, 3 schema_url
+- LogRecord:      1 fixed64 time_unix_nano, 2 varint severity_number,
+                  3 string severity_text, 5 AnyValue body,
+                  6 repeated KeyValue attributes,
+                  7 varint dropped_attributes_count, 8 fixed32 flags,
+                  9 bytes trace_id, 10 bytes span_id,
+                  11 fixed64 observed_time_unix_nano
+- KeyValue:       1 string key, 2 AnyValue value
+- AnyValue:       1 string string_value (the subset the flat model uses)
+- ExportLogsServiceResponse: 1 ExportLogsPartialSuccess{
+                  1 int64 rejected_log_records, 2 string error_message}
+
+proto3 semantics are kept: scalar defaults are OMITTED on the wire and
+re-filled on decode, unknown fields are SKIPPED (forward compat), and
+the flat model's non-OTLP ``url`` / ``line_no`` columns ride as the same
+reserved ``log.url`` / ``log.line_no`` attributes the JSON codec uses.
+
+Scale: marshal is the one groupBy(resource, salt) shuffle the JSON codec
+pays (the OTLP envelope is inherently resource-grouped) plus an Arrow
+hop over record-count-bounded envelopes; unmarshal is an Arrow hop that
+fans each envelope back out to rows. Bytes-per-envelope is bounded by
+``max_records_per_envelope`` (send_batch_max_size semantics).
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..schemas import LOG_RECORDS_SCHEMA
+from .otlp_json import LINE_NO_ATTR, SCOPE_NAME, SCOPE_VERSION, URL_ATTR, _chunk_envelopes
+
+# ---------------------------------------------------------------------------
+# proto3 wire primitives
+# ---------------------------------------------------------------------------
+
+
+def _varint(n: int) -> bytes:
+    out = bytearray()
+    n &= (1 << 64) - 1
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _tag(field: int, wire: int) -> bytes:
+    return _varint((field << 3) | wire)
+
+
+def _f_varint(field: int, v: int) -> bytes:
+    return _tag(field, 0) + _varint(v) if v else b""
+
+
+def _f_fixed64(field: int, v: int) -> bytes:
+    return _tag(field, 1) + struct.pack("<Q", v & (1 << 64) - 1) if v else b""
+
+
+def _f_fixed32(field: int, v: int) -> bytes:
+    return _tag(field, 5) + struct.pack("<I", v & 0xFFFFFFFF) if v else b""
+
+
+def _f_bytes(field: int, payload: bytes) -> bytes:
+    return _tag(field, 2) + _varint(len(payload)) + payload if payload else b""
+
+
+def _f_string(field: int, s: str | None) -> bytes:
+    return _f_bytes(field, s.encode("utf-8")) if s else b""
+
+
+def _f_msg(field: int, payload: bytes) -> bytes:
+    # a present message is emitted even when empty (unlike scalar defaults)
+    return _tag(field, 2) + _varint(len(payload)) + payload
+
+
+def _read_varint(buf: bytes, i: int) -> tuple[int, int]:
+    shift = 0
+    val = 0
+    while True:
+        b = buf[i]
+        i += 1
+        val |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return val, i
+        shift += 7
+
+
+def _fields(buf: bytes) -> Iterator[tuple[int, int, object]]:
+    """Yield (field_number, wire_type, value); length-delimited values are
+    the raw bytes, varints/fixed ints are ints. Unknown wire types raise."""
+    i = 0
+    n = len(buf)
+    while i < n:
+        key, i = _read_varint(buf, i)
+        field, wire = key >> 3, key & 7
+        if wire == 0:
+            v, i = _read_varint(buf, i)
+        elif wire == 1:
+            (v,) = struct.unpack_from("<Q", buf, i)
+            i += 8
+        elif wire == 5:
+            (v,) = struct.unpack_from("<I", buf, i)
+            i += 4
+        elif wire == 2:
+            ln, i = _read_varint(buf, i)
+            v = buf[i : i + ln]
+            i += ln
+        else:
+            raise ValueError(f"unsupported wire type {wire} for field {field}")
+        yield field, wire, v
+
+
+# ---------------------------------------------------------------------------
+# OTLP logs message encode/decode (pure Python, per envelope)
+# ---------------------------------------------------------------------------
+
+
+def _enc_any_string(s: str | None) -> bytes:
+    return _f_string(1, s)
+
+
+def _enc_kv(key: str, value: str | None) -> bytes:
+    return _f_bytes(1, key.encode("utf-8")) + _f_msg(2, _enc_any_string(value))
+
+
+def _enc_log_record(r: dict) -> bytes:
+    attrs = dict(r.get("attributes") or {})
+    attrs[URL_ATTR] = r.get("url") or ""
+    attrs[LINE_NO_ATTR] = str(r.get("line_no") or 0)
+    return (
+        _f_fixed64(1, int(r.get("time_unix_nano") or 0))
+        + _f_varint(2, int(r.get("severity_number") or 0))
+        + _f_string(3, r.get("severity_text"))
+        + _f_msg(5, _enc_any_string(r.get("body")))
+        + b"".join(_f_msg(6, _enc_kv(k, v)) for k, v in attrs.items())
+        + _f_varint(7, int(r.get("dropped_attributes_count") or 0))
+        + _f_fixed32(8, int(r.get("flags") or 0))
+        + _f_bytes(9, bytes.fromhex(r.get("trace_id") or ""))
+        + _f_bytes(10, bytes.fromhex(r.get("span_id") or ""))
+        + _f_fixed64(11, int(r.get("observed_ns") or 0))
+    )
+
+
+def _enc_request(host: str | None, lang: str | None, records: list[dict]) -> bytes:
+    resource = _f_msg(1, _enc_kv("host", host)) + _f_msg(1, _enc_kv("lang", lang))
+    scope = _f_string(1, SCOPE_NAME) + _f_string(2, SCOPE_VERSION)
+    scope_logs = _f_msg(1, scope) + b"".join(
+        _f_msg(2, _enc_log_record(r)) for r in records
+    )
+    resource_logs = _f_msg(1, resource) + _f_msg(2, scope_logs)
+    return _f_msg(1, resource_logs)
+
+
+def _dec_any_string(buf: bytes) -> str:
+    for field, _w, v in _fields(buf):
+        if field == 1:
+            return bytes(v).decode("utf-8")
+    return ""
+
+
+def _dec_kv(buf: bytes) -> tuple[str, str]:
+    key, val = "", ""
+    for field, _w, v in _fields(buf):
+        if field == 1:
+            key = bytes(v).decode("utf-8")
+        elif field == 2:
+            val = _dec_any_string(bytes(v))
+    return key, val
+
+
+def _dec_log_record(buf: bytes) -> dict:
+    r = {
+        "time_unix_nano": 0,
+        "severity_number": 0,
+        "severity_text": "",
+        "body": "",
+        "attributes": {},
+        "dropped_attributes_count": 0,
+        "flags": 0,
+        "trace_id": "",
+        "span_id": "",
+        "observed_ns": 0,
+    }
+    for field, _w, v in _fields(buf):
+        if field == 1:
+            r["time_unix_nano"] = int(v)
+        elif field == 2:
+            r["severity_number"] = int(v)
+        elif field == 3:
+            r["severity_text"] = bytes(v).decode("utf-8")
+        elif field == 5:
+            r["body"] = _dec_any_string(bytes(v))
+        elif field == 6:
+            k, val = _dec_kv(bytes(v))
+            r["attributes"][k] = val
+        elif field == 7:
+            r["dropped_attributes_count"] = int(v)
+        elif field == 8:
+            r["flags"] = int(v)
+        elif field == 9:
+            r["trace_id"] = bytes(v).hex()
+        elif field == 10:
+            r["span_id"] = bytes(v).hex()
+        elif field == 11:
+            r["observed_ns"] = int(v)
+        # unknown fields: skipped (proto3 forward compatibility)
+    return r
+
+
+def _dec_request(buf: bytes) -> list[dict]:
+    """ExportLogsServiceRequest bytes → flat record dicts."""
+    out: list[dict] = []
+    for field, _w, rl in _fields(buf):
+        if field != 1:
+            continue
+        host = lang = None
+        scope_logs_bufs = []
+        for f2, _w2, v2 in _fields(bytes(rl)):
+            if f2 == 1:  # Resource
+                for f3, _w3, v3 in _fields(bytes(v2)):
+                    if f3 == 1:
+                        k, val = _dec_kv(bytes(v3))
+                        if k == "host":
+                            host = val
+                        elif k == "lang":
+                            lang = val
+            elif f2 == 2:
+                scope_logs_bufs.append(bytes(v2))
+        for sl in scope_logs_bufs:
+            for f3, _w3, v3 in _fields(sl):
+                if f3 == 2:  # LogRecord
+                    r = _dec_log_record(bytes(v3))
+                    attrs = r.pop("attributes")
+                    r["url"] = attrs.pop(URL_ATTR, "")
+                    try:
+                        r["line_no"] = int(attrs.pop(LINE_NO_ATTR, "0"))
+                    except ValueError:
+                        r["line_no"] = 0
+                    r["attributes"] = attrs
+                    r["host"] = host
+                    r["lang"] = lang
+                    out.append(r)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# ExportLogsPartialSuccess (logs_service.proto; the response-side contract)
+# ---------------------------------------------------------------------------
+
+
+def encode_export_response(rejected_log_records: int, error_message: str = "") -> bytes:
+    """ExportLogsServiceResponse with partial_success
+    (plogotlp/generated_exportpartialsuccess.go:24-60 analog)."""
+    ps = _f_varint(1, int(rejected_log_records)) + _f_string(2, error_message)
+    if not ps:
+        return b""  # full success: empty response (proto3 default message)
+    return _f_msg(1, ps)
+
+
+def decode_export_response(buf: bytes) -> dict:
+    rejected, msg = 0, ""
+    for field, _w, v in _fields(bytes(buf)):
+        if field == 1:
+            for f2, _w2, v2 in _fields(bytes(v)):
+                if f2 == 1:
+                    rejected = int(v2)
+                elif f2 == 2:
+                    msg = bytes(v2).decode("utf-8")
+    return {"rejected_log_records": rejected, "error_message": msg}
+
+
+# ---------------------------------------------------------------------------
+# DataFrame surface
+# ---------------------------------------------------------------------------
+
+_PB_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("host", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("request_pb", T.BinaryType(), False),
+    ]
+)
+
+
+def logs_to_otlp_pb(
+    records: DataFrame,
+    salt_buckets: int | None = None,
+    max_records_per_envelope: int | None = None,
+) -> DataFrame:
+    """LOG_RECORDS_SCHEMA frame → OTLP proto wire bytes per envelope
+    (MarshalProto analog, pdata/plog/pb.go:26-31). Envelope grouping and
+    record-count bounding are identical to the JSON codec (JVM-side);
+    only the byte encode is the declared Arrow surface."""
+    rec_struct = F.struct(
+        F.col("url"),
+        F.col("time_unix_nano").cast("long").alias("time_unix_nano"),
+        (F.unix_micros(F.col("observed_ts").cast("timestamp")) * F.lit(1000))
+        .cast("long")
+        .alias("observed_ns"),
+        F.col("severity_number").cast("int").alias("severity_number"),
+        F.col("severity_text"),
+        F.col("body"),
+        F.col("attributes"),
+        F.col("trace_id"),
+        F.col("span_id"),
+        F.col("flags").cast("int").alias("flags"),
+        F.col("dropped_attributes_count").cast("int").alias(
+            "dropped_attributes_count"
+        ),
+        F.col("line_no").cast("int").alias("line_no"),
+    )
+    if salt_buckets:
+        salt = F.pmod(
+            F.xxhash64(F.col("url"), F.col("line_no")), F.lit(int(salt_buckets))
+        )
+        grouped = (
+            records.groupBy(F.col("resource"), salt.alias("__salt"))
+            .agg(F.collect_list(rec_struct).alias("__records"))
+            .drop("__salt")
+        )
+    else:
+        grouped = records.groupBy("resource").agg(
+            F.collect_list(rec_struct).alias("__records")
+        )
+    grouped = _chunk_envelopes(grouped, "__records", max_records_per_envelope)
+    pruned = grouped.select(
+        F.col("resource.host").alias("host"),
+        F.col("resource.lang").alias("lang"),
+        F.col("__records"),
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield pd.DataFrame(
+                {
+                    "host": pdf["host"],
+                    "lang": pdf["lang"],
+                    "request_pb": [
+                        _enc_request(h, lg, list(recs))
+                        for h, lg, recs in zip(
+                            pdf["host"], pdf["lang"], pdf["__records"]
+                        )
+                    ],
+                }
+            )
+
+    return pruned.mapInPandas(encode, schema=_PB_OUT_SCHEMA)
+
+
+def otlp_pb_to_logs(requests: DataFrame, pb_col: str = "request_pb") -> DataFrame:
+    """OTLP proto wire bytes → LOG_RECORDS_SCHEMA frame (UnmarshalProto
+    analog, pdata/plog/pb.go:33-36). Missing scalars re-fill proto3
+    defaults; unknown fields are skipped."""
+    pruned = requests.select(pb_col)
+
+    cols = [
+        "url",
+        "time_unix_nano",
+        "observed_ts",
+        "severity_number",
+        "severity_text",
+        "body",
+        "attributes",
+        "trace_id",
+        "span_id",
+        "flags",
+        "dropped_attributes_count",
+        "resource",
+        "line_no",
+    ]
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for buf in pdf[pb_col]:
+                for r in _dec_request(bytes(buf)):
+                    rows.append(
+                        (
+                            r["url"],
+                            r["time_unix_nano"],
+                            pd.Timestamp(r["observed_ns"] // 1000, unit="us"),
+                            r["severity_number"],
+                            r["severity_text"],
+                            r["body"],
+                            r["attributes"],
+                            r["trace_id"],
+                            r["span_id"],
+                            r["flags"],
+                            r["dropped_attributes_count"],
+                            {"host": r["host"], "lang": r["lang"]},
+                            r["line_no"],
+                        )
+                    )
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+
+    return pruned.mapInPandas(decode, schema=LOG_RECORDS_SCHEMA)
+
+
+def roundtrip_pb(
+    records: DataFrame,
+    salt_buckets: int | None = None,
+    max_records_per_envelope: int | None = None,
+) -> DataFrame:
+    """marshal → unmarshal on the proto wire; output frame ≡ input frame
+    (pdata/plog/pb.go round-trip equality at the driver surface)."""
+    return otlp_pb_to_logs(
+        logs_to_otlp_pb(
+            records,
+            salt_buckets=salt_buckets,
+            max_records_per_envelope=max_records_per_envelope,
+        )
+    )

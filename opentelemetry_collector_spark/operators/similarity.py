@@ -328,8 +328,9 @@ def lsh_cell_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
-    planes: int = 4,
+    planes: int | None = None,
     seed: int = 7,
+    target_cell_rows: int = 1000,
 ) -> DataFrame:
     """Semantic deduplication, SemDeDup-shaped: partition the corpus into
     cells, compare vectors pairwise only WITHIN a cell, and drop a vector
@@ -356,7 +357,21 @@ def lsh_cell_dedup(
     edges when one canonical representative per group is required.
     Zero-norm vectors have NULL cosine to everything and are always
     kept.
+
+    ``planes=None`` (the default) SIZES THE CELL GRID TO THE CORPUS:
+    ``planes = max(4, ceil(log2(n_rows / target_cell_rows)))`` so the
+    expected cell population stays ~``target_cell_rows`` as the corpus
+    grows — a fixed plane count would make per-cell pair work quadratic
+    in corpus size (n²/2^planes with 2^planes constant). Costs one
+    ``count()`` job up front; pass an explicit ``planes`` to skip it
+    (e.g. when the caller already knows the corpus size, or for an
+    engine-reproducible oracle that embeds the plane constants).
     """
+    if planes is None:
+        import math
+
+        n_rows = emb.count()
+        planes = max(4, math.ceil(math.log2(max(n_rows, 1) / target_cell_rows)))
     sig = rp_signature(F.col(vec_col), dim, planes, seed)
     base = emb.select(
         F.col(id_col),

@@ -45,6 +45,70 @@ def token_stats(
     )
 
 
+def text_signals(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """All per-document text-analysis signals in ONE narrow projection:
+    token counts (:func:`token_stats`), quality features
+    (:func:`quality_score`), stopword-vote language ID (:func:`lang_id`),
+    and content digests (:func:`fingerprint`) — column semantics
+    identical to the individual operators, computed in a single pass so
+    one scan yields the full curation feature row (and one driver oracle
+    evidences all four operator families).
+
+    Zero shuffles; at 100 TB this runs at scan speed and column-prunes to
+    ``text``.
+    """
+    text = F.col(text_col)
+    w = tokenize(text)
+    n = F.size(w)
+    bpe = F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), 0)
+    # quality features (quality_score semantics, verbatim)
+    total_len = F.aggregate(
+        F.transform(w, lambda t: F.length(t).cast("double")),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    mean_word_len = F.when(n > 0, total_len / n).otherwise(F.lit(0.0))
+    stop_en = F.array(*[F.lit(s) for s in STOPWORDS["en"]])
+    n_stop = F.size(F.filter(w, lambda t: F.array_contains(stop_en, t)))
+    stopword_ratio = F.when(n > 0, n_stop.cast("double") / n).otherwise(F.lit(0.0))
+    n_alpha = F.length(F.regexp_replace(text, "[^A-Za-z ]", ""))
+    alpha_ratio = F.when(
+        F.length(text) > 0, n_alpha.cast("double") / F.length(text)
+    ).otherwise(F.lit(0.0))
+    ws_norm = F.least(n.cast("double") / F.lit(100.0), F.lit(1.0))
+    score = F.lit(0.4) * ws_norm + F.lit(0.3) * stopword_ratio + F.lit(0.3) * alpha_ratio
+    # lang-id votes (lang_id semantics, verbatim)
+    scores: dict[str, Column] = {}
+    for lang_code, words in STOPWORDS.items():
+        arr = F.array(*[F.lit(s) for s in words])
+        scores[lang_code] = F.size(F.filter(w, lambda t: F.array_contains(arr, t)))
+    entries = F.array(
+        *[
+            F.struct((-scores[c]).alias("neg"), F.lit(c).alias("lang"))
+            for c in sorted(STOPWORDS)
+        ]
+    )
+    best = F.sort_array(entries).getItem(0)
+    pred = F.when(-best.getField("neg") > 0, best.getField("lang")).otherwise(F.lit("und"))
+    norm = F.regexp_replace(F.lower(F.trim(text)), " +", " ")
+    return df.select(
+        F.col(id_col),
+        F.length(text).cast("long").alias("n_chars"),
+        n.cast("long").alias("ws_tokens"),
+        F.size(bpe).cast("long").alias("bpe_tokens"),
+        F.round(mean_word_len, 4).alias("mean_word_len"),
+        F.round(stopword_ratio, 4).alias("stopword_ratio"),
+        F.round(alpha_ratio, 4).alias("alpha_ratio"),
+        F.round(score, 4).alias("quality"),
+        *[scores[c].cast("long").alias(f"score_{c}") for c in sorted(STOPWORDS)],
+        pred.alias("pred_lang"),
+        F.md5(text).alias("md5_raw"),
+        F.md5(norm).alias("md5_norm"),
+    )
+
+
 def quality_score(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -224,36 +288,9 @@ def repetition_signals(
     # NULL-text documents are excluded (the SQL twin's unnest-join drops
     # them; size(NULL) would otherwise emit a nonsense n_words=-1 row)
     df = df.where(F.col(text_col).isNotNull())
-    words_expr = tokenize(F.col(text_col))
-
-    def signals(w: Column) -> Column:
-        n = F.size(w)
-        distinct = F.array_distinct(w)
-        grams = F.transform(
-            F.sequence(F.lit(1), n - F.lit(1)),
-            lambda i: F.concat(
-                F.element_at(w, i), F.lit(" "), F.element_at(w, i + F.lit(1))
-            ),
-        )
-        dup2 = F.when(
-            n >= 2,
-            F.lit(1.0) - F.size(F.array_distinct(grams)) / (n - F.lit(1)),
-        ).otherwise(F.lit(0.0))
-        top = F.array_max(
-            F.transform(distinct, lambda t: F.size(F.filter(w, lambda x: x == t)))
-        )
-        mean_len = F.aggregate(
-            w, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
-        ) / n
-        return F.struct(
-            n.cast("long").alias("n_words"),
-            (F.lit(1.0) - F.size(distinct) / n).alias("dup_word_frac"),
-            dup2.alias("dup_2gram_frac"),
-            (top / n).alias("top_word_frac"),
-            mean_len.alias("mean_word_len"),
-        )
-
-    s = F.element_at(F.transform(F.array(words_expr), signals), 1)
+    s = F.element_at(
+        F.transform(F.array(tokenize(F.col(text_col))), _repetition_struct), 1
+    )
     return df.withColumn("__s", s).select(
         F.col(id_col),
         F.col("__s.n_words").alias("n_words"),
@@ -261,6 +298,88 @@ def repetition_signals(
         F.round("__s.dup_2gram_frac", 4).alias("dup_2gram_frac"),
         F.round("__s.top_word_frac", 4).alias("top_word_frac"),
         F.round("__s.mean_word_len", 4).alias("mean_word_len"),
+    )
+
+
+def _repetition_struct(w: Column) -> Column:
+    """Repetition statistics over one bound token array (see
+    :func:`repetition_signals` — must be called through the
+    single-element-transform bind so ``w`` is a materialized value)."""
+    n = F.size(w)
+    distinct = F.array_distinct(w)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - F.lit(1)),
+        lambda i: F.concat(
+            F.element_at(w, i), F.lit(" "), F.element_at(w, i + F.lit(1))
+        ),
+    )
+    dup2 = F.when(
+        n >= 2,
+        F.lit(1.0) - F.size(F.array_distinct(grams)) / (n - F.lit(1)),
+    ).otherwise(F.lit(0.0))
+    top = F.array_max(
+        F.transform(distinct, lambda t: F.size(F.filter(w, lambda x: x == t)))
+    )
+    mean_len = F.aggregate(
+        w, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    ) / n
+    return F.struct(
+        n.cast("long").alias("n_words"),
+        (F.lit(1.0) - F.size(distinct) / n).alias("dup_word_frac"),
+        dup2.alias("dup_2gram_frac"),
+        (top / n).alias("top_word_frac"),
+        mean_len.alias("mean_word_len"),
+    )
+
+
+def _entropy_of(cs: Column) -> Column:
+    """Shannon entropy (bits/symbol) of one bound character array.
+
+    The split array (and each per-char probability) must be bound through
+    single-element transform lambdas so they evaluate ONCE: expressions
+    referenced from inside lambda scopes are re-inlined per element (no
+    cross-scope CSE — the winnowing/minhash lesson), which would re-split
+    the text ~2×alphabet times per row. Per-character terms are 9-dp
+    rounded (libm log2 1-ulp cross-engine guard)."""
+    n = F.size(cs)
+
+    def term(c: Column) -> Column:
+        p = F.size(F.filter(cs, lambda x: x == c)) / n
+        return F.element_at(
+            F.transform(F.array(p), lambda q: F.round(q * F.log2(q), 9)), 1
+        )
+
+    return F.when(
+        n > 0,
+        -F.aggregate(
+            F.array_distinct(cs), F.lit(0.0), lambda acc, c: acc + term(c)
+        ),
+    ).otherwise(F.lit(0.0))
+
+
+def doc_signals(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Repetition statistics (:func:`repetition_signals`) and Shannon
+    character entropy (:func:`char_entropy`) in ONE narrow projection —
+    the per-document gibberish/boilerplate signal row, same column
+    semantics as the individual operators, one scan, zero shuffles.
+    NULL-text documents are excluded (repetition_signals semantics)."""
+    df = df.where(F.col(text_col).isNotNull())
+    text = F.col(text_col)
+    s = F.element_at(F.transform(F.array(tokenize(text)), _repetition_struct), 1)
+    ent = F.element_at(F.transform(F.array(F.split(text, "")), _entropy_of), 1)
+    return df.withColumn("__s", s).select(
+        F.col(id_col),
+        F.col("__s.n_words").alias("n_words"),
+        F.round("__s.dup_word_frac", 4).alias("dup_word_frac"),
+        F.round("__s.dup_2gram_frac", 4).alias("dup_2gram_frac"),
+        F.round("__s.top_word_frac", 4).alias("top_word_frac"),
+        F.round("__s.mean_word_len", 4).alias("mean_word_len"),
+        F.coalesce(F.length(text), F.lit(0)).cast("long").alias("n_chars"),
+        (F.round(F.coalesce(ent, F.lit(0.0)), 4) + F.lit(0.0)).alias(
+            "entropy_bits_per_char"
+        ),
     )
 
 
@@ -539,29 +658,7 @@ def char_entropy(
     output 4-dp.  Empty or NULL text scores 0.
     """
     text = F.col(text_col)
-
-    # bind the split array (and each per-char probability) through
-    # single-element transform lambdas so they evaluate ONCE: expressions
-    # referenced from inside lambda scopes are re-inlined per element
-    # (no cross-scope CSE — the winnowing/minhash lesson), which would
-    # re-split the text ~2×alphabet times per row
-    def _ent_of(cs: Column) -> Column:
-        n = F.size(cs)
-
-        def term(c: Column) -> Column:
-            p = F.size(F.filter(cs, lambda x: x == c)) / n
-            return F.element_at(
-                F.transform(F.array(p), lambda q: F.round(q * F.log2(q), 9)), 1
-            )
-
-        return F.when(
-            n > 0,
-            -F.aggregate(
-                F.array_distinct(cs), F.lit(0.0), lambda acc, c: acc + term(c)
-            ),
-        ).otherwise(F.lit(0.0))
-
-    ent = F.element_at(F.transform(F.array(F.split(text, "")), _ent_of), 1)
+    ent = F.element_at(F.transform(F.array(F.split(text, "")), _entropy_of), 1)
     # + 0.0 normalizes the -0.0 a single-repeated-char doc produces
     # (-Σ of all-zero terms) so both engines hash identically
     return df.select(
@@ -600,6 +697,10 @@ def mixture_weights(
     )
     share = F.round(F.col("n_tokens") / F.col("__t"), 9)
     t_share = F.coalesce(F.element_at(tgt, F.col(group_col)), F.lit(0.0))
+    # nullif guard: a listed group whose 9-dp-rounded share is 0.0 (below
+    # 5e-10 of corpus tokens — plausible at 100 TB) must yield NULL
+    # weight, not abort the job under ANSI DIVIDE_BY_ZERO (the same
+    # guard similarity.cosine applies to zero norms)
     return (
         per.crossJoin(F.broadcast(total))
         .select(
@@ -607,8 +708,122 @@ def mixture_weights(
             F.col("n_tokens").cast("long").alias("n_tokens"),
             F.round(share, 4).alias("share"),
             F.round(t_share, 4).alias("target_share"),
-            F.round(t_share / share, 4).alias("weight"),
+            F.round(t_share / F.nullif(share, F.lit(0.0)), 4).alias("weight"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Merge-table BPE, fully columnar
+# ---------------------------------------------------------------------------
+
+# Token-boundary separator for the columnar BPE representation: a token
+# sequence [a, b] is encoded as "\x1fa\x1f\x1fb\x1f" (every token wrapped
+# in \x1f on both sides). The double separator between tokens is what
+# makes a LITERAL left-to-right replace() a correct merge pass: the
+# pattern "\x1fA\x1f\x1fB\x1f" can only match a complete token A followed
+# by a complete token B, and consecutive merge sites don't share any
+# characters (a single-separator encoding would — "a b a b" would merge
+# only the first pair because replace() resumes AFTER the replacement).
+BPE_SEP = "\x1f"
+
+# Tiny deterministic merge table (valid monotone BPE: each merge's
+# constituents are base characters or outputs of EARLIER merges). Rank
+# order = table order.
+DEFAULT_BPE_MERGES: tuple[tuple[str, str], ...] = (
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d"),
+    ("e", "r"), ("o", "r"), ("o", "n"), ("e", "n"), ("a", "t"),
+    ("e", "s"), ("o", "u"), ("s", "t"), ("in", "g"), ("a", "r"),
+    ("t", "o"),
+)
+
+
+def bpe_word_expr(
+    word: Column, merges: tuple[tuple[str, str], ...] = DEFAULT_BPE_MERGES
+) -> Column:
+    """Encode one whitespace word with merge-table BPE, as a pure column
+    expression: char-split into the wrapped representation, then one
+    literal ``replace`` pass per merge in rank order.
+
+    One full left-to-right pass per rule in rank order is EQUIVALENT to
+    the canonical encoder loop (repeatedly merge all occurrences of the
+    lowest-rank pair present): rule r's constituents can only be produced
+    by rules < r, so once passes 1..r-1 are complete, (a) every
+    occurrence of pair r currently present gets merged in pass r, and
+    (b) merging pair r only creates adjacencies involving the NEW token,
+    whose pairs all rank > r — it can never resurrect an earlier rule or
+    rule r itself. Within a pass, replace() is left-to-right greedy on
+    non-overlapping sites, same as the canonical per-word scan.
+    (Locked against a reference Python encoder in tests/test_textstats.py.)
+    """
+    s = F.regexp_replace(word, "(.)", BPE_SEP + "$1" + BPE_SEP)
+    for a, b in merges:
+        s = F.replace(
+            s,
+            F.lit(f"{BPE_SEP}{a}{BPE_SEP}{BPE_SEP}{b}{BPE_SEP}"),
+            F.lit(f"{BPE_SEP}{a}{b}{BPE_SEP}"),
+        )
+    return s
+
+
+def bpe_token_count_expr(enc_arr: Column) -> Column:
+    """Total BPE token count over one BOUND array of encoded words."""
+    return F.aggregate(
+        enc_arr,
+        F.lit(0).cast("long"),
+        lambda acc, s: acc
+        + F.when(F.length(s) > 0, F.size(F.split(s, BPE_SEP + BPE_SEP)))
+        .otherwise(F.lit(0))
+        .cast("long"),
+    )
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: tuple[tuple[str, str], ...] = DEFAULT_BPE_MERGES,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Merge-table BPE tokenization, fully columnar (no Python, no
+    shuffle): per-document whitespace words are char-split and merged by
+    chained literal ``replace`` passes (see :func:`bpe_word_expr`).
+
+    At 100 TB the merge table is a compile-time constant folded into the
+    expression tree — nothing is broadcast, the pass runs at scan speed.
+    Output per doc: ``n_words`` (non-empty words), ``bpe_tokens`` (total
+    token count), and ``enc_head`` (the first word's token sequence,
+    '|'-joined — the value-parity probe for the merge semantics).
+    """
+    docs = df.where(F.col(text_col).isNotNull())
+    enc_arr = F.transform(
+        tokenize(F.col(text_col)), lambda w: bpe_word_expr(w, merges)
+    )
+    pretty_head = lambda e: F.replace(  # noqa: E731
+        F.replace(
+            F.try_element_at(e, F.lit(1)), F.lit(BPE_SEP + BPE_SEP), F.lit("|")
+        ),
+        F.lit(BPE_SEP),
+        F.lit(""),
+    )
+    # bind the encoded array once (no CSE across lambda scopes)
+    stats = F.element_at(
+        F.transform(
+            F.array(enc_arr),
+            lambda e: F.struct(
+                F.size(F.filter(e, lambda s: F.length(s) > 0))
+                .cast("long")
+                .alias("n_words"),
+                bpe_token_count_expr(e).alias("bpe_tokens"),
+                pretty_head(e).alias("enc_head"),
+            ),
+        ),
+        1,
+    )
+    return docs.withColumn("__b", stats).select(
+        F.col(id_col),
+        F.col("__b.n_words").alias("n_words"),
+        F.col("__b.bpe_tokens").alias("bpe_tokens"),
+        F.col("__b.enc_head").alias("enc_head"),
     )
 
 
@@ -640,6 +855,15 @@ def pack_sequences(
     t = toks.repartitionByRange(partitions, F.col(id_col)).withColumn(
         "__pid", F.spark_partition_id()
     )
+    # PIN the range-partitioned frame: `t` feeds two subtrees (the
+    # per-partition totals → broadcast offsets, and the final join), and
+    # correctness of __pid requires both to see ONE physical partitioning.
+    # Without the pin, if exchange reuse doesn't apply (exchange.reuse
+    # off, plan divergence, cache eviction) RangePartitioner RESAMPLES
+    # boundaries with a different seed and the two executions can assign
+    # different __pids — silently wrong offsets. localCheckpoint
+    # materializes the partitioning once; both consumers read it.
+    t = t.localCheckpoint(eager=True)
     w = Window.partitionBy("__pid").orderBy(F.col(id_col).asc())
     t = t.withColumn("__local_cum", F.sum("n_tokens").over(w))
     totals = t.groupBy("__pid").agg(F.max("__local_cum").alias("__tot"))

@@ -29,8 +29,8 @@ SUBSET = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_topk_bruteforce",
-    "quality_score",
-    "multimodal_blob_meta",
+    "text_signals",
+    "multimodal_decode_stub",
 ]
 
 

@@ -119,26 +119,16 @@ _PLAN_SHUFFLE_BUDGET = {
     "events_parse_json": 0,  # narrow decode
     "severity_rollup": 2,  # count-distinct expands to two aggregates
     "router_counts": 0,  # single global conditional aggregation
-    "ottl_transform": 0,
-    "ottl_attributes_ops": 0,
-    "ottl_converters": 0,  # narrow converter projection, scan speed
+    "ottl_suite": 0,  # three narrow OTTL projections unioned, scan speed
     "batch_split_head": 1,  # per-partition candidates (balanced)
     "window_tumbling": 1,
     "spanmetrics_connector": 1,
     "sessionize_users": 1,
-    "metrics_gauge": 1,  # window rank on (key, window)
     "metrics_temporality": 2,  # windowed agg + series window
-    "metrics_histogram": 1,  # one hash aggregate (conditional sums)
-    "metrics_exp_histogram": 1,
-    "metrics_summary": 1,
-    "otlp_json_metrics_roundtrip": 2,  # point agg + envelope groupBy
-    "otlp_json_gauge_roundtrip": 2,  # gauge window + envelope groupBy
-    "otlp_json_sum_int_roundtrip": 2,  # point agg + envelope groupBy
-    "otlp_json_exemplar_roundtrip": 2,  # point agg (max_by rides it) + envelope
-    "otlp_json_hist_roundtrip": 2,  # hist agg + envelope groupBy
-    "otlp_json_exphist_roundtrip": 3,  # bucket agg + dense-array agg + envelope
-    "otlp_json_summary_roundtrip": 2,  # summary agg reused + per-key/envelope
-    "spans_model": 1,  # parent-chain lag window
+    # merged 7-part pmetric JSON round-trip: sum(2) + gauge(2) +
+    # sum_int(2) + exemplar(2) + hist(2) + exphist(3) + summary(2) —
+    # each part keeps its former per-query budget, the union adds none
+    "otlp_json_metrics_roundtrip": 15,
     "spanmetrics_spans": 2,  # lag window + rollup agg
     "otlp_json_spans_roundtrip": 2,
     "spanevents_connector": 1,
@@ -154,33 +144,28 @@ _PLAN_SHUFFLE_BUDGET = {
     "dedup_clusters": 3,  # per-round plans are checkpointed separately
     "dedup_simhash": 1,
     "chunk_dedup": 2,  # first-occurrence window on chunk hash + per-doc agg
-    "repetition_signals": 0,  # pure narrow array expressions
-    "url_host_stats": 2,  # count-distinct expands to two aggregates
+    "doc_signals": 0,  # repetition + entropy, pure narrow array expressions
     "pii_redact": 0,  # narrow regex projection, scan speed
     "blocklist_filter": 1,  # blocklist-side distinct only; pages never shuffle
-    "sample_stratified": 1,  # rank window per group
+    "sampling_suite": 2,  # stratified rank window + hash-sample rollup agg
     "contamination_overlap": 2,  # bench distinct agg + per-doc agg (bench broadcast)
-    "unigram_logperplexity": 1,  # model trained+checkpointed up front; scoring = broadcast join + per-doc agg
     "ccnet_buckets": 3,  # per-doc score agg (inlined both sides of the cut join; AQE reuses) + langs-row cut agg, cuts broadcast back
     "tfidf_top_terms": 4,  # df count-distinct (two aggs) + per-group tf agg + top-k window; idf broadcast
     "embedding_dedup_lsh": 2,  # same-cell self-join; dup set broadcast back
     "grok_access_log": 0,  # narrow typed regex projection, scan speed
     "enrich_asof_versions": 1,  # dim distinct agg; intervalized dim broadcast, facts never shuffle
-    "url_canonicalize": 0,  # narrow regex/array projection, scan speed
-    "char_entropy": 0,  # per-row distinct-char fold, scan speed
+    "url_suite": 2,  # host-stats count-distinct expands to two aggregates; canon part narrow
     "mixture_weights": 2,  # one token agg (count-distinct-free), #groups rows after
-    "pack_sequences": 4,  # range partition + per-partition window + tiny totals agg/window; offsets broadcast
+    # two visible: per-partition window + tiny totals agg (the range
+    # exchange is materialized once behind the localCheckpoint pin)
+    "pack_sequences": 2,
     "embedding_neardup": 0,  # broadcast nested-loop cross join
     "ann_topk_bruteforce": 2,  # partial + final top-k
     "ann_lsh_pairs": 1,
     "ann_ivf_topk": 8,  # KMeans pipeline + rank windows
-    "token_count": 0,
-    "quality_score": 0,
-    "lang_id": 0,
-    "doc_fingerprint": 0,
-    "sample_hash": 1,
+    "text_signals": 0,  # token/quality/lang/digest signals, one narrow pass
+    "bpe_tokenize": 0,  # merge table folds into the expression tree, scan speed
     "winnowing_fingerprints": 0,  # pure narrow scan
-    "multimodal_blob_meta": 0,
 }
 
 # the ONLY queries allowed Python eval nodes: the declared Arrow surfaces
@@ -188,6 +173,7 @@ _PYTHON_ALLOWED = {
     "multimodal_decode_stub",
     "multimodal_frame_sample",
     "parse_arrow_engine",
+    "otlp_pb_roundtrip",  # hand-written proto3 wire codec (no protoc here)
 }
 
 

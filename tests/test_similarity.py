@@ -148,3 +148,29 @@ def test_lsh_cell_dedup_keeps_zero_norm_vectors(spark):
     assert rows[0]["kept"] and not rows[1]["kept"] and rows[1]["dup_of"] == 0
     # NULL cosine against everything — never dropped
     assert rows[2]["kept"]
+
+
+def test_lsh_cell_dedup_auto_planes_grow_with_corpus(spark):
+    """planes=None sizes the cell grid from the corpus: cell count grows
+    as the corpus grows, so per-cell pair work stays ~target_cell_rows²
+    instead of n²/constant (the fixed-planes scale trap)."""
+    import pyspark.sql.functions as F
+
+    from opentelemetry_collector_spark.operators.similarity import lsh_cell_dedup
+
+    def mk(n):
+        return spark.range(n).select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(8)),
+                lambda i: (F.pmod(F.col("id") * i, F.lit(97)) / F.lit(97.0) - 0.5),
+            ).alias("embedding"),
+        )
+
+    small = lsh_cell_dedup(mk(200), dim=8, target_cell_rows=50)
+    big = lsh_cell_dedup(mk(3200), dim=8, target_cell_rows=50)
+    n_cells_small = small.select("cell").distinct().count()
+    n_cells_big = big.select("cell").distinct().count()
+    # 200/50 → 4 planes (16 possible cells); 3200/50 → 6 planes (64)
+    assert n_cells_big > n_cells_small
+    assert big.count() == 3200  # every vector still classified
