@@ -1197,3 +1197,59 @@ def roundtrip(
             max_records_per_envelope=max_records_per_envelope,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ExportLogsServiceResponse / ExportLogsPartialSuccess (the response-side
+# wire contract: plogotlp/generated_exportpartialsuccess.go:24-60)
+# ---------------------------------------------------------------------------
+
+LOGS_EXPORT_RESPONSE_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            "partialSuccess",
+            T.StructType(
+                [
+                    # int64 renders as a decimal string in proto3 JSON
+                    T.StructField("rejectedLogRecords", T.StringType(), True),
+                    T.StructField("errorMessage", T.StringType(), True),
+                ]
+            ),
+            True,
+        )
+    ]
+)
+
+
+def logs_export_response_json(
+    rejected: Column, error_message: Column | None = None
+) -> Column:
+    """Render an ExportLogsServiceResponse as proto3 JSON. Full success
+    (0 rejected, no message) omits partialSuccess entirely — the
+    reference keeps the field unset on success and only populates
+    rejected_log_records + error_message on partial failure
+    (generated_exportpartialsuccess.go:24-60)."""
+    msg = error_message if error_message is not None else F.lit("")
+    ps = F.struct(
+        rejected.cast("long").cast("string").alias("rejectedLogRecords"),
+        msg.alias("errorMessage"),
+    )
+    return F.when(
+        (F.coalesce(rejected.cast("long"), F.lit(0)) > 0)
+        | (F.coalesce(msg, F.lit("")) != ""),
+        F.to_json(F.struct(ps.alias("partialSuccess"))),
+    ).otherwise(F.lit("{}"))
+
+
+def parse_logs_export_response(response_json: Column) -> Column:
+    """proto3-JSON response → struct(rejected_log_records, error_message),
+    absent partialSuccess ⇒ (0, '') per proto3 defaults. try_cast: a
+    foreign uint64 above int64 max must null-fill, not abort (ANSI)."""
+    parsed = F.from_json(response_json, LOGS_EXPORT_RESPONSE_SCHEMA)
+    ps = parsed.getField("partialSuccess")
+    return F.struct(
+        F.coalesce(
+            ps.getField("rejectedLogRecords").try_cast("long"), F.lit(0).cast("long")
+        ).alias("rejected_log_records"),
+        F.coalesce(ps.getField("errorMessage"), F.lit("")).alias("error_message"),
+    )

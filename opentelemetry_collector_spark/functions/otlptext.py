@@ -140,6 +140,149 @@ def render_log_record(prefix_index: Column | None = None) -> Column:
     )
 
 
+# plog.SeverityNumber.String() names (pdata/plog/severity_number.go:53-106)
+_SEVERITY_ENUM_NAMES = {0: "Unspecified"}
+for _i, _base in enumerate(("Trace", "Debug", "Info", "Warn", "Error", "Fatal")):
+    for _j in range(4):
+        _SEVERITY_ENUM_NAMES[1 + _i * 4 + _j] = _base + (str(_j + 1) if _j else "")
+
+
+def go_ts_str(ns: Column) -> Column:
+    """Go ``time.Time.String()`` of a ns timestamp in UTC — ns-precision
+    fraction with trailing zeros trimmed (format ``2006-01-02 15:04:05
+    .999999999 -0700 MST``), the exact text pcommon.Timestamp renders in
+    the reference goldens (testdata/logs/one_record.out:
+    ``2020-02-11 20:26:13.000000789 +0000 UTC``)."""
+    ns = F.coalesce(ns.cast("long"), F.lit(0).cast("long"))
+    sec = F.call_function("div", ns, F.lit(1_000_000_000))
+    frac = F.pmod(ns, F.lit(1_000_000_000))
+    base = F.date_format(F.timestamp_seconds(sec), "yyyy-MM-dd HH:mm:ss")
+    frac_s = F.when(
+        frac > 0,
+        F.concat(
+            F.lit("."),
+            F.regexp_replace(F.lpad(frac.cast("string"), 9, "0"), "0+$", ""),
+        ),
+    ).otherwise(F.lit(""))
+    return F.concat(base, frac_s, F.lit(" +0000 UTC"))
+
+
+def _severity_name(num: Column) -> Column:
+    out = None
+    for n, name in _SEVERITY_ENUM_NAMES.items():
+        out = (out.when if out is not None else F.when)(num == F.lit(n), F.lit(name))
+    return out.otherwise(F.lit(""))
+
+
+def _typed_kv_lines(attrs: Column, header: str, prefix: str = "     -> ") -> Column:
+    """``header:`` + ``{prefix}key: Type(value)`` lines from an
+    array<struct<key,vtype,value>> column — databuffer.go logAttributes
+    (header printed ONLY when the map is non-empty, values via
+    valueToString's Type(AsString) form). Entries render in array order
+    (pcommon.Map preserves insertion order)."""
+    lines = F.transform(
+        attrs,
+        lambda e: F.concat(
+            F.lit(prefix),
+            e.getField("key"),
+            F.lit(": "),
+            e.getField("vtype"),
+            F.lit("("),
+            e.getField("value"),
+            F.lit(")"),
+        ),
+    )
+    return F.when(
+        attrs.isNotNull() & (F.size(attrs) > 0),
+        F.concat(F.lit(f"{header}:\n"), F.array_join(lines, "\n"), F.lit("\n")),
+    ).otherwise(F.lit(""))
+
+
+def golden_logs_text(frame: DataFrame) -> str:
+    """Render a plog frame to the reference's EXACT golden text bytes
+    (exporter/loggingexporter/internal/otlptext/logs.go:29-62 +
+    databuffer.go:32-60) — ResourceLog/ScopeLogs section headers,
+    ``SeverityNumber: Name(n)``, ns-precision Go timestamps, typed
+    attribute lines. Locked byte-identical against the reference's own
+    testdata/logs/*.out corpus in tests/test_otlptext.py.
+
+    ``frame`` columns: rl_idx, scope_idx, rec_idx (ints); per-resource
+    resource_schema_url + resource_attrs; per-scope scope_name/
+    scope_version/scope_schema_url; per-record time_unix_nano,
+    observed_unix_nano, severity_number, severity_text,
+    body_vtype/body_value, attributes (array<struct<key,vtype,value>>),
+    trace_id, span_id, flags. Rendering is column expressions + two tiny
+    hierarchical aggregations; the final assembly collects one row per
+    ResourceLog (a golden/debug surface, not a data path)."""
+    rec_txt = F.concat(
+        F.format_string("LogRecord #%d\n", F.col("rec_idx")),
+        F.lit("ObservedTimestamp: "), go_ts_str(F.col("observed_unix_nano")), F.lit("\n"),
+        F.lit("Timestamp: "), go_ts_str(F.col("time_unix_nano")), F.lit("\n"),
+        F.lit("SeverityText: "), _s(F.col("severity_text")), F.lit("\n"),
+        F.lit("SeverityNumber: "),
+        _severity_name(F.col("severity_number")),
+        F.format_string("(%d)\n", F.coalesce(F.col("severity_number"), F.lit(0))),
+        F.lit("Body: "), _s(F.col("body_vtype")), F.lit("("), _s(F.col("body_value")), F.lit(")\n"),
+        _typed_kv_lines(F.col("attributes"), "Attributes"),
+        F.lit("Trace ID: "), _s(F.col("trace_id")), F.lit("\n"),
+        F.lit("Span ID: "), _s(F.col("span_id")), F.lit("\n"),
+        F.lit("Flags: "), _s(F.coalesce(F.col("flags"), F.lit(0))), F.lit("\n"),
+    )
+    scopes = (
+        frame.withColumn("__rec", rec_txt)
+        .groupBy("rl_idx", "scope_idx")
+        .agg(
+            F.first("resource_schema_url").alias("resource_schema_url"),
+            F.first("resource_attrs").alias("resource_attrs"),
+            F.first("scope_name").alias("scope_name"),
+            F.first("scope_version").alias("scope_version"),
+            F.first("scope_schema_url").alias("scope_schema_url"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct(F.col("rec_idx"), F.col("__rec")))
+                    ),
+                    lambda s: s.getField("__rec"),
+                ),
+                "",
+            ).alias("__recs"),
+        )
+    )
+    scope_txt = F.concat(
+        F.format_string("ScopeLogs #%d\n", F.col("scope_idx")),
+        F.lit("ScopeLogs SchemaURL: "), _s(F.col("scope_schema_url")), F.lit("\n"),
+        # logInstrumentationScope: "InstrumentationScope %s %s"
+        F.lit("InstrumentationScope "), _s(F.col("scope_name")), F.lit(" "),
+        _s(F.col("scope_version")), F.lit("\n"),
+        F.col("__recs"),
+    )
+    resources = (
+        scopes.withColumn("__scope", scope_txt)
+        .groupBy("rl_idx")
+        .agg(
+            F.first("resource_schema_url").alias("resource_schema_url"),
+            F.first("resource_attrs").alias("resource_attrs"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct(F.col("scope_idx"), F.col("__scope")))
+                    ),
+                    lambda s: s.getField("__scope"),
+                ),
+                "",
+            ).alias("__scopes"),
+        )
+    )
+    rl_txt = F.concat(
+        F.format_string("ResourceLog #%d\n", F.col("rl_idx")),
+        F.lit("Resource SchemaURL: "), _s(F.col("resource_schema_url")), F.lit("\n"),
+        _typed_kv_lines(F.col("resource_attrs"), "Resource attributes"),
+        F.col("__scopes"),
+    )
+    rows = resources.select("rl_idx", rl_txt.alias("__rl")).orderBy("rl_idx").collect()
+    return "".join(r["__rl"] for r in rows)
+
+
 def render_span(prefix_index: Column | None = None) -> Column:
     """Canonical text block for one span — mirrors the trace renderer's
     field order (exporter/loggingexporter/internal/otlptext/traces.go:
@@ -200,16 +343,20 @@ def _nested_attr_lines(attrs: Column) -> Column:
 
 
 def _span_events_block(events: Column) -> Column:
-    """``Events:`` section — SpanEvent #i blocks with Name/Timestamp and
-    nested attributes (databuffer.go:231-249 logEvents)."""
+    """``Events:`` section — SpanEvent #i blocks with Name/Timestamp/
+    DroppedAttributesCount and nested attributes (databuffer.go:231-249
+    logEvents; the dropped-count line is UNCONDITIONAL there — our model
+    carries no per-event dropped counts, so it prints the 0 the reference
+    prints for that case)."""
     blocks = F.transform(
         events,
         lambda e, i: F.concat(
             F.format_string("SpanEvent #%d", i),
             F.lit("\n     -> Name: "),
-            e.getField("name"),
+            _s(e.getField("name")),
             F.lit("\n     -> Timestamp: "),
             _ts_str(e.getField("time_unix_nano")),
+            F.lit("\n     -> DroppedAttributesCount: 0"),
             _nested_attr_lines(e.getField("attributes")),
         ),
     )
@@ -220,18 +367,20 @@ def _span_events_block(events: Column) -> Column:
 
 
 def _span_links_block(links: Column) -> Column:
-    """``Links:`` section — SpanLink #i blocks with Trace ID/ID/TraceState
-    and nested attributes (databuffer.go:251-270 logLinks)."""
+    """``Links:`` section — SpanLink #i blocks with Trace ID/ID/TraceState/
+    DroppedAttributesCount and nested attributes (databuffer.go:251-270
+    logLinks; unconditional dropped-count line, 0 in our model)."""
     blocks = F.transform(
         links,
         lambda l, i: F.concat(
             F.format_string("SpanLink #%d", i),
             F.lit("\n     -> Trace ID: "),
-            l.getField("trace_id"),
+            _s(l.getField("trace_id")),
             F.lit("\n     -> ID: "),
-            l.getField("span_id"),
+            _s(l.getField("span_id")),
             F.lit("\n     -> TraceState: "),
-            l.getField("trace_state"),
+            _s(l.getField("trace_state")),
+            F.lit("\n     -> DroppedAttributesCount: 0"),
             _nested_attr_lines(l.getField("attributes")),
         ),
     )
@@ -276,30 +425,37 @@ def render_histogram_data_point(
         if prefix_index is not None
         else F.lit("HistogramDataPoints\n")
     )
-    bounds = F.array_join(
-        F.transform(
-            F.col("hist_explicit_bounds"),
-            lambda b, i: F.format_string("ExplicitBounds #%d: %f", i, b),
-        ),
-        "\n",
+    def _lines(arr: Column, fmt) -> Column:
+        # NULL/empty arrays render NOTHING (a foreign payload may omit
+        # bounds/buckets entirely — HasX=false; an unguarded array_join
+        # would null the whole concat and the record would vanish)
+        return F.when(
+            arr.isNotNull() & (F.size(arr) > 0),
+            F.concat(F.array_join(F.transform(arr, fmt), "\n"), F.lit("\n")),
+        ).otherwise(F.lit(""))
+
+    bounds = _lines(
+        F.col("hist_explicit_bounds"),
+        lambda b, i: F.format_string("ExplicitBounds #%d: %f", i, b),
     )
-    buckets = F.array_join(
-        F.transform(
-            F.col("hist_bucket_counts"),
-            lambda c, i: F.format_string("Buckets #%d, Count: %d", i, c),
-        ),
-        "\n",
+    buckets = _lines(
+        F.col("hist_bucket_counts"),
+        lambda c, i: F.format_string("Buckets #%d, Count: %d", i, c),
     )
     return F.concat(
         header,
         F.lit("Data point attributes:\n"),
-        F.lit(f"     -> {attr_name}: Str("), F.col("attr_key"), F.lit(")\n"),
+        F.lit(f"     -> {attr_name}: Str("), _s(F.col("attr_key")), F.lit(")\n"),
         F.lit(f"StartTimestamp: {_EPOCH_ZERO}\n"),
         F.lit(f"Timestamp: {_EPOCH_ZERO}\n"),
-        F.lit("Count: "), F.col("hist_count").cast("string"), F.lit("\n"),
-        F.lit("Sum: "), _f6(F.col("hist_sum")), F.lit("\n"),
-        # optional min/max (HasMin/HasMax — rendered only when present,
-        # databuffer.go:131-139)
+        # proto3 default 0 when the unmarshal null-filled count
+        F.lit("Count: "), _s(F.coalesce(F.col("hist_count"), F.lit(0))), F.lit("\n"),
+        # optional sum/min/max (HasSum/HasMin/HasMax — rendered only when
+        # present, databuffer.go:129-139)
+        F.when(
+            F.col("hist_sum").isNotNull(),
+            F.concat(F.lit("Sum: "), _f6(F.col("hist_sum")), F.lit("\n")),
+        ).otherwise(F.lit("")),
         F.when(
             F.col("hist_min").isNotNull(),
             F.concat(F.lit("Min: "), _f6(F.col("hist_min")), F.lit("\n")),
@@ -308,8 +464,8 @@ def render_histogram_data_point(
             F.col("hist_max").isNotNull(),
             F.concat(F.lit("Max: "), _f6(F.col("hist_max")), F.lit("\n")),
         ).otherwise(F.lit("")),
-        bounds, F.lit("\n"),
-        buckets, F.lit("\n"),
+        bounds,
+        buckets,
     )
 
 

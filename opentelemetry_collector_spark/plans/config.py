@@ -342,10 +342,19 @@ class ConfigWatcher:
         sources: list[str | dict] | str | dict,
         env: dict[str, str] | None = None,
         strict_env: bool = False,
+        max_consecutive_failures: int = 5,
     ):
         self.sources = sources
         self.env = env
         self.strict_env = strict_env
+        # a durably-broken config must SURFACE, not keep the stale
+        # pipeline running silently forever: the reference run loop
+        # returns reload errors and terminates (otelcol/collector.go:
+        # 224-231). Transient flips (half-written file, http hiccup)
+        # stay tolerated up to this many consecutive polls.
+        self.max_consecutive_failures = max_consecutive_failures
+        self._consecutive_failures = 0
+        self._last_error: Exception | None = None
         self._last_digest, _ = self._digest()
 
     def _resolve(self) -> dict:
@@ -361,11 +370,15 @@ class ConfigWatcher:
 
         try:
             resolved = self._resolve()
-        except (ConfigError, OSError):
+        except (ConfigError, OSError) as e:
             # OSError: the root file itself can vanish/reappear mid-flip
             # (editor rename dance) between the exists() check and open()
+            self._consecutive_failures += 1
+            self._last_error = e
             prev = self._last_digest if hasattr(self, "_last_digest") else ""
             return prev, None
+        self._consecutive_failures = 0
+        self._last_error = None
         digest = hashlib.sha256(
             json.dumps(resolved, sort_keys=True, default=str).encode()
         ).hexdigest()
@@ -373,10 +386,20 @@ class ConfigWatcher:
 
     def poll(self) -> dict | None:
         """Return the newly-resolved config dict if it changed since the
-        last poll (or construction), else None. Never raises on transient
-        resolve failures — the digest carries the resolved dict, so a
-        change is resolved exactly once."""
+        last poll (or construction), else None. Transient resolve
+        failures are tolerated; after ``max_consecutive_failures``
+        consecutive ones the last error RE-RAISES as a ConfigError so a
+        permanently broken config is distinguishable from a flip (the
+        collector.go:224-231 terminate-on-reload-error contract)."""
         d, resolved = self._digest()
+        if (
+            self._consecutive_failures >= self.max_consecutive_failures
+            and self._last_error is not None
+        ):
+            raise ConfigError(
+                f"config failed to resolve {self._consecutive_failures} "
+                f"consecutive polls: {self._last_error}"
+            ) from self._last_error
         if d != self._last_digest:
             self._last_digest = d
             return resolved

@@ -77,6 +77,30 @@ class PipelineTelemetry:
     def record_send_failed(self, sink: str, n: int = 1) -> None:
         self.counters(f"exporter/{sink}").send_failed += n
 
+    def export_response(self, sink: str) -> str:
+        """ExportLogsServiceResponse (proto3 JSON) for one sink, populated
+        from its counters — the response-side partial-success contract
+        (plogotlp/generated_exportpartialsuccess.go:24-60): full success
+        leaves partialSuccess unset ('{}'); otherwise rejectedLogRecords
+        carries the sink's rejected item count (int64 → decimal string
+        per proto3 JSON). Parse with
+        functions.otlp_json.parse_logs_export_response — field-name
+        parity is pinned by tests/test_otlp_json.py."""
+        import json as _json
+
+        c = self.counters(f"exporter/{sink}")
+        if c.send_failed <= 0:
+            return "{}"
+        return _json.dumps(
+            {
+                "partialSuccess": {
+                    "rejectedLogRecords": str(c.send_failed),
+                    "errorMessage": f"{sink}: {c.send_failed} records rejected",
+                }
+            },
+            separators=(",", ":"),
+        )
+
     def as_dict(self) -> dict:
         self.harvest()
         return {

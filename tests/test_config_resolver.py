@@ -270,3 +270,30 @@ def test_watcher_transient_oserror_is_not_a_change(tmp_path):
     changed = w.poll()
     assert changed is not None
     assert changed["receivers"]["pages"]["path"] == "/data2"
+
+
+def test_watcher_surfaces_durable_resolve_failure(tmp_path):
+    """A durably-broken config must raise after N consecutive failed
+    polls (otelcol/collector.go:224-231 terminate-on-reload-error
+    contract), while a transient flip stays tolerated."""
+    import pytest
+
+    from opentelemetry_collector_spark.plans.config import ConfigError, ConfigWatcher
+
+    cfg = tmp_path / "c.yaml"
+    cfg.write_text("receivers: {r: {path: x}}\npipelines: {p: {receiver: r, exporters: []}}\n")
+    w = ConfigWatcher(str(cfg), max_consecutive_failures=3)
+    assert w.poll() is None  # unchanged
+
+    # transient: invalid for ONE poll, then restored — no raise, no event
+    cfg.write_text("{invalid yaml: [")
+    assert w.poll() is None
+    cfg.write_text("receivers: {r: {path: x}}\npipelines: {p: {receiver: r, exporters: []}}\n")
+    assert w.poll() is None  # same digest as before the flip
+
+    # durable: invalid for >= max_consecutive_failures polls → raises
+    cfg.write_text("{invalid yaml: [")
+    assert w.poll() is None
+    assert w.poll() is None
+    with pytest.raises(ConfigError, match="consecutive polls"):
+        w.poll()

@@ -499,3 +499,82 @@ def test_sum_points_roundtrip_property(spark, pts):
     assert canon(back.collect()) == canon(df.collect())
     # the int union member is NULL for every double-valued point
     assert back.where(F.col("value_int").isNotNull()).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# ExportLogsPartialSuccess wire shape (response side)
+# ---------------------------------------------------------------------------
+
+
+def test_export_partial_success_roundtrip(spark):
+    """build → parse is identity for (rejected, message); full success
+    omits partialSuccess and parses back to proto3 defaults (0, '')."""
+    import pyspark.sql.functions as F
+
+    from opentelemetry_collector_spark.functions.otlp_json import (
+        logs_export_response_json,
+        parse_logs_export_response,
+    )
+
+    df = spark.createDataFrame(
+        [(0, ""), (5, "queue full"), (12, ""), (0, "soft warning")],
+        ["rejected", "msg"],
+    )
+    out = df.select(
+        "rejected",
+        "msg",
+        parse_logs_export_response(
+            logs_export_response_json(F.col("rejected"), F.col("msg"))
+        ).alias("back"),
+    ).collect()
+    for r in out:
+        assert r["back"]["rejected_log_records"] == r["rejected"]
+        assert r["back"]["error_message"] == (r["msg"] if (r["rejected"] or r["msg"]) else "")
+    # absent field entirely → defaults
+    defaults = spark.range(1).select(
+        parse_logs_export_response(F.lit("{}")).alias("b")
+    ).first()["b"]
+    assert defaults["rejected_log_records"] == 0 and defaults["error_message"] == ""
+
+
+def test_export_partial_success_counter_parity(spark):
+    """The response built from a sink's counters parses back to the same
+    rejected count the telemetry recorded (counter ↔ wire parity), with
+    the same proto3-JSON field names the column codec understands."""
+    import pyspark.sql.functions as F
+
+    from opentelemetry_collector_spark.functions.otlp_json import (
+        parse_logs_export_response,
+    )
+    from opentelemetry_collector_spark.streaming.telemetry import PipelineTelemetry
+
+    tel = PipelineTelemetry()
+    tel.record_sent("otlp", 990)
+    tel.record_send_failed("otlp", 10)
+    resp = tel.export_response("otlp")
+    back = (
+        spark.range(1)
+        .select(parse_logs_export_response(F.lit(resp)).alias("b"))
+        .first()["b"]
+    )
+    assert back["rejected_log_records"] == 10
+    assert "otlp" in back["error_message"]
+    # full success: unset partialSuccess on the wire
+    assert tel.export_response("other") == "{}"
+
+
+def test_export_partial_success_pb_parity():
+    """The binary codec carries the same response contract."""
+    from opentelemetry_collector_spark.functions.otlp_pb import (
+        decode_export_response,
+        encode_export_response,
+    )
+
+    assert decode_export_response(encode_export_response(0)) == {
+        "rejected_log_records": 0,
+        "error_message": "",
+    }
+    assert decode_export_response(encode_export_response(7, "downstream 429")) == {
+        "rejected_log_records": 7,
+        "error_message": "downstream 429",
+    }

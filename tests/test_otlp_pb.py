@@ -1,0 +1,87 @@
+"""OTLP protobuf binary codec tests (pdata/plog/pb.go analog)."""
+
+from __future__ import annotations
+
+from opentelemetry_collector_spark.functions.otlp_pb import (
+    _dec_request,
+    _enc_request,
+    _f_bytes,
+    _f_msg,
+    _f_string,
+    _f_varint,
+    _varint,
+)
+
+REC = dict(
+    url="event://9",
+    time_unix_nano=1581452773_000000789,
+    observed_ns=1581452773_000000000,
+    severity_number=17,
+    severity_text="Error",
+    body="boom",
+    attributes={"event_type": "error", "k": "x"},
+    trace_id="0af7651916cd43dd8448eb211c80319c",
+    span_id="b7ad6b7169203331",
+    flags=1,
+    dropped_attributes_count=3,
+    line_no=42,
+)
+
+
+def test_pb_roundtrip_identity():
+    back = _dec_request(_enc_request("svc-2", "de", [REC]))
+    assert len(back) == 1
+    b = back[0]
+    for k, v in REC.items():
+        assert b[k] == v, k
+    assert b["host"] == "svc-2" and b["lang"] == "de"
+
+
+def test_pb_proto3_defaults_omitted_and_refilled():
+    zero = dict(
+        url="", time_unix_nano=0, observed_ns=0, severity_number=0,
+        severity_text="", body="", attributes={}, trace_id="", span_id="",
+        flags=0, dropped_attributes_count=0, line_no=0,
+    )
+    buf = _enc_request(None, None, [zero])
+    back = _dec_request(buf)[0]
+    for k, v in zero.items():
+        if k == "attributes":
+            assert back[k] == {}
+        else:
+            assert back[k] == v, k
+
+
+def test_pb_unknown_fields_are_skipped():
+    """Forward compat: a request carrying fields this codec doesn't know
+    (here: an extra varint field 15 and a length-delimited field 12 on
+    the LogRecord) must decode cleanly, not crash or mis-bind."""
+    base = _enc_request("h", "l", [REC])
+    # rebuild with extra unknown fields spliced into the record by
+    # re-encoding: append unknowns to the record payload then re-wrap
+    from opentelemetry_collector_spark.functions import otlp_pb as pb
+
+    rec_payload = pb._enc_log_record(REC) + _f_varint(15, 99) + _f_string(12, "future")
+    scope = _f_string(1, "s") + _f_string(2, "v")
+    scope_logs = _f_msg(1, scope) + _f_msg(2, rec_payload)
+    resource = _f_msg(1, pb._enc_kv("host", "h"))
+    req = _f_msg(1, _f_msg(1, resource) + _f_msg(2, scope_logs))
+    back = _dec_request(req)
+    assert len(back) == 1 and back[0]["url"] == REC["url"]
+    assert _dec_request(base)[0]["body"] == "boom"
+
+
+def test_pb_varint_boundaries():
+    import itertools
+
+    from opentelemetry_collector_spark.functions.otlp_pb import _read_varint
+
+    for n in itertools.chain((0, 1, 127, 128, 300, 2**32, 2**63 - 1)):
+        v, i = _read_varint(_varint(n), 0)
+        assert v == n and i == len(_varint(n))
+
+
+def test_pb_bytes_fields_hex_bridge():
+    r = dict(REC, trace_id="00ff", span_id="")
+    back = _dec_request(_enc_request(None, None, [r]))[0]
+    assert back["trace_id"] == "00ff" and back["span_id"] == ""

@@ -107,6 +107,7 @@ SPAN_WITH_EVENTS_LINKS_GOLDEN = (
     "SpanEvent #0\n"
     "     -> Name: exception\n"
     "     -> Timestamp: 2024-01-01 00:00:00.000000 UTC\n"
+    "     -> DroppedAttributesCount: 0\n"
     "     -> Attributes::\n"
     "          -> exception.type: Str(PipelineError)\n"
     "Links:\n"
@@ -114,6 +115,7 @@ SPAN_WITH_EVENTS_LINKS_GOLDEN = (
     "     -> Trace ID: aaaa\n"
     "     -> ID: dddd\n"
     "     -> TraceState: ot=svc-1\n"
+    "     -> DroppedAttributesCount: 0\n"
     "     -> Attributes::\n"
     "          -> link.type: Str(trace_root)\n"
 )
@@ -324,3 +326,115 @@ def test_typed_attr_lines_golden_bytes(spark):
     )
     got = spark.range(1).select(expr.alias("r")).first()["r"]
     assert got == TYPED_ATTRS_GOLDEN
+
+
+# ---------------------------------------------------------------------------
+# byte-parity golden corpus vs the reference's own testdata/logs/*.out
+# ---------------------------------------------------------------------------
+
+import os
+
+import pytest
+from pyspark.sql import types as T
+
+_REF_LOGS_GOLDEN = (
+    "/root/reference/exporter/loggingexporter/internal/otlptext/testdata/logs"
+)
+
+_GOLDEN_SCHEMA = T.StructType(
+    [
+        T.StructField("rl_idx", T.IntegerType()),
+        T.StructField("scope_idx", T.IntegerType()),
+        T.StructField("rec_idx", T.IntegerType()),
+        T.StructField("resource_schema_url", T.StringType()),
+        T.StructField(
+            "resource_attrs",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("key", T.StringType()),
+                        T.StructField("vtype", T.StringType()),
+                        T.StructField("value", T.StringType()),
+                    ]
+                )
+            ),
+        ),
+        T.StructField("scope_name", T.StringType()),
+        T.StructField("scope_version", T.StringType()),
+        T.StructField("scope_schema_url", T.StringType()),
+        T.StructField("time_unix_nano", T.LongType()),
+        T.StructField("observed_unix_nano", T.LongType()),
+        T.StructField("severity_number", T.IntegerType()),
+        T.StructField("severity_text", T.StringType()),
+        T.StructField("body_vtype", T.StringType()),
+        T.StructField("body_value", T.StringType()),
+        T.StructField(
+            "attributes",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("key", T.StringType()),
+                        T.StructField("vtype", T.StringType()),
+                        T.StructField("value", T.StringType()),
+                    ]
+                )
+            ),
+        ),
+        T.StructField("trace_id", T.StringType()),
+        T.StructField("span_id", T.StringType()),
+        T.StructField("flags", T.IntegerType()),
+    ]
+)
+
+# internal/testdata/log.go logTimestamp: 2020-02-11T20:26:13.000000789Z
+_LOG_TS_NS = 1581452773 * 10**9 + 789
+
+# fillLogOne / fillLogTwo (internal/testdata/log.go:44-71) as fixture rows
+_REC_ONE = (
+    0, 0, 0, "", [("resource-attr", "Str", "resource-attr-val-1")],
+    "", "", "", _LOG_TS_NS, 0, 9, "Info", "Str", "This is a log message",
+    [("app", "Str", "server"), ("instance_num", "Int", "1")],
+    "08040201000000000000000000000000", "0102040800000000", 0,
+)
+_REC_TWO = (
+    0, 0, 1, "", [("resource-attr", "Str", "resource-attr-val-1")],
+    "", "", "", _LOG_TS_NS, 0, 9, "Info", "Str", "something happened",
+    [("customer", "Str", "acme"), ("env", "Str", "dev")],
+    "", "", 0,
+)
+# logs_test.go "logs_with_embedded_maps" (empty resource, Map body/attr)
+_REC_MAPS = (
+    0, 0, 0, "", [],
+    "", "", "", _LOG_TS_NS, 0, 9, "INFO",
+    "Map", '{"key1":"val1","key2":{"key21":"val21","key22":"val22"}}',
+    [
+        ("key1", "Map", '{"key11":"val11","key12":"val12","key13":{"key131":"val131"}}'),
+        ("key2", "Str", "val2"),
+    ],
+    "", "", 0,
+)
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(_REF_LOGS_GOLDEN), reason="reference golden corpus absent"
+)
+@pytest.mark.parametrize(
+    ("out_file", "rows"),
+    [
+        ("empty.out", []),
+        ("one_record.out", [_REC_ONE]),
+        ("two_records.out", [_REC_ONE, _REC_TWO]),
+        ("embedded_maps.out", [_REC_MAPS]),
+    ],
+)
+def test_golden_logs_text_matches_reference_bytes(spark, out_file, rows):
+    """golden_logs_text reproduces the reference's own golden files
+    byte-identically (logs_test.go TestLogsText over
+    internal/testdata.GenerateLogs fixtures)."""
+    from opentelemetry_collector_spark.functions.otlptext import golden_logs_text
+
+    frame = spark.createDataFrame(rows, _GOLDEN_SCHEMA)
+    got = golden_logs_text(frame)
+    with open(os.path.join(_REF_LOGS_GOLDEN, out_file), "rb") as f:
+        want = f.read().decode("utf-8")
+    assert got == want, f"{out_file}: byte mismatch"
