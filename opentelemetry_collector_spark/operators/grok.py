@@ -31,6 +31,7 @@ for very wide patterns the Arrow parse engine
 from __future__ import annotations
 
 import re
+import warnings
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -146,8 +147,15 @@ def compile_grok(
     out.append(_noncapture(pattern[pos:]))
     regex = "".join(out)
     try:
-        compiled = re.compile(regex, re.ASCII)
-    except re.error as e:
+        # FutureWarning→error: a pattern whose meaning Python reserves
+        # for future semantics ("[[" nested-set / "--" set-difference
+        # candidates) is ambiguous across engines TODAY — reject it like
+        # any other invalid pattern instead of emitting a warning that a
+        # future interpreter turns into different match behavior
+        with warnings.catch_warnings():
+            warnings.simplefilter("error", FutureWarning)
+            compiled = re.compile(regex, re.ASCII)
+    except (re.error, FutureWarning) as e:
         raise GrokError(f"expanded grok regex invalid: {e}") from e
     if compiled.groups != len(fields):
         # enforced invariant: an unneutralized capture (e.g. behind a
