@@ -162,6 +162,12 @@ def _chunk_envelopes(grouped: DataFrame, list_col: str, cap: int | None) -> Data
     """
     if not cap:
         return grouped
+    # beta gate (on by default): operators may fall back to unbounded
+    # per-resource envelopes via feature_gates: ["-exporter.record_count_envelopes"]
+    from ..plans.featuregate import BOUNDED_ENVELOPES_GATE
+
+    if not BOUNDED_ENVELOPES_GATE.is_enabled():
+        return grouped
     cap = int(cap)
     lst = F.col(list_col)
     n_chunks = F.greatest(

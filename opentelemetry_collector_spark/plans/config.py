@@ -439,4 +439,16 @@ def load_config(
         pipelines=pipelines,
     )
     cfg.validate()
+    # --feature-gates analog (otelcol/command.go:40-52): a top-level
+    # feature_gates list/string of +id/-id/id entries, applied to the
+    # global registry BEFORE pipeline build so gated behavior is a
+    # plan-time decision (unknown gate ids fail the load loudly)
+    gates_spec = raw.get("feature_gates")
+    if gates_spec is not None:
+        from .featuregate import GateError, global_registry
+
+        try:
+            global_registry().apply_flags(gates_spec)
+        except GateError as e:
+            raise ConfigError(str(e)) from e
     return cfg
