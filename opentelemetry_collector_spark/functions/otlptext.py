@@ -505,12 +505,17 @@ def render_exp_histogram_points(
     rendered = F.concat(
         F.lit("ExponentialHistogramDataPoints\n"),
         F.lit("Data point attributes:\n"),
-        F.lit(f"     -> {attr_name}: Str("), F.col("attr_key"), F.lit(")\n"),
+        F.lit(f"     -> {attr_name}: Str("), _s(F.col("attr_key")), F.lit(")\n"),
         F.lit(f"StartTimestamp: {_EPOCH_ZERO}\n"),
         F.lit(f"Timestamp: {_EPOCH_ZERO}\n"),
-        F.lit("Count: "), F.col("__count").cast("string"), F.lit("\n"),
-        F.lit("Sum: "), _f6(F.col("__sum")), F.lit("\n"),
-        bucket_lines, F.lit("\n"),
+        F.lit("Count: "), _s(F.coalesce(F.col("__count"), F.lit(0))), F.lit("\n"),
+        # HasSum gating (databuffer.go:163-165): a point without a sum
+        # renders no Sum line instead of nulling the whole block
+        F.when(
+            F.col("__sum").isNotNull(),
+            F.concat(F.lit("Sum: "), _f6(F.col("__sum")), F.lit("\n")),
+        ).otherwise(F.lit("")),
+        F.coalesce(F.concat(bucket_lines, F.lit("\n")), F.lit("")),
     )
     return per_key.select("attr_key", rendered.alias("rendered"))
 
@@ -539,12 +544,17 @@ def render_summary_points(points: DataFrame, attr_name: str = "event_type") -> D
     rendered = F.concat(
         F.lit("SummaryDataPoints\n"),
         F.lit("Data point attributes:\n"),
-        F.lit(f"     -> {attr_name}: Str("), F.col("attr_key"), F.lit(")\n"),
+        F.lit(f"     -> {attr_name}: Str("), _s(F.col("attr_key")), F.lit(")\n"),
         F.lit(f"StartTimestamp: {_EPOCH_ZERO}\n"),
         F.lit(f"Timestamp: {_EPOCH_ZERO}\n"),
-        F.lit("Count: "), F.col("summary_count").cast("string"), F.lit("\n"),
-        F.lit("Sum: "), _f6(F.col("summary_sum")), F.lit("\n"),
-        q_lines, F.lit("\n"),
+        F.lit("Count: "), _s(F.coalesce(F.col("summary_count"), F.lit(0))), F.lit("\n"),
+        # a summary point carrying no sum renders no Sum line (same
+        # null-safety contract as the histogram renderers)
+        F.when(
+            F.col("summary_sum").isNotNull(),
+            F.concat(F.lit("Sum: "), _f6(F.col("summary_sum")), F.lit("\n")),
+        ).otherwise(F.lit("")),
+        F.coalesce(F.concat(q_lines, F.lit("\n")), F.lit("")),
     )
     return per_key.select("attr_key", rendered.alias("rendered"))
 

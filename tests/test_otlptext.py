@@ -438,3 +438,33 @@ def test_golden_logs_text_matches_reference_bytes(spark, out_file, rows):
     with open(os.path.join(_REF_LOGS_GOLDEN, out_file), "rb") as f:
         want = f.read().decode("utf-8")
     assert got == want, f"{out_file}: byte mismatch"
+
+
+def test_foreign_point_without_sum_still_renders(spark):
+    """A point unmarshaled from a foreign payload that omits sum/bounds
+    (valid OTLP: HasSum=false) must render a block WITHOUT the Sum line —
+    not silently vanish from the debug sink via a NULL-poisoned concat."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import types as T
+
+    from opentelemetry_collector_spark.functions.otlptext import (
+        render_histogram_data_point,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("attr_key", T.StringType()),
+            T.StructField("hist_count", T.LongType()),
+            T.StructField("hist_sum", T.DoubleType()),
+            T.StructField("hist_min", T.DoubleType()),
+            T.StructField("hist_max", T.DoubleType()),
+            T.StructField("hist_explicit_bounds", T.ArrayType(T.DoubleType())),
+            T.StructField("hist_bucket_counts", T.ArrayType(T.LongType())),
+        ]
+    )
+    df = spark.createDataFrame(
+        [("k", 7, None, None, None, None, None)], schema
+    )
+    got = df.select(render_histogram_data_point().alias("r")).first()["r"]
+    assert got is not None and "Count: 7" in got
+    assert "Sum:" not in got and "ExplicitBounds" not in got
