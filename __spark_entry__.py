@@ -1094,12 +1094,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ccnet_buckets"] = ccnet_buckets_q
 
-    def mixture_weights_q(spark, sf):  # data-mixing resampling weights
-        return ts_ops.mixture_weights(
-            _t(spark, sf, "documents"),
-            {"en": 0.3, "de": 0.2, "fr": 0.2, "es": 0.2, "zh": 0.1},
-            group_col="lang",
+    def mixture_weights_q(spark, sf):
+        # data-mixing, 2-part union: 'weights' = per-group resampling
+        # factors; 'resample' = the per-doc copy counts that materialize
+        # the reweighted corpus (apply_mixture, salted-Bernoulli rounding)
+        target = {"en": 0.3, "de": 0.2, "fr": 0.2, "es": 0.2, "zh": 0.1}
+        _L = F.lit(None).cast("long")
+        _D = F.lit(None).cast("double")
+        w = ts_ops.mixture_weights(
+            _t(spark, sf, "documents"), target, group_col="lang"
         )
+        p_w = w.select(
+            F.lit("weights").alias("part"),
+            F.col("lang").alias("s1"),
+            F.col("n_tokens").cast("long").alias("k1"),
+            _L.alias("k2"),
+            F.col("share").alias("d1"),
+            F.col("target_share").alias("d2"),
+            F.col("weight").alias("d3"),
+        )
+        r = ts_ops.apply_mixture(
+            _t(spark, sf, "documents"), target, group_col="lang"
+        )
+        p_r = r.select(
+            F.lit("resample").alias("part"),
+            F.col("lang").alias("s1"),
+            F.col("doc_id").cast("long").alias("k1"),
+            F.col("n_copies").cast("long").alias("k2"),
+            _D.alias("d1"), _D.alias("d2"), _D.alias("d3"),
+        )
+        return p_w.unionAll(p_r)
 
     q["mixture_weights"] = mixture_weights_q
 
@@ -2019,7 +2043,10 @@ FROM ppl p JOIN cut c USING (lang)
     # mixture weights: one token aggregate, then arithmetic (weight uses
     # the 9-dp share under the 4-dp output, like the Spark side; nullif
     # guards the degenerate rounded-to-zero share in BOTH engines)
-    o["mixture_weights"] = """
+    # 2-part union: per-group weights + the per-doc resample copy counts
+    # (apply_mixture's floor(weight) + salted-md5 Bernoulli on the 4-dp
+    # fractional part, identical md5 bucket arithmetic in both engines)
+    o["mixture_weights"] = f"""
 WITH toks AS (
   SELECT lang, len(string_split_regex(trim(text), ' +'))::BIGINT AS n
   FROM documents WHERE text IS NOT NULL
@@ -2029,12 +2056,27 @@ WITH toks AS (
   SELECT sum(n_tokens)::DOUBLE AS t FROM per
 ), tgt(lang, ts) AS (
   VALUES ('en', 0.3), ('de', 0.2), ('fr', 0.2), ('es', 0.2), ('zh', 0.1)
+), w AS (
+  SELECT per.lang, n_tokens,
+    round(round(n_tokens / t, 9), 4) AS share,
+    round(coalesce(ts::DOUBLE, 0.0), 4) AS target_share,
+    round(coalesce(ts::DOUBLE, 0.0) / nullif(round(n_tokens / t, 9), 0.0), 4) AS weight
+  FROM per CROSS JOIN tot LEFT JOIN tgt ON per.lang = tgt.lang
 )
-SELECT per.lang, n_tokens,
-  round(round(n_tokens / t, 9), 4) AS share,
-  round(coalesce(ts::DOUBLE, 0.0), 4) AS target_share,
-  round(coalesce(ts::DOUBLE, 0.0) / nullif(round(n_tokens / t, 9), 0.0), 4) AS weight
-FROM per CROSS JOIN tot LEFT JOIN tgt ON per.lang = tgt.lang
+SELECT 'weights' AS part, lang AS s1, n_tokens AS k1,
+  CAST(NULL AS BIGINT) AS k2, share AS d1, target_share AS d2, weight AS d3
+FROM w
+UNION ALL
+SELECT 'resample' AS part, d.lang AS s1, d.doc_id::BIGINT AS k1,
+  (floor(coalesce(w.weight, 0.0))::BIGINT
+   + CASE WHEN {_dd_hexlong("'mix:' || d.doc_id")} % 10000
+               < round((coalesce(w.weight, 0.0)
+                        - floor(coalesce(w.weight, 0.0))) * 10000)
+          THEN 1 ELSE 0 END) AS k2,
+  CAST(NULL AS DOUBLE) AS d1, CAST(NULL AS DOUBLE) AS d2,
+  CAST(NULL AS DOUBLE) AS d3
+FROM documents d LEFT JOIN w ON d.lang = w.lang
+WHERE d.text IS NOT NULL
 """
 
     # sequence packing: the plain global window cumsum IS the oracle —

@@ -713,6 +713,49 @@ def mixture_weights(
     )
 
 
+def apply_mixture(
+    df: DataFrame,
+    target: dict[str, float],
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "mix",
+) -> DataFrame:
+    """Resample the corpus to a target mixture: each document gets
+    ``n_copies = floor(weight) + Bernoulli(frac(weight))`` repetitions of
+    its group's :func:`mixture_weights` factor — the step that actually
+    MATERIALIZES a reweighted training set (epochs-per-domain in
+    DoReMi/Pile-style mixing). The Bernoulli draw is a salted-md5 bucket,
+    so the resample is deterministic and engine-reproducible; groups
+    outside the target (weight 0 or NULL) drop to 0 copies.
+
+    Plan: one tiny weights aggregate broadcast back; the corpus never
+    shuffles. Expand to physical rows with
+    ``df.select(..., F.explode(F.sequence(F.lit(1), F.col("n_copies"))))``
+    downstream when copies must exist as rows.
+    """
+    w = mixture_weights(df, target, group_col=group_col, text_col=text_col)
+    docs = df.where(F.col(text_col).isNotNull())
+    joined = docs.join(
+        F.broadcast(w.select(group_col, "weight")), group_col, "left"
+    )
+    weight = F.coalesce(F.col("weight"), F.lit(0.0))
+    base = F.floor(weight).cast("long")
+    # 4-dp weight → exact 10^4 buckets; salted md5 keeps draws
+    # independent of the sampling/dedup salts
+    frac_bp = F.round((weight - base) * 10_000).cast("long")
+    draw = F.pmod(
+        md5_long(F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))),
+        F.lit(10_000),
+    )
+    n_copies = base + F.when(draw < frac_bp, F.lit(1)).otherwise(F.lit(0))
+    return joined.select(
+        F.col(id_col),
+        F.col(group_col),
+        n_copies.cast("long").alias("n_copies"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Merge-table BPE, fully columnar
 # ---------------------------------------------------------------------------

@@ -155,7 +155,9 @@ _PLAN_SHUFFLE_BUDGET = {
     "grok_access_log": 0,  # narrow typed regex projection, scan speed
     "enrich_asof_versions": 1,  # dim distinct agg; intervalized dim broadcast, facts never shuffle
     "url_suite": 2,  # host-stats count-distinct expands to two aggregates; canon part narrow
-    "mixture_weights": 2,  # one token agg (count-distinct-free), #groups rows after
+    # weights part (token agg ×2-phase) + the resample part re-derives
+    # the same tiny weights aggregate for its broadcast (AQE reuses)
+    "mixture_weights": 4,
     # two visible: per-partition window + tiny totals agg (the range
     # exchange is materialized once behind the localCheckpoint pin)
     "pack_sequences": 2,

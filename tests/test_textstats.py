@@ -564,3 +564,35 @@ def test_bpe_feeds_pack_sequences(spark):
         run += r["n_tokens"]
     assert packed.count() == len(rows)
     assert counts[5] > counts[0]
+
+
+def test_apply_mixture_copy_counts_track_weights(spark):
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_spark.operators.textstats import (
+        apply_mixture,
+        mixture_weights,
+    )
+
+    rows = [(i, "en" if i % 4 else "de", "w " * 20) for i in range(400)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    target = {"de": 0.8, "en": 0.2}
+    w = {r["lang"]: r["weight"] for r in
+         mixture_weights(df, target, group_col="lang").collect()}
+    out = apply_mixture(df, target, group_col="lang")
+    per = {
+        r["lang"]: (r["docs"], r["copies"])
+        for r in out.groupBy("lang")
+        .agg(F.count("*").alias("docs"), F.sum("n_copies").alias("copies"))
+        .collect()
+    }
+    for lang, (docs, copies) in per.items():
+        # expected copies = weight × docs, within Bernoulli noise
+        assert abs(copies - w[lang] * docs) <= 0.15 * docs + 2, (lang, copies)
+    # determinism: the salted draw gives identical counts on re-run
+    again = apply_mixture(df, target, group_col="lang")
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+    # a group outside the target drops to zero copies
+    df2 = df.union(spark.createDataFrame([(9999, "zz", "x y z")], df.columns))
+    zz = apply_mixture(df2, target, group_col="lang").where(F.col("lang") == "zz")
+    assert [r["n_copies"] for r in zz.collect()] == [0]
