@@ -133,3 +133,32 @@ def test_grok_field_binding_positions(names):
     assert m is not None
     for i, n in enumerate(names):
         assert m.group(i + 1) == samples[n]
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="theinandorgstou", min_size=0, max_size=12),
+        min_size=0,
+        max_size=6,
+    )
+)
+def test_bpe_columnar_equals_canonical_encoder(spark, words):
+    """The chained-replace columnar BPE equals the canonical
+    lowest-rank-pair encoder loop on arbitrary words over the merge
+    alphabet (the equivalence argued in bpe_word_expr's docstring)."""
+    from opentelemetry_collector_spark.operators.textstats import (
+        DEFAULT_BPE_MERGES,
+        bpe_encode,
+    )
+    from tests.test_textstats import _bpe_reference
+
+    text = " ".join(words)
+    df = spark.createDataFrame([(0, text)], ["doc_id", "text"])
+    got = bpe_encode(df).first()
+    clean = [w for w in text.strip().split(" ") if w]
+    ref = [_bpe_reference(w, DEFAULT_BPE_MERGES) for w in clean]
+    assert got["n_words"] == len(clean)
+    assert got["bpe_tokens"] == sum(len(t) for t in ref)
+    if clean:
+        assert got["enc_head"] == "|".join(ref[0])
