@@ -178,3 +178,17 @@ def test_mixing_and_packing_empty(spark, empty_docs):
     assert ts.mixture_weights(empty_src, {"x": 1.0}).count() == 0
     assert ts.pack_sequences(empty_docs, budget=128).count() == 0
     assert ts.char_entropy(empty_docs).count() == 0
+
+
+def test_pb_codec_and_new_ops_on_empty_inputs(spark, empty_docs):
+    from opentelemetry_collector_spark.functions import otlp_pb
+    from opentelemetry_collector_spark.schemas import LOG_RECORDS_SCHEMA
+
+    empty_records = spark.createDataFrame([], LOG_RECORDS_SCHEMA)
+    assert otlp_pb.logs_to_otlp_pb(empty_records).count() == 0
+    assert otlp_pb.roundtrip_pb(empty_records, salt_buckets=4).count() == 0
+    assert ts.text_signals(empty_docs).count() == 0
+    assert ts.doc_signals(empty_docs).count() == 0
+    assert ts.bpe_encode(empty_docs).count() == 0
+    empty_lang = spark.createDataFrame([], "doc_id long, lang string, text string")
+    assert ts.apply_mixture(empty_lang, {"en": 1.0}, group_col="lang").count() == 0
