@@ -966,15 +966,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def otlp_pb_roundtrip(spark, sf):
         # D8 wire form: OTLP protobuf BINARY marshal→unmarshal ≡ identity
-        # (pdata/plog/pb.go:26-40 analog; hand-written proto3 codec over a
-        # declared Arrow surface — no protoc in this container)
+        # for BOTH logs (pdata/plog/pb.go:26-40) and traces (pdata/ptrace
+        # pb twin), one 2-part union — hand-written proto3 codec over a
+        # declared Arrow surface (no protoc in this container)
         from opentelemetry_collector_spark.functions import otlp_pb
 
-        return _flatten_plog(
+        _S = F.lit(None).cast("string")
+        _L = F.lit(None).cast("long")
+        logs_back = _flatten_plog(
             otlp_pb.roundtrip_pb(
                 _events_plog(spark, sf), salt_buckets=32, max_records_per_envelope=200
             )
         )
+        p_logs = logs_back.select(
+            F.lit("logs").alias("part"),
+            F.col("severity_text").alias("s1"),
+            F.col("body").alias("s2"),
+            F.col("event_type").alias("s3"),
+            F.col("k").alias("s4"),
+            F.col("user_id").alias("s5"),
+            F.col("host").alias("s6"),
+            _S.alias("s7"), _S.alias("s8"),
+            F.col("event_id").cast("long").alias("k1"),
+            F.col("time_unix_nano").cast("long").alias("k2"),
+            F.col("severity_number").cast("long").alias("k3"),
+            _L.alias("k4"), _L.alias("k5"), _L.alias("k6"),
+        )
+        spans = tr_ops.events_to_spans(_t(spark, sf, "events"))
+        spans_back = otlp_pb.otlp_pb_to_spans(
+            otlp_pb.spans_to_otlp_pb(
+                spans, salt_buckets=32, max_records_per_envelope=200
+            )
+        )
+        p_spans = spans_back.select(
+            F.lit("spans").alias("part"),
+            F.col("trace_id").alias("s1"),
+            F.col("span_id").alias("s2"),
+            F.col("parent_span_id").alias("s3"),
+            F.col("trace_state").alias("s4"),
+            F.col("name").alias("s5"),
+            F.col("status_message").alias("s6"),
+            F.try_element_at(F.col("links"), F.lit(1))
+            .getField("span_id")
+            .alias("s7"),
+            F.col("resource.service").alias("s8"),
+            F.col("kind").cast("long").alias("k1"),
+            F.col("start_time_unix_nano").cast("long").alias("k2"),
+            F.col("end_time_unix_nano").cast("long").alias("k3"),
+            F.col("status_code").cast("long").alias("k4"),
+            F.size("events").cast("long").alias("k5"),
+            F.size("links").cast("long").alias("k6"),
+        )
+        return p_logs.unionAll(p_spans)
 
     q["otlp_pb_roundtrip"] = otlp_pb_roundtrip
 
@@ -1619,9 +1662,6 @@ SELECT event_id,
 FROM events
 """
 
-    # the proto wire codec round-trips the SAME flat frame losslessly →
-    # identical identity oracle (pb.go round-trip equality analog)
-    o["otlp_pb_roundtrip"] = o["otlp_json_roundtrip"]
 
     o["metrics_temporality"] = """
 WITH w AS (
@@ -1701,6 +1741,29 @@ SELECT trace_id, span_id,
        THEN first_value(span_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) END AS link_span_id,
   'svc-' || (user_id % 4) AS service
 FROM s
+"""
+
+    # the proto wire codecs round-trip the SAME flat frames losslessly →
+    # identity oracles for both parts (pb.go round-trip equality analog):
+    # 'logs' wraps the JSON round-trip's identity projection, 'spans'
+    # wraps the spans-model projection, on a packed common schema
+    o["otlp_pb_roundtrip"] = f"""
+SELECT 'logs' AS part,
+  severity_text AS s1, body AS s2, event_type AS s3, k AS s4,
+  user_id AS s5, host AS s6,
+  CAST(NULL AS VARCHAR) AS s7, CAST(NULL AS VARCHAR) AS s8,
+  event_id::BIGINT AS k1, time_unix_nano::BIGINT AS k2,
+  severity_number::BIGINT AS k3, CAST(NULL AS BIGINT) AS k4,
+  CAST(NULL AS BIGINT) AS k5, CAST(NULL AS BIGINT) AS k6
+FROM ({o["otlp_json_roundtrip"]})
+UNION ALL
+SELECT 'spans' AS part,
+  trace_id AS s1, span_id AS s2, parent_span_id AS s3, trace_state AS s4,
+  name AS s5, status_message AS s6, link_span_id AS s7, service AS s8,
+  kind::BIGINT AS k1, start_time_unix_nano::BIGINT AS k2,
+  end_time_unix_nano::BIGINT AS k3, status_code::BIGINT AS k4,
+  n_events::BIGINT AS k5, n_links::BIGINT AS k6
+FROM ({sql_spans})
 """
 
     # only Error spans carry the planted 'exception' span event

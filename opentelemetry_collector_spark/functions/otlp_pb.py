@@ -442,3 +442,238 @@ def roundtrip_pb(
             max_records_per_envelope=max_records_per_envelope,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ptrace wire form (pdata/ptrace/pb.go twin; field numbers from the public
+# opentelemetry/proto/trace/v1/trace.proto)
+# ---------------------------------------------------------------------------
+
+
+def _enc_span_event(e: dict) -> bytes:
+    return (
+        _f_fixed64(1, int(e.get("time_unix_nano") or 0))
+        + _f_string(2, e.get("name"))
+        + b"".join(
+            _f_msg(3, _enc_kv(k, v)) for k, v in (e.get("attributes") or {}).items()
+        )
+    )
+
+
+def _enc_span_link(l: dict) -> bytes:
+    return (
+        _f_bytes(1, bytes.fromhex(l.get("trace_id") or ""))
+        + _f_bytes(2, bytes.fromhex(l.get("span_id") or ""))
+        + _f_string(3, l.get("trace_state"))
+        + b"".join(
+            _f_msg(4, _enc_kv(k, v)) for k, v in (l.get("attributes") or {}).items()
+        )
+    )
+
+
+def _enc_span(s: dict) -> bytes:
+    status = _f_string(2, s.get("status_message")) + _f_varint(
+        3, int(s.get("status_code") or 0)
+    )
+    return (
+        _f_bytes(1, bytes.fromhex(s.get("trace_id") or ""))
+        + _f_bytes(2, bytes.fromhex(s.get("span_id") or ""))
+        + _f_string(3, s.get("trace_state"))
+        + _f_bytes(4, bytes.fromhex(s.get("parent_span_id") or ""))
+        + _f_string(5, s.get("name"))
+        + _f_varint(6, int(s.get("kind") or 0))
+        + _f_fixed64(7, int(s.get("start_time_unix_nano") or 0))
+        + _f_fixed64(8, int(s.get("end_time_unix_nano") or 0))
+        + b"".join(
+            _f_msg(9, _enc_kv(k, v)) for k, v in (s.get("attributes") or {}).items()
+        )
+        + b"".join(_f_msg(11, _enc_span_event(e)) for e in (s.get("events") or []))
+        + b"".join(_f_msg(13, _enc_span_link(l)) for l in (s.get("links") or []))
+        + (_f_msg(15, status) if status else b"")
+    )
+
+
+def _enc_trace_request(service: str | None, spans: list[dict]) -> bytes:
+    resource = _f_msg(1, _enc_kv("service", service))
+    scope = _f_string(1, SCOPE_NAME) + _f_string(2, SCOPE_VERSION)
+    scope_spans = _f_msg(1, scope) + b"".join(
+        _f_msg(2, _enc_span(s)) for s in spans
+    )
+    return _f_msg(1, _f_msg(1, resource) + _f_msg(2, scope_spans))
+
+
+def _dec_span_event(buf: bytes) -> dict:
+    e = {"time_unix_nano": 0, "name": "", "attributes": {}}
+    for field, _w, v in _fields(buf):
+        if field == 1:
+            e["time_unix_nano"] = int(v)
+        elif field == 2:
+            e["name"] = bytes(v).decode("utf-8")
+        elif field == 3:
+            k, val = _dec_kv(bytes(v))
+            e["attributes"][k] = val
+    return e
+
+
+def _dec_span_link(buf: bytes) -> dict:
+    l = {"trace_id": "", "span_id": "", "trace_state": "", "attributes": {}}
+    for field, _w, v in _fields(buf):
+        if field == 1:
+            l["trace_id"] = bytes(v).hex()
+        elif field == 2:
+            l["span_id"] = bytes(v).hex()
+        elif field == 3:
+            l["trace_state"] = bytes(v).decode("utf-8")
+        elif field == 4:
+            k, val = _dec_kv(bytes(v))
+            l["attributes"][k] = val
+    return l
+
+
+def _dec_span(buf: bytes) -> dict:
+    s = {
+        "trace_id": "", "span_id": "", "trace_state": "",
+        "parent_span_id": "", "name": "", "kind": 0,
+        "start_time_unix_nano": 0, "end_time_unix_nano": 0,
+        "attributes": {}, "status_code": 0, "status_message": "",
+        "events": [], "links": [],
+    }
+    for field, _w, v in _fields(buf):
+        if field == 1:
+            s["trace_id"] = bytes(v).hex()
+        elif field == 2:
+            s["span_id"] = bytes(v).hex()
+        elif field == 3:
+            s["trace_state"] = bytes(v).decode("utf-8")
+        elif field == 4:
+            s["parent_span_id"] = bytes(v).hex()
+        elif field == 5:
+            s["name"] = bytes(v).decode("utf-8")
+        elif field == 6:
+            s["kind"] = int(v)
+        elif field == 7:
+            s["start_time_unix_nano"] = int(v)
+        elif field == 8:
+            s["end_time_unix_nano"] = int(v)
+        elif field == 9:
+            k, val = _dec_kv(bytes(v))
+            s["attributes"][k] = val
+        elif field == 11:
+            s["events"].append(_dec_span_event(bytes(v)))
+        elif field == 13:
+            s["links"].append(_dec_span_link(bytes(v)))
+        elif field == 15:
+            for f2, _w2, v2 in _fields(bytes(v)):
+                if f2 == 2:
+                    s["status_message"] = bytes(v2).decode("utf-8")
+                elif f2 == 3:
+                    s["status_code"] = int(v2)
+    return s
+
+
+def _dec_trace_request(buf: bytes) -> list[dict]:
+    out: list[dict] = []
+    for field, _w, rs in _fields(buf):
+        if field != 1:
+            continue
+        service = None
+        for f2, _w2, v2 in _fields(bytes(rs)):
+            if f2 == 1:  # Resource
+                for f3, _w3, v3 in _fields(bytes(v2)):
+                    if f3 == 1:
+                        k, val = _dec_kv(bytes(v3))
+                        if k == "service":
+                            service = val
+            elif f2 == 2:  # ScopeSpans
+                for f3, _w3, v3 in _fields(bytes(v2)):
+                    if f3 == 2:
+                        s = _dec_span(bytes(v3))
+                        s["service"] = service
+                        out.append(s)
+    return out
+
+
+def spans_to_otlp_pb(
+    spans: DataFrame,
+    salt_buckets: int | None = None,
+    max_records_per_envelope: int | None = None,
+) -> DataFrame:
+    """SPANS_SCHEMA frame → OTLP proto wire bytes per envelope (ptrace
+    MarshalProto twin). Same grouping/bounding discipline as the logs
+    codec."""
+    span_struct = F.struct(
+        "trace_id", "span_id", "parent_span_id", "trace_state", "name",
+        F.col("kind").cast("int").alias("kind"),
+        "start_time_unix_nano", "end_time_unix_nano", "attributes",
+        F.col("status_code").cast("int").alias("status_code"),
+        "status_message", "events", "links",
+    )
+    if salt_buckets:
+        salt = F.pmod(
+            F.xxhash64(F.col("trace_id"), F.col("span_id")),
+            F.lit(int(salt_buckets)),
+        )
+        grouped = (
+            spans.groupBy(F.col("resource"), salt.alias("__salt"))
+            .agg(F.collect_list(span_struct).alias("__spans"))
+            .drop("__salt")
+        )
+    else:
+        grouped = spans.groupBy("resource").agg(
+            F.collect_list(span_struct).alias("__spans")
+        )
+    grouped = _chunk_envelopes(grouped, "__spans", max_records_per_envelope)
+    pruned = grouped.select(
+        F.col("resource.service").alias("service"), F.col("__spans")
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield pd.DataFrame(
+                {
+                    "service": pdf["service"],
+                    "request_pb": [
+                        _enc_trace_request(svc, list(sp))
+                        for svc, sp in zip(pdf["service"], pdf["__spans"])
+                    ],
+                }
+            )
+
+    return pruned.mapInPandas(
+        encode,
+        schema=T.StructType(
+            [
+                T.StructField("service", T.StringType(), True),
+                T.StructField("request_pb", T.BinaryType(), False),
+            ]
+        ),
+    )
+
+
+def otlp_pb_to_spans(requests: DataFrame, pb_col: str = "request_pb") -> DataFrame:
+    """OTLP proto wire bytes → SPANS_SCHEMA frame (ptrace UnmarshalProto
+    twin)."""
+    from ..operators.traces import SPANS_SCHEMA
+
+    pruned = requests.select(pb_col)
+    cols = [f.name for f in SPANS_SCHEMA.fields]
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for buf in pdf[pb_col]:
+                for s in _dec_trace_request(bytes(buf)):
+                    rows.append(
+                        tuple(
+                            {"resource": {"service": s["service"]}}.get(c)
+                            if c == "resource"
+                            else s[c]
+                            for c in cols
+                        )
+                    )
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+
+    return pruned.mapInPandas(decode, schema=SPANS_SCHEMA)

@@ -85,3 +85,63 @@ def test_pb_bytes_fields_hex_bridge():
     r = dict(REC, trace_id="00ff", span_id="")
     back = _dec_request(_enc_request(None, None, [r]))[0]
     assert back["trace_id"] == "00ff" and back["span_id"] == ""
+
+
+SPAN = dict(
+    trace_id="0af7651916cd43dd8448eb211c80319c",
+    span_id="b7ad6b7169203331",
+    parent_span_id="",
+    trace_state="ot=svc-1",
+    name="error",
+    kind=1,
+    start_time_unix_nano=1581452772_000000321,
+    end_time_unix_nano=1581452773_000000789,
+    attributes={"peer": "db-1"},
+    status_code=2,
+    status_message="event processing failed",
+    events=[
+        {
+            "time_unix_nano": 1581452772_000000500,
+            "name": "exception",
+            "attributes": {"exception.type": "PipelineError"},
+        }
+    ],
+    links=[
+        {
+            "trace_id": "0af7651916cd43dd8448eb211c80319c",
+            "span_id": "1112131415161718",
+            "trace_state": "",
+            "attributes": {"link.type": "trace_root"},
+        }
+    ],
+)
+
+
+def test_pb_span_roundtrip_identity():
+    from opentelemetry_collector_spark.functions.otlp_pb import (
+        _dec_trace_request,
+        _enc_trace_request,
+    )
+
+    back = _dec_trace_request(_enc_trace_request("svc-1", [SPAN]))
+    assert len(back) == 1
+    b = back[0]
+    for k, v in SPAN.items():
+        assert b[k] == v, (k, v, b[k])
+    assert b["service"] == "svc-1"
+
+
+def test_pb_span_defaults():
+    from opentelemetry_collector_spark.functions.otlp_pb import (
+        _dec_trace_request,
+        _enc_trace_request,
+    )
+
+    zero = dict(
+        trace_id="", span_id="", parent_span_id="", trace_state="",
+        name="", kind=0, start_time_unix_nano=0, end_time_unix_nano=0,
+        attributes={}, status_code=0, status_message="", events=[], links=[],
+    )
+    b = _dec_trace_request(_enc_trace_request(None, [zero]))[0]
+    for k, v in zero.items():
+        assert b[k] == v, k
