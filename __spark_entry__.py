@@ -973,24 +973,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         _S = F.lit(None).cast("string")
         _L = F.lit(None).cast("long")
+        _D = F.lit(None).cast("double")
+
+        def packed(part, df, s=(), k=(), d=()):
+            cols = [F.lit(part).alias("part")]
+            for i in range(8):
+                c = s[i] if i < len(s) and s[i] is not None else _S
+                cols.append(c.cast("string").alias(f"s{i + 1}"))
+            for i in range(6):
+                c = k[i] if i < len(k) and k[i] is not None else _L
+                cols.append(c.cast("long").alias(f"k{i + 1}"))
+            for i in range(4):
+                c = d[i] if i < len(d) and d[i] is not None else _D
+                cols.append(c.cast("double").alias(f"d{i + 1}"))
+            return df.select(*cols)
+
         logs_back = _flatten_plog(
             otlp_pb.roundtrip_pb(
                 _events_plog(spark, sf), salt_buckets=32, max_records_per_envelope=200
             )
         )
-        p_logs = logs_back.select(
-            F.lit("logs").alias("part"),
-            F.col("severity_text").alias("s1"),
-            F.col("body").alias("s2"),
-            F.col("event_type").alias("s3"),
-            F.col("k").alias("s4"),
-            F.col("user_id").alias("s5"),
-            F.col("host").alias("s6"),
-            _S.alias("s7"), _S.alias("s8"),
-            F.col("event_id").cast("long").alias("k1"),
-            F.col("time_unix_nano").cast("long").alias("k2"),
-            F.col("severity_number").cast("long").alias("k3"),
-            _L.alias("k4"), _L.alias("k5"), _L.alias("k6"),
+        p_logs = packed(
+            "logs", logs_back,
+            s=(F.col("severity_text"), F.col("body"), F.col("event_type"),
+               F.col("k"), F.col("user_id"), F.col("host")),
+            k=(F.col("event_id"), F.col("time_unix_nano"),
+               F.col("severity_number")),
         )
         spans = tr_ops.events_to_spans(_t(spark, sf, "events"))
         spans_back = otlp_pb.otlp_pb_to_spans(
@@ -998,26 +1006,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 spans, salt_buckets=32, max_records_per_envelope=200
             )
         )
-        p_spans = spans_back.select(
-            F.lit("spans").alias("part"),
-            F.col("trace_id").alias("s1"),
-            F.col("span_id").alias("s2"),
-            F.col("parent_span_id").alias("s3"),
-            F.col("trace_state").alias("s4"),
-            F.col("name").alias("s5"),
-            F.col("status_message").alias("s6"),
-            F.try_element_at(F.col("links"), F.lit(1))
-            .getField("span_id")
-            .alias("s7"),
-            F.col("resource.service").alias("s8"),
-            F.col("kind").cast("long").alias("k1"),
-            F.col("start_time_unix_nano").cast("long").alias("k2"),
-            F.col("end_time_unix_nano").cast("long").alias("k3"),
-            F.col("status_code").cast("long").alias("k4"),
-            F.size("events").cast("long").alias("k5"),
-            F.size("links").cast("long").alias("k6"),
+        p_spans = packed(
+            "spans", spans_back,
+            s=(F.col("trace_id"), F.col("span_id"), F.col("parent_span_id"),
+               F.col("trace_state"), F.col("name"), F.col("status_message"),
+               F.try_element_at(F.col("links"), F.lit(1)).getField("span_id"),
+               F.col("resource.service")),
+            k=(F.col("kind"), F.col("start_time_unix_nano"),
+               F.col("end_time_unix_nano"), F.col("status_code"),
+               F.size("events"), F.size("links")),
         )
-        return p_logs.unionAll(p_spans)
+        sum_back = otlp_pb.otlp_pb_to_sum_points(
+            otlp_pb.sum_points_to_otlp_pb(
+                met_ops.events_to_sum_points(_t(spark, sf, "events")),
+                salt_buckets=16,
+            )
+        )
+        p_msum = packed(
+            "msum", sum_back,
+            s=(F.col("metric_name"), None,
+               F.element_at("attributes", "event_type")),
+            k=(F.col("aggregation_temporality"),
+               F.col("start_time_unix_nano"), F.col("time_unix_nano")),
+            d=(F.col("value_double"),),
+        )
+        bounds = met_ops.DEFAULT_HIST_BOUNDS
+        hist_back = met_ops.histogram_buckets_long(
+            otlp_pb.otlp_pb_to_histogram_points(
+                otlp_pb.histogram_points_to_otlp_pb(
+                    met_ops.histogram_points(_t(spark, sf, "events"), bounds=bounds)
+                )
+            ),
+            bounds,
+        )
+        p_mhist = packed(
+            "mhist", hist_back,
+            s=(None, None, F.col("attr_key")),
+            k=(F.col("bucket_idx"), F.col("n"), F.col("hist_count")),
+            d=(F.col("hist_sum"), F.col("hist_min"), F.col("hist_max"),
+               F.col("le")),
+        )
+        return p_logs.unionAll(p_spans).unionAll(p_msum).unionAll(p_mhist)
 
     q["otlp_pb_roundtrip"] = otlp_pb_roundtrip
 
@@ -1743,28 +1772,6 @@ SELECT trace_id, span_id,
 FROM s
 """
 
-    # the proto wire codecs round-trip the SAME flat frames losslessly →
-    # identity oracles for both parts (pb.go round-trip equality analog):
-    # 'logs' wraps the JSON round-trip's identity projection, 'spans'
-    # wraps the spans-model projection, on a packed common schema
-    o["otlp_pb_roundtrip"] = f"""
-SELECT 'logs' AS part,
-  severity_text AS s1, body AS s2, event_type AS s3, k AS s4,
-  user_id AS s5, host AS s6,
-  CAST(NULL AS VARCHAR) AS s7, CAST(NULL AS VARCHAR) AS s8,
-  event_id::BIGINT AS k1, time_unix_nano::BIGINT AS k2,
-  severity_number::BIGINT AS k3, CAST(NULL AS BIGINT) AS k4,
-  CAST(NULL AS BIGINT) AS k5, CAST(NULL AS BIGINT) AS k6
-FROM ({o["otlp_json_roundtrip"]})
-UNION ALL
-SELECT 'spans' AS part,
-  trace_id AS s1, span_id AS s2, parent_span_id AS s3, trace_state AS s4,
-  name AS s5, status_message AS s6, link_span_id AS s7, service AS s8,
-  kind::BIGINT AS k1, start_time_unix_nano::BIGINT AS k2,
-  end_time_unix_nano::BIGINT AS k3, status_code::BIGINT AS k4,
-  n_events::BIGINT AS k5, n_links::BIGINT AS k6
-FROM ({sql_spans})
-"""
 
     # only Error spans carry the planted 'exception' span event
     o["spanevents_connector"] = """
@@ -1908,6 +1915,57 @@ FROM b
             ),
         ]
     )
+
+    # the proto wire codecs round-trip the SAME flat frames losslessly →
+    # identity oracles for both parts (pb.go round-trip equality analog):
+    # 'logs' wraps the JSON round-trip's identity projection, 'spans'
+    # wraps the spans-model projection, on a packed common schema
+    _PB_NULL_D = ("CAST(NULL AS DOUBLE) AS d1, CAST(NULL AS DOUBLE) AS d2, "
+                  "CAST(NULL AS DOUBLE) AS d3, CAST(NULL AS DOUBLE) AS d4")
+    o["otlp_pb_roundtrip"] = f"""
+SELECT 'logs' AS part,
+  severity_text AS s1, body AS s2, event_type AS s3, k AS s4,
+  user_id AS s5, host AS s6,
+  CAST(NULL AS VARCHAR) AS s7, CAST(NULL AS VARCHAR) AS s8,
+  event_id::BIGINT AS k1, time_unix_nano::BIGINT AS k2,
+  severity_number::BIGINT AS k3, CAST(NULL AS BIGINT) AS k4,
+  CAST(NULL AS BIGINT) AS k5, CAST(NULL AS BIGINT) AS k6,
+  {_PB_NULL_D}
+FROM ({o["otlp_json_roundtrip"]})
+UNION ALL
+SELECT 'spans' AS part,
+  trace_id AS s1, span_id AS s2, parent_span_id AS s3, trace_state AS s4,
+  name AS s5, status_message AS s6, link_span_id AS s7, service AS s8,
+  kind::BIGINT AS k1, start_time_unix_nano::BIGINT AS k2,
+  end_time_unix_nano::BIGINT AS k3, status_code::BIGINT AS k4,
+  n_events::BIGINT AS k5, n_links::BIGINT AS k6,
+  {_PB_NULL_D}
+FROM ({sql_spans})
+UNION ALL
+SELECT 'msum' AS part,
+  metric_name AS s1, CAST(NULL AS VARCHAR) AS s2, event_type AS s3,
+  CAST(NULL AS VARCHAR) AS s4, CAST(NULL AS VARCHAR) AS s5,
+  CAST(NULL AS VARCHAR) AS s6, CAST(NULL AS VARCHAR) AS s7,
+  CAST(NULL AS VARCHAR) AS s8,
+  aggregation_temporality::BIGINT AS k1, start_time_unix_nano::BIGINT AS k2,
+  time_unix_nano::BIGINT AS k3, CAST(NULL AS BIGINT) AS k4,
+  CAST(NULL AS BIGINT) AS k5, CAST(NULL AS BIGINT) AS k6,
+  value_double::DOUBLE AS d1, CAST(NULL AS DOUBLE) AS d2,
+  CAST(NULL AS DOUBLE) AS d3, CAST(NULL AS DOUBLE) AS d4
+FROM ({sql_sum})
+UNION ALL
+SELECT 'mhist' AS part,
+  CAST(NULL AS VARCHAR) AS s1, CAST(NULL AS VARCHAR) AS s2,
+  event_type AS s3, CAST(NULL AS VARCHAR) AS s4, CAST(NULL AS VARCHAR) AS s5,
+  CAST(NULL AS VARCHAR) AS s6, CAST(NULL AS VARCHAR) AS s7,
+  CAST(NULL AS VARCHAR) AS s8,
+  bucket_idx::BIGINT AS k1, n::BIGINT AS k2, hist_count::BIGINT AS k3,
+  CAST(NULL AS BIGINT) AS k4, CAST(NULL AS BIGINT) AS k5,
+  CAST(NULL AS BIGINT) AS k6,
+  hist_sum::DOUBLE AS d1, hist_min::DOUBLE AS d2, hist_max::DOUBLE AS d3,
+  le::DOUBLE AS d4
+FROM ({sql_hist})
+"""
 
     o["spanmetrics_spans"] = f"""
 WITH s AS (

@@ -144,6 +144,14 @@ def _fields(buf: bytes) -> Iterator[tuple[int, int, object]]:
 # ---------------------------------------------------------------------------
 
 
+def _aslist(v) -> list:
+    """Arrow hands nested arrays to pandas as numpy arrays, whose truth
+    value is ambiguous — coerce explicitly (never ``v or []``)."""
+    if v is None:
+        return []
+    return list(v)
+
+
 def _enc_any_string(s: str | None) -> bytes:
     return _f_string(1, s)
 
@@ -487,8 +495,8 @@ def _enc_span(s: dict) -> bytes:
         + b"".join(
             _f_msg(9, _enc_kv(k, v)) for k, v in (s.get("attributes") or {}).items()
         )
-        + b"".join(_f_msg(11, _enc_span_event(e)) for e in (s.get("events") or []))
-        + b"".join(_f_msg(13, _enc_span_link(l)) for l in (s.get("links") or []))
+        + b"".join(_f_msg(11, _enc_span_event(e)) for e in _aslist(s.get("events")))
+        + b"".join(_f_msg(13, _enc_span_link(l)) for l in _aslist(s.get("links")))
         + (_f_msg(15, status) if status else b"")
     )
 
@@ -677,3 +685,360 @@ def otlp_pb_to_spans(requests: DataFrame, pb_col: str = "request_pb") -> DataFra
                 yield pd.DataFrame(rows, columns=cols)
 
     return pruned.mapInPandas(decode, schema=SPANS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# pmetric wire form (pdata/pmetric pb twin; field numbers verified against
+# the reference's generated marshal code,
+# pdata/internal/data/protogen/metrics/v1/metrics.pb.go:2217-3190)
+# ---------------------------------------------------------------------------
+
+
+def _f_double(field: int, v: float | None, always: bool = False) -> bytes:
+    """Scalar double (wire 1). ``always`` for oneof members whose
+    presence is meaningful even at 0.0 (NumberDataPoint.as_double)."""
+    if v is None or (not always and v == 0.0):
+        return b""
+    return _tag(field, 1) + struct.pack("<d", float(v))
+
+
+def _f_packed_fixed64(field: int, vals: list[int]) -> bytes:
+    if not vals:
+        return b""
+    payload = b"".join(struct.pack("<Q", int(v)) for v in vals)
+    return _tag(field, 2) + _varint(len(payload)) + payload
+
+
+def _f_packed_double(field: int, vals: list[float]) -> bytes:
+    if not vals:
+        return b""
+    payload = b"".join(struct.pack("<d", float(v)) for v in vals)
+    return _tag(field, 2) + _varint(len(payload)) + payload
+
+
+def _enc_number_dp(p: dict) -> bytes:
+    # NumberDataPoint: start=2 fixed64, time=3 fixed64, as_double=4
+    # (oneof member — always emitted), attributes=7
+    return (
+        _f_fixed64(2, int(p.get("start_time_unix_nano") or 0))
+        + _f_fixed64(3, int(p.get("time_unix_nano") or 0))
+        + _f_double(4, float(p.get("value_double") or 0.0), always=True)
+        + b"".join(
+            _f_msg(7, _enc_kv(k, v)) for k, v in (p.get("attributes") or {}).items()
+        )
+    )
+
+
+def _enc_histogram_dp(p: dict, attr_name: str) -> bytes:
+    # HistogramDataPoint: start=2, time=3, count=4 fixed64, sum=5 double
+    # (optional), bucket_counts=6 packed fixed64, explicit_bounds=7
+    # packed double, attributes=9, min=11, max=12 (optional doubles)
+    return (
+        _f_fixed64(2, 0)
+        + _f_fixed64(3, 0)
+        + _f_fixed64(4, int(p.get("hist_count") or 0))
+        + (
+            _f_double(5, float(p["hist_sum"]), always=True)
+            if p.get("hist_sum") is not None
+            else b""
+        )
+        + _f_packed_fixed64(6, _aslist(p.get("hist_bucket_counts")))
+        + _f_packed_double(7, _aslist(p.get("hist_explicit_bounds")))
+        + _f_msg(9, _enc_kv(attr_name, p.get("attr_key")))
+        + (
+            _f_double(11, float(p["hist_min"]), always=True)
+            if p.get("hist_min") is not None
+            else b""
+        )
+        + (
+            _f_double(12, float(p["hist_max"]), always=True)
+            if p.get("hist_max") is not None
+            else b""
+        )
+    )
+
+
+def _enc_metrics_request(metric_payload: bytes) -> bytes:
+    scope = _f_string(1, SCOPE_NAME) + _f_string(2, SCOPE_VERSION)
+    scope_metrics = _f_msg(1, scope) + _f_msg(2, metric_payload)
+    # empty Resource message (the point frames carry no resource)
+    return _f_msg(1, _f_msg(1, b"") + _f_msg(2, scope_metrics))
+
+
+def _enc_sum_metric(name: str, temporality: int, monotonic: bool, dps: list[dict]) -> bytes:
+    sum_body = (
+        b"".join(_f_msg(1, _enc_number_dp(p)) for p in dps)
+        + _f_varint(2, int(temporality))
+        + (_tag(3, 0) + b"\x01" if monotonic else b"")
+    )
+    return _f_string(1, name) + _f_msg(7, sum_body)
+
+
+def _enc_gauge_metric(name: str, dps: list[dict]) -> bytes:
+    gauge_body = b"".join(_f_msg(1, _enc_number_dp(p)) for p in dps)
+    return _f_string(1, name) + _f_msg(5, gauge_body)
+
+
+def _enc_histogram_metric(
+    name: str, temporality: int, dps: list[dict], attr_name: str
+) -> bytes:
+    hist_body = b"".join(
+        _f_msg(1, _enc_histogram_dp(p, attr_name)) for p in dps
+    ) + _f_varint(2, int(temporality))
+    return _f_string(1, name) + _f_msg(9, hist_body)
+
+
+def _dec_number_dp(buf: bytes) -> dict:
+    p = {
+        "start_time_unix_nano": 0,
+        "time_unix_nano": 0,
+        "value_double": 0.0,
+        "value_int": None,
+        "attributes": {},
+    }
+    for field, _w, v in _fields(buf):
+        if field == 2:
+            p["start_time_unix_nano"] = int(v)
+        elif field == 3:
+            p["time_unix_nano"] = int(v)
+        elif field == 4:
+            p["value_double"] = struct.unpack("<d", struct.pack("<Q", int(v)))[0]
+        elif field == 6:
+            p["value_int"] = struct.unpack("<q", struct.pack("<Q", int(v)))[0]
+        elif field == 7:
+            k, val = _dec_kv(bytes(v))
+            p["attributes"][k] = val
+    return p
+
+
+def _dec_histogram_dp(buf: bytes) -> dict:
+    p = {
+        "hist_count": 0, "hist_sum": None, "hist_min": None, "hist_max": None,
+        "hist_bucket_counts": [], "hist_explicit_bounds": [], "attributes": {},
+    }
+    for field, _w, v in _fields(buf):
+        if field == 4:
+            p["hist_count"] = int(v)
+        elif field == 5:
+            p["hist_sum"] = struct.unpack("<d", struct.pack("<Q", int(v)))[0]
+        elif field == 6:
+            raw = bytes(v)
+            p["hist_bucket_counts"] = [
+                struct.unpack_from("<Q", raw, i)[0] for i in range(0, len(raw), 8)
+            ]
+        elif field == 7:
+            raw = bytes(v)
+            p["hist_explicit_bounds"] = [
+                struct.unpack_from("<d", raw, i)[0] for i in range(0, len(raw), 8)
+            ]
+        elif field == 9:
+            k, val = _dec_kv(bytes(v))
+            p["attributes"][k] = val
+        elif field == 11:
+            p["hist_min"] = struct.unpack("<d", struct.pack("<Q", int(v)))[0]
+        elif field == 12:
+            p["hist_max"] = struct.unpack("<d", struct.pack("<Q", int(v)))[0]
+    return p
+
+
+def _dec_metrics_request(buf: bytes) -> list[dict]:
+    """ExportMetricsServiceRequest bytes → per-point dicts with the
+    metric header fields attached (metric_type from the data oneof)."""
+    out: list[dict] = []
+    for field, _w, rm in _fields(buf):
+        if field != 1:
+            continue
+        for f2, _w2, v2 in _fields(bytes(rm)):
+            if f2 != 2:  # ScopeMetrics
+                continue
+            for f3, _w3, v3 in _fields(bytes(v2)):
+                if f3 != 2:  # Metric
+                    continue
+                name, header = "", {}
+                points: list[tuple[int, bytes]] = []
+                for f4, _w4, v4 in _fields(bytes(v3)):
+                    if f4 == 1:
+                        name = bytes(v4).decode("utf-8")
+                    elif f4 in (5, 7):  # gauge / sum
+                        mtype = 1 if f4 == 5 else 2
+                        header = {"metric_type": mtype,
+                                  "aggregation_temporality": 0,
+                                  "is_monotonic": False}
+                        for f5, _w5, v5 in _fields(bytes(v4)):
+                            if f5 == 1:
+                                points.append((mtype, bytes(v5)))
+                            elif f5 == 2:
+                                header["aggregation_temporality"] = int(v5)
+                            elif f5 == 3:
+                                header["is_monotonic"] = bool(v5)
+                    elif f4 == 9:  # histogram
+                        header = {"metric_type": 3, "aggregation_temporality": 0}
+                        for f5, _w5, v5 in _fields(bytes(v4)):
+                            if f5 == 1:
+                                points.append((3, bytes(v5)))
+                            elif f5 == 2:
+                                header["aggregation_temporality"] = int(v5)
+                for mtype, pbuf in points:
+                    p = (
+                        _dec_histogram_dp(pbuf)
+                        if mtype == 3
+                        else _dec_number_dp(pbuf)
+                    )
+                    p.update(header)
+                    p["metric_name"] = name
+                    out.append(p)
+    return out
+
+
+_SUM_PB_SCHEMA = T.StructType(
+    [
+        T.StructField("metric_name", T.StringType(), True),
+        T.StructField("metric_type", T.IntegerType(), True),
+        T.StructField("aggregation_temporality", T.IntegerType(), True),
+        T.StructField("is_monotonic", T.BooleanType(), True),
+        T.StructField("start_time_unix_nano", T.LongType(), True),
+        T.StructField("time_unix_nano", T.LongType(), True),
+        T.StructField("attributes", T.MapType(T.StringType(), T.StringType()), True),
+        T.StructField("value_double", T.DoubleType(), True),
+    ]
+)
+
+
+def sum_points_to_otlp_pb(points: DataFrame, salt_buckets: int | None = None) -> DataFrame:
+    """Delta-Sum points frame → OTLP proto wire bytes (one Metric per
+    envelope; salt bounds per-envelope point counts)."""
+    dp = F.struct(
+        "start_time_unix_nano", "time_unix_nano", "attributes", "value_double"
+    )
+    keys = [
+        F.col("metric_name"),
+        F.col("aggregation_temporality"),
+        F.col("is_monotonic"),
+    ]
+    if salt_buckets:
+        keys.append(
+            F.pmod(
+                F.xxhash64(F.to_json(F.col("attributes"))), F.lit(int(salt_buckets))
+            ).alias("__salt")
+        )
+    grouped = points.groupBy(*keys).agg(F.collect_list(dp).alias("__dps"))
+    pruned = grouped.select(
+        "metric_name", "aggregation_temporality", "is_monotonic", "__dps"
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield pd.DataFrame(
+                {
+                    "request_pb": [
+                        _enc_metrics_request(
+                            _enc_sum_metric(nm, int(tmp), bool(mono), list(dps))
+                        )
+                        for nm, tmp, mono, dps in zip(
+                            pdf["metric_name"],
+                            pdf["aggregation_temporality"],
+                            pdf["is_monotonic"],
+                            pdf["__dps"],
+                        )
+                    ]
+                }
+            )
+
+    return pruned.mapInPandas(
+        encode,
+        schema=T.StructType([T.StructField("request_pb", T.BinaryType(), False)]),
+    )
+
+
+def otlp_pb_to_sum_points(requests: DataFrame, pb_col: str = "request_pb") -> DataFrame:
+    pruned = requests.select(pb_col)
+    cols = [f.name for f in _SUM_PB_SCHEMA.fields]
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for buf in pdf[pb_col]:
+                for p in _dec_metrics_request(bytes(buf)):
+                    if p["metric_type"] == 3:
+                        continue
+                    rows.append(tuple(p.get(c) for c in cols))
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+
+    return pruned.mapInPandas(decode, schema=_SUM_PB_SCHEMA)
+
+
+_HIST_PB_SCHEMA = T.StructType(
+    [
+        T.StructField("metric_name", T.StringType(), True),
+        T.StructField("metric_type", T.IntegerType(), True),
+        T.StructField("aggregation_temporality", T.IntegerType(), True),
+        T.StructField("attr_key", T.StringType(), True),
+        T.StructField("hist_count", T.LongType(), True),
+        T.StructField("hist_sum", T.DoubleType(), True),
+        T.StructField("hist_min", T.DoubleType(), True),
+        T.StructField("hist_max", T.DoubleType(), True),
+        T.StructField("hist_bucket_counts", T.ArrayType(T.LongType()), True),
+        T.StructField("hist_explicit_bounds", T.ArrayType(T.DoubleType()), True),
+    ]
+)
+
+
+def histogram_points_to_otlp_pb(
+    points: DataFrame, attr_name: str = "event_type"
+) -> DataFrame:
+    """Explicit-bounds Histogram points frame → OTLP proto wire bytes."""
+    dp = F.struct(
+        "attr_key", "hist_count", "hist_sum", "hist_min", "hist_max",
+        "hist_bucket_counts", "hist_explicit_bounds",
+    )
+    grouped = points.groupBy(
+        "metric_name", "aggregation_temporality"
+    ).agg(F.collect_list(dp).alias("__dps"))
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield pd.DataFrame(
+                {
+                    "request_pb": [
+                        _enc_metrics_request(
+                            _enc_histogram_metric(nm, int(tmp), list(dps), attr_name)
+                        )
+                        for nm, tmp, dps in zip(
+                            pdf["metric_name"],
+                            pdf["aggregation_temporality"],
+                            pdf["__dps"],
+                        )
+                    ]
+                }
+            )
+
+    return grouped.select("metric_name", "aggregation_temporality", "__dps").mapInPandas(
+        encode,
+        schema=T.StructType([T.StructField("request_pb", T.BinaryType(), False)]),
+    )
+
+
+def otlp_pb_to_histogram_points(
+    requests: DataFrame, pb_col: str = "request_pb", attr_name: str = "event_type"
+) -> DataFrame:
+    pruned = requests.select(pb_col)
+    cols = [f.name for f in _HIST_PB_SCHEMA.fields]
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for buf in pdf[pb_col]:
+                for p in _dec_metrics_request(bytes(buf)):
+                    if p["metric_type"] != 3:
+                        continue
+                    p["attr_key"] = (p.get("attributes") or {}).get(attr_name)
+                    rows.append(tuple(p.get(c) for c in cols))
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+
+    return pruned.mapInPandas(decode, schema=_HIST_PB_SCHEMA)

@@ -145,3 +145,45 @@ def test_pb_span_defaults():
     b = _dec_trace_request(_enc_trace_request(None, [zero]))[0]
     for k, v in zero.items():
         assert b[k] == v, k
+
+
+def test_pb_metrics_roundtrip_identity():
+    from opentelemetry_collector_spark.functions.otlp_pb import (
+        _dec_metrics_request,
+        _enc_gauge_metric,
+        _enc_histogram_metric,
+        _enc_metrics_request,
+        _enc_sum_metric,
+    )
+
+    dps = [
+        dict(start_time_unix_nano=10**9, time_unix_nano=2 * 10**9,
+             attributes={"event_type": "view"}, value_double=12.25),
+        dict(start_time_unix_nano=0, time_unix_nano=3 * 10**9,
+             attributes={"event_type": "error"}, value_double=0.0),
+    ]
+    back = _dec_metrics_request(
+        _enc_metrics_request(_enc_sum_metric("m.sum", 1, True, dps))
+    )
+    assert [b["value_double"] for b in back] == [12.25, 0.0]
+    assert back[0]["metric_type"] == 2 and back[0]["is_monotonic"] is True
+    assert back[0]["aggregation_temporality"] == 1
+    g = _dec_metrics_request(
+        _enc_metrics_request(_enc_gauge_metric("m.g", dps))
+    )
+    assert g[0]["metric_type"] == 1
+
+    hist = [
+        dict(attr_key="view", hist_count=5, hist_sum=10.5, hist_min=0.5,
+             hist_max=4.0, hist_bucket_counts=[1, 2, 2],
+             hist_explicit_bounds=[1.0, 2.5]),
+        dict(attr_key="err", hist_count=0, hist_sum=None, hist_min=None,
+             hist_max=None, hist_bucket_counts=[], hist_explicit_bounds=[]),
+    ]
+    hb = _dec_metrics_request(
+        _enc_metrics_request(_enc_histogram_metric("m.h", 1, hist, "event_type"))
+    )
+    assert hb[0]["hist_bucket_counts"] == [1, 2, 2]
+    assert hb[0]["hist_explicit_bounds"] == [1.0, 2.5]
+    assert hb[0]["attributes"]["event_type"] == "view"
+    assert hb[1]["hist_sum"] is None and hb[1]["hist_bucket_counts"] == []
