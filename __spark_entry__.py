@@ -1046,7 +1046,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             d=(F.col("hist_sum"), F.col("hist_min"), F.col("hist_max"),
                F.col("le")),
         )
-        return p_logs.unionAll(p_spans).unionAll(p_msum).unionAll(p_mhist)
+        exph_back = otlp_pb.otlp_pb_to_exp_histogram_points(
+            otlp_pb.exp_histogram_points_to_otlp_pb(
+                met_ops.exp_histogram_points(_t(spark, sf, "events"))
+            )
+        )
+        p_mexph = packed(
+            "mexph", exph_back,
+            s=(F.col("metric_name"), None, F.col("attr_key")),
+            k=(F.col("bucket_index"), F.col("n"), F.col("scale"),
+               F.col("dp_count")),
+            d=(F.col("dp_sum"),),
+        )
+        summary_back = otlp_pb.otlp_pb_to_summary_points(
+            otlp_pb.summary_points_to_otlp_pb(
+                met_ops.summary_points(_t(spark, sf, "events"))
+            )
+        )
+        p_msummary = packed(
+            "msummary", summary_back,
+            s=(F.col("metric_name"), None, F.col("attr_key")),
+            k=(F.col("summary_count"),),
+            d=(F.col("summary_sum"), F.col("quantile"),
+               F.col("quantile_value")),
+        )
+        out = p_logs
+        for part in (p_spans, p_msum, p_mhist, p_mexph, p_msummary):
+            out = out.unionAll(part)
+        return out
 
     q["otlp_pb_roundtrip"] = otlp_pb_roundtrip
 
@@ -1965,6 +1992,30 @@ SELECT 'mhist' AS part,
   hist_sum::DOUBLE AS d1, hist_min::DOUBLE AS d2, hist_max::DOUBLE AS d3,
   le::DOUBLE AS d4
 FROM ({sql_hist})
+UNION ALL
+SELECT 'mexph' AS part,
+  metric_name AS s1, CAST(NULL AS VARCHAR) AS s2, event_type AS s3,
+  CAST(NULL AS VARCHAR) AS s4, CAST(NULL AS VARCHAR) AS s5,
+  CAST(NULL AS VARCHAR) AS s6, CAST(NULL AS VARCHAR) AS s7,
+  CAST(NULL AS VARCHAR) AS s8,
+  bucket_index::BIGINT AS k1, n::BIGINT AS k2, scale::BIGINT AS k3,
+  dp_count::BIGINT AS k4, CAST(NULL AS BIGINT) AS k5,
+  CAST(NULL AS BIGINT) AS k6,
+  dp_sum::DOUBLE AS d1, CAST(NULL AS DOUBLE) AS d2,
+  CAST(NULL AS DOUBLE) AS d3, CAST(NULL AS DOUBLE) AS d4
+FROM ({sql_exphist})
+UNION ALL
+SELECT 'msummary' AS part,
+  metric_name AS s1, CAST(NULL AS VARCHAR) AS s2, event_type AS s3,
+  CAST(NULL AS VARCHAR) AS s4, CAST(NULL AS VARCHAR) AS s5,
+  CAST(NULL AS VARCHAR) AS s6, CAST(NULL AS VARCHAR) AS s7,
+  CAST(NULL AS VARCHAR) AS s8,
+  summary_count::BIGINT AS k1, CAST(NULL AS BIGINT) AS k2,
+  CAST(NULL AS BIGINT) AS k3, CAST(NULL AS BIGINT) AS k4,
+  CAST(NULL AS BIGINT) AS k5, CAST(NULL AS BIGINT) AS k6,
+  summary_sum::DOUBLE AS d1, quantile::DOUBLE AS d2,
+  quantile_value::DOUBLE AS d3, CAST(NULL AS DOUBLE) AS d4
+FROM ({sql_summary})
 """
 
     o["spanmetrics_spans"] = f"""

@@ -871,19 +871,28 @@ def _dec_metrics_request(buf: bytes) -> list[dict]:
                                 header["aggregation_temporality"] = int(v5)
                             elif f5 == 3:
                                 header["is_monotonic"] = bool(v5)
-                    elif f4 == 9:  # histogram
-                        header = {"metric_type": 3, "aggregation_temporality": 0}
+                    elif f4 in (9, 10):  # histogram / exponential hist
+                        mtype = 3 if f4 == 9 else 4
+                        header = {"metric_type": mtype, "aggregation_temporality": 0}
                         for f5, _w5, v5 in _fields(bytes(v4)):
                             if f5 == 1:
-                                points.append((3, bytes(v5)))
+                                points.append((mtype, bytes(v5)))
                             elif f5 == 2:
                                 header["aggregation_temporality"] = int(v5)
+                    elif f4 == 11:  # summary
+                        header = {"metric_type": 5}
+                        for f5, _w5, v5 in _fields(bytes(v4)):
+                            if f5 == 1:
+                                points.append((5, bytes(v5)))
                 for mtype, pbuf in points:
-                    p = (
-                        _dec_histogram_dp(pbuf)
-                        if mtype == 3
-                        else _dec_number_dp(pbuf)
-                    )
+                    if mtype == 3:
+                        p = _dec_histogram_dp(pbuf)
+                    elif mtype == 4:
+                        p = _dec_exphist_dp(pbuf)
+                    elif mtype == 5:
+                        p = _dec_summary_dp(pbuf)
+                    else:
+                        p = _dec_number_dp(pbuf)
                     p.update(header)
                     p["metric_name"] = name
                     out.append(p)
@@ -1042,3 +1051,348 @@ def otlp_pb_to_histogram_points(
                 yield pd.DataFrame(rows, columns=cols)
 
     return pruned.mapInPandas(decode, schema=_HIST_PB_SCHEMA)
+
+
+def _zigzag32(n: int) -> int:
+    return ((int(n) << 1) ^ (int(n) >> 31)) & 0xFFFFFFFF
+
+
+def _unzigzag(v: int) -> int:
+    return (v >> 1) ^ -(v & 1)
+
+
+def _f_packed_varint(field: int, vals: list[int]) -> bytes:
+    if not vals:
+        return b""
+    payload = b"".join(_varint(int(v)) for v in vals)
+    return _tag(field, 2) + _varint(len(payload)) + payload
+
+
+def _enc_exphist_dp(p: dict, attr_name: str) -> bytes:
+    # ExponentialHistogramDataPoint (metrics.pb.go:2847-2958): attrs=1,
+    # start=2, time=3, count=4 fixed64, sum=5 double, scale=6 sint32
+    # zigzag, zero_count=7 fixed64, positive=8 Buckets{offset=1 sint32
+    # zigzag, bucket_counts=2 packed varint}
+    pos = _aslist(p.get("positive") or [])  # [(index, n), ...] sorted
+    buckets = b""
+    if pos:
+        offset = int(pos[0][0])
+        span = int(pos[-1][0]) - offset + 1
+        dense = [0] * span
+        for idx, n in pos:
+            dense[int(idx) - offset] = int(n)
+        buckets = _f_msg(
+            8,
+            (_tag(1, 0) + _varint(_zigzag32(offset)) if offset else b"")
+            + _f_packed_varint(2, dense),
+        )
+    scale = int(p.get("scale") or 0)
+    return (
+        _f_msg(1, _enc_kv(attr_name, p.get("attr_key")))
+        + _f_fixed64(4, int(p.get("dp_count") or 0))
+        + (
+            _f_double(5, float(p["dp_sum"]), always=True)
+            if p.get("dp_sum") is not None
+            else b""
+        )
+        + (_tag(6, 0) + _varint(_zigzag32(scale)) if scale else b"")
+        + _f_fixed64(7, int(p.get("zero_count") or 0))
+        + buckets
+    )
+
+
+def _enc_summary_dp(p: dict, attr_name: str) -> bytes:
+    # SummaryDataPoint (metrics.pb.go:3064-3162): start=2, time=3,
+    # count=4 fixed64, sum=5 double, quantile_values=6{quantile=1 double,
+    # value=2 double}, attributes=7
+    qvs = b"".join(
+        _f_msg(
+            6,
+            _f_double(1, float(q), always=True)
+            + _f_double(2, float(v), always=True),
+        )
+        for q, v in _aslist(p.get("quantiles"))
+    )
+    return (
+        _f_fixed64(4, int(p.get("summary_count") or 0))
+        + (
+            _f_double(5, float(p["summary_sum"]), always=True)
+            if p.get("summary_sum") is not None
+            else b""
+        )
+        + qvs
+        + _f_msg(7, _enc_kv(attr_name, p.get("attr_key")))
+    )
+
+
+def _enc_exphist_metric(name: str, temporality: int, dps: list[dict], attr_name: str) -> bytes:
+    body = b"".join(
+        _f_msg(1, _enc_exphist_dp(p, attr_name)) for p in dps
+    ) + _f_varint(2, int(temporality))
+    return _f_string(1, name) + _f_msg(10, body)
+
+
+def _enc_summary_metric(name: str, dps: list[dict], attr_name: str) -> bytes:
+    body = b"".join(_f_msg(1, _enc_summary_dp(p, attr_name)) for p in dps)
+    return _f_string(1, name) + _f_msg(11, body)
+
+
+def _dec_exphist_dp(buf: bytes) -> dict:
+    p = {
+        "dp_count": 0, "dp_sum": None, "scale": 0, "zero_count": 0,
+        "positive": [], "attributes": {},
+    }
+    for field, _w, v in _fields(buf):
+        if field == 1:
+            k, val = _dec_kv(bytes(v))
+            p["attributes"][k] = val
+        elif field == 4:
+            p["dp_count"] = int(v)
+        elif field == 5:
+            p["dp_sum"] = struct.unpack("<d", struct.pack("<Q", int(v)))[0]
+        elif field == 6:
+            p["scale"] = _unzigzag(int(v))
+        elif field == 7:
+            p["zero_count"] = int(v)
+        elif field == 8:
+            offset, counts = 0, []
+            for f2, _w2, v2 in _fields(bytes(v)):
+                if f2 == 1:
+                    offset = _unzigzag(int(v2))
+                elif f2 == 2:
+                    raw, i = bytes(v2), 0
+                    while i < len(raw):
+                        n, i = _read_varint(raw, i)
+                        counts.append(n)
+            p["positive"] = [
+                (offset + i, n) for i, n in enumerate(counts) if n > 0
+            ]
+    return p
+
+
+def _dec_summary_dp(buf: bytes) -> dict:
+    p = {"summary_count": 0, "summary_sum": None, "quantiles": [], "attributes": {}}
+    for field, _w, v in _fields(buf):
+        if field == 4:
+            p["summary_count"] = int(v)
+        elif field == 5:
+            p["summary_sum"] = struct.unpack("<d", struct.pack("<Q", int(v)))[0]
+        elif field == 6:
+            q = val = 0.0
+            for f2, _w2, v2 in _fields(bytes(v)):
+                if f2 == 1:
+                    q = struct.unpack("<d", struct.pack("<Q", int(v2)))[0]
+                elif f2 == 2:
+                    val = struct.unpack("<d", struct.pack("<Q", int(v2)))[0]
+            p["quantiles"].append((q, val))
+        elif field == 7:
+            k, val2 = _dec_kv(bytes(v))
+            p["attributes"][k] = val2
+    return p
+
+
+def exp_histogram_points_to_otlp_pb(
+    points: DataFrame, attr_name: str = "event_type"
+) -> DataFrame:
+    """Long-form exponential-histogram bucket rows → OTLP proto wire
+    bytes (one dp per key; sparse positive buckets densified with the
+    OTLP offset+contiguous-counts form; NULL bucket_index = zero bucket).
+    Per-bucket sums don't exist on the wire — totals ride the point."""
+    per_key = points.groupBy(
+        "metric_name", "aggregation_temporality", "scale", "attr_key"
+    ).agg(
+        F.sum("n").cast("long").alias("dp_count"),
+        F.round(F.sum("bucket_sum"), 4).alias("dp_sum"),
+        F.sum(F.when(F.col("bucket_index").isNull(), F.col("n")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("zero_count"),
+        F.sort_array(
+            F.collect_list(
+                F.when(
+                    F.col("bucket_index").isNotNull(),
+                    F.struct(F.col("bucket_index"), F.col("n")),
+                )
+            )
+        ).alias("positive"),
+    )
+    dp = F.struct("attr_key", "dp_count", "dp_sum", "scale", "zero_count", "positive")
+    grouped = per_key.groupBy("metric_name", "aggregation_temporality").agg(
+        F.collect_list(dp).alias("__dps")
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield pd.DataFrame(
+                {
+                    "request_pb": [
+                        _enc_metrics_request(
+                            _enc_exphist_metric(
+                                nm,
+                                int(tmp),
+                                [
+                                    dict(
+                                        d,
+                                        positive=[
+                                            (b["bucket_index"], b["n"])
+                                            for b in _aslist(d["positive"])
+                                        ],
+                                    )
+                                    for d in dps
+                                ],
+                                attr_name,
+                            )
+                        )
+                        for nm, tmp, dps in zip(
+                            pdf["metric_name"],
+                            pdf["aggregation_temporality"],
+                            pdf["__dps"],
+                        )
+                    ]
+                }
+            )
+
+    return grouped.mapInPandas(
+        encode,
+        schema=T.StructType([T.StructField("request_pb", T.BinaryType(), False)]),
+    )
+
+
+_EXPHIST_PB_SCHEMA = T.StructType(
+    [
+        T.StructField("metric_name", T.StringType(), True),
+        T.StructField("scale", T.IntegerType(), True),
+        T.StructField("attr_key", T.StringType(), True),
+        T.StructField("bucket_index", T.LongType(), True),
+        T.StructField("n", T.LongType(), True),
+        T.StructField("dp_count", T.LongType(), True),
+        T.StructField("dp_sum", T.DoubleType(), True),
+    ]
+)
+
+
+def otlp_pb_to_exp_histogram_points(
+    requests: DataFrame, pb_col: str = "request_pb", attr_name: str = "event_type"
+) -> DataFrame:
+    """Wire bytes → long-form bucket rows + point totals (the JSON
+    codec's exphist round-trip shape: per-bucket sums are not a wire
+    concept, so totals replace them)."""
+    pruned = requests.select(pb_col)
+    cols = [f.name for f in _EXPHIST_PB_SCHEMA.fields]
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for buf in pdf[pb_col]:
+                for p in _dec_metrics_request(bytes(buf)):
+                    if p.get("metric_type") != 4:
+                        continue
+                    base = {
+                        "metric_name": p["metric_name"],
+                        "scale": p["scale"],
+                        "attr_key": (p.get("attributes") or {}).get(attr_name),
+                        "dp_count": p["dp_count"],
+                        "dp_sum": p["dp_sum"],
+                    }
+                    if p["zero_count"]:
+                        rows.append(
+                            tuple(dict(base, bucket_index=None, n=p["zero_count"]).get(c) for c in cols)
+                        )
+                    for idx, n in p["positive"]:
+                        rows.append(
+                            tuple(dict(base, bucket_index=idx, n=n).get(c) for c in cols)
+                        )
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+
+    return pruned.mapInPandas(decode, schema=_EXPHIST_PB_SCHEMA)
+
+
+def summary_points_to_otlp_pb(
+    points: DataFrame, attr_name: str = "event_type"
+) -> DataFrame:
+    """Long-form Summary quantile rows → OTLP proto wire bytes."""
+    per_key = points.groupBy(
+        "metric_name", "attr_key", "summary_count", "summary_sum"
+    ).agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("quantile"), F.col("quantile_value")))
+        ).alias("quantiles")
+    )
+    dp = F.struct("attr_key", "summary_count", "summary_sum", "quantiles")
+    grouped = per_key.groupBy("metric_name").agg(F.collect_list(dp).alias("__dps"))
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield pd.DataFrame(
+                {
+                    "request_pb": [
+                        _enc_metrics_request(
+                            _enc_summary_metric(
+                                nm,
+                                [
+                                    dict(
+                                        d,
+                                        quantiles=[
+                                            (q["quantile"], q["quantile_value"])
+                                            for q in _aslist(d["quantiles"])
+                                        ],
+                                    )
+                                    for d in dps
+                                ],
+                                attr_name,
+                            )
+                        )
+                        for nm, dps in zip(pdf["metric_name"], pdf["__dps"])
+                    ]
+                }
+            )
+
+    return grouped.mapInPandas(
+        encode,
+        schema=T.StructType([T.StructField("request_pb", T.BinaryType(), False)]),
+    )
+
+
+_SUMMARY_PB_SCHEMA = T.StructType(
+    [
+        T.StructField("metric_name", T.StringType(), True),
+        T.StructField("attr_key", T.StringType(), True),
+        T.StructField("summary_count", T.LongType(), True),
+        T.StructField("summary_sum", T.DoubleType(), True),
+        T.StructField("quantile", T.DoubleType(), True),
+        T.StructField("quantile_value", T.DoubleType(), True),
+    ]
+)
+
+
+def otlp_pb_to_summary_points(
+    requests: DataFrame, pb_col: str = "request_pb", attr_name: str = "event_type"
+) -> DataFrame:
+    pruned = requests.select(pb_col)
+    cols = [f.name for f in _SUMMARY_PB_SCHEMA.fields]
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for buf in pdf[pb_col]:
+                for p in _dec_metrics_request(bytes(buf)):
+                    if p.get("metric_type") != 5:
+                        continue
+                    base = {
+                        "metric_name": p["metric_name"],
+                        "attr_key": (p.get("attributes") or {}).get(attr_name),
+                        "summary_count": p["summary_count"],
+                        "summary_sum": p["summary_sum"],
+                    }
+                    for q, v in p["quantiles"]:
+                        rows.append(
+                            tuple(dict(base, quantile=q, quantile_value=v).get(c) for c in cols)
+                        )
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+
+    return pruned.mapInPandas(decode, schema=_SUMMARY_PB_SCHEMA)

@@ -187,3 +187,34 @@ def test_pb_metrics_roundtrip_identity():
     assert hb[0]["hist_explicit_bounds"] == [1.0, 2.5]
     assert hb[0]["attributes"]["event_type"] == "view"
     assert hb[1]["hist_sum"] is None and hb[1]["hist_bucket_counts"] == []
+
+
+def test_pb_exphist_and_summary_roundtrip_identity():
+    from opentelemetry_collector_spark.functions.otlp_pb import (
+        _dec_metrics_request,
+        _enc_exphist_metric,
+        _enc_metrics_request,
+        _enc_summary_metric,
+    )
+
+    dps = [
+        dict(attr_key="view", dp_count=10, dp_sum=25.5, scale=2,
+             zero_count=3, positive=[(-4, 2), (-1, 1), (0, 4)]),
+        dict(attr_key="err", dp_count=0, dp_sum=None, scale=0,
+             zero_count=0, positive=[]),
+    ]
+    back = _dec_metrics_request(
+        _enc_metrics_request(_enc_exphist_metric("m.eh", 1, dps, "event_type"))
+    )
+    assert back[0]["metric_type"] == 4 and back[0]["scale"] == 2
+    assert back[0]["positive"] == [(-4, 2), (-1, 1), (0, 4)]  # zigzag offset
+    assert back[0]["zero_count"] == 3 and back[0]["dp_sum"] == 25.5
+    assert back[1]["positive"] == [] and back[1]["dp_sum"] is None
+
+    sm = [dict(attr_key="view", summary_count=9, summary_sum=18.0,
+               quantiles=[(0.5, 1.0), (0.9, 3.5), (0.99, 4.25)])]
+    sb = _dec_metrics_request(
+        _enc_metrics_request(_enc_summary_metric("m.s", sm, "event_type"))
+    )
+    assert sb[0]["metric_type"] == 5
+    assert sb[0]["quantiles"] == [(0.5, 1.0), (0.9, 3.5), (0.99, 4.25)]
