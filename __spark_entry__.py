@@ -1407,17 +1407,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["winnowing_fingerprints"] = twinnow
 
-    # --- multimodal plumbing ---
-    def mm_decode(spark, sf):
-        # 2-part union: 'meta' = codec-free columnar blob metadata (pure
+    # --- multimodal plumbing (one suite: meta ∪ decode ∪ frame fan-out) ---
+    def mm_suite(spark, sf):
+        # 3-part union: 'meta' = codec-free columnar blob metadata (pure
         # built-ins); 'decode' = the Arrow-batched stubbed codec
-        # (deterministic fake header decode, md5-seeded)
+        # (deterministic fake header decode, md5-seeded); 'frame' = the
+        # 1→N Arrow fan-out (stride-64 byte frames, video-sampler shape)
         blobs = mm_ops.attach_blob(_t(spark, sf, "documents"))
         _I = F.lit(None).cast("int")
         _S = F.lit(None).cast("string")
         p_meta = mm_ops.blob_meta_columnar(blobs).select(
             F.lit("meta").alias("part"),
             F.col("doc_id"),
+            _I.alias("frame_no"),
             F.col("n_bytes"),
             F.col("sha256"),
             _I.alias("width"), _I.alias("height"), _S.alias("format"),
@@ -1425,19 +1427,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         p_decode = mm_ops.decode_image_meta(blobs, fake=True).select(
             F.lit("decode").alias("part"),
             F.col("doc_id"),
+            _I.alias("frame_no"),
             F.col("n_bytes"),
             F.col("sha256"),
             F.col("width"), F.col("height"), F.col("format"),
         )
-        return p_meta.unionAll(p_decode)
+        p_frame = mm_ops.frame_sample(blobs, every_n_bytes=64).select(
+            F.lit("frame").alias("part"),
+            F.col("doc_id"),
+            F.col("frame_no"),
+            F.lit(None).cast("long").alias("n_bytes"),
+            F.col("frame_sha256").alias("sha256"),
+            _I.alias("width"), _I.alias("height"), _S.alias("format"),
+        )
+        return p_meta.unionAll(p_decode).unionAll(p_frame)
 
-    q["multimodal_decode_stub"] = mm_decode
+    q["multimodal_suite"] = mm_suite
 
-    def mm_frames(spark, sf):  # 1→N Arrow fan-out: stride-64 byte frames
-        blobs = mm_ops.attach_blob(_t(spark, sf, "documents"))
-        return mm_ops.frame_sample(blobs, every_n_bytes=64)
+    # --- html → text extraction boundary (input_hint per-row invariant:
+    # byte-identical extracted text per url, proven by value parity — the
+    # Spark side recovers text FROM the binary html envelope, the oracle
+    # hashes the original text directly) ---
+    def html_extract(spark, sf):
+        from opentelemetry_collector_spark.operators.htmltext import extract_pages
 
-    q["multimodal_frame_sample"] = mm_frames
+        pages = pages_from_documents(_t(spark, sf, "documents"))
+        return extract_pages(pages).select(
+            "url",
+            F.md5(F.col("extracted_text")).alias("text_md5"),
+            F.octet_length(F.encode(F.col("extracted_text"), "UTF-8"))
+            .cast("long")
+            .alias("n_bytes"),
+        )
+
+    q["html_extract_text"] = html_extract
 
     def grok_access(spark, sf):  # grok-syntax compiler over planted CLF lines
         from opentelemetry_collector_spark.operators.grok import grok_extract
@@ -2368,31 +2391,41 @@ FROM embeddings WHERE vec_id < 3
 
     # merged multimodal metadata: 'meta' = codec-free columnar digests,
     # 'decode' = the md5-seeded deterministic fake header decode
-    o["multimodal_decode_stub"] = f"""
-SELECT 'meta' AS part, doc_id,
+    # frame_sample's stub frames are fixed-stride byte windows of the
+    # UTF-8 payload; the corpus is ASCII so byte offsets == char offsets
+    # and DuckDB's VARCHAR substr + sha256 reproduce each frame digest
+    # exactly (an empty payload still yields frame 0 over zero bytes)
+    o["multimodal_suite"] = f"""
+SELECT 'meta' AS part, doc_id, CAST(NULL AS INTEGER) AS frame_no,
   octet_length(encode(text))::BIGINT AS n_bytes,
   sha256(text) AS sha256,
   CAST(NULL AS INTEGER) AS width, CAST(NULL AS INTEGER) AS height,
   CAST(NULL AS VARCHAR) AS format
 FROM documents
 UNION ALL
-SELECT 'decode' AS part, doc_id, n_bytes, sha256, width, height, format
+SELECT 'decode' AS part, doc_id, CAST(NULL AS INTEGER) AS frame_no,
+  n_bytes, sha256, width, height, format
 FROM ({_MM_DECODE_SQL})
+UNION ALL
+SELECT 'frame' AS part, doc_id, i::INT AS frame_no,
+  CAST(NULL AS BIGINT) AS n_bytes,
+  sha256(substr(text, i * 64 + 1, 64)) AS sha256,
+  CAST(NULL AS INTEGER) AS width, CAST(NULL AS INTEGER) AS height,
+  CAST(NULL AS VARCHAR) AS format
+FROM (SELECT doc_id, text, length(text) AS n FROM documents WHERE text IS NOT NULL),
+  unnest(generate_series(0,
+    CASE WHEN n = 0 THEN 0 ELSE CAST(ceil(n / 64.0) AS INT) - 1 END)) AS t(i)
 """
 
-    # frame_sample's stub frames are fixed-stride byte windows of the
-    # UTF-8 payload; the corpus is ASCII so byte offsets == char offsets
-    # and DuckDB's VARCHAR substr + sha256 reproduce each frame digest
-    # exactly (an empty payload still yields frame 0 over zero bytes)
-    o["multimodal_frame_sample"] = """
-WITH d AS (
-  SELECT doc_id, text, length(text) AS n FROM documents
-  WHERE text IS NOT NULL
-)
-SELECT doc_id, i::INT AS frame_no,
-  sha256(substr(text, i * 64 + 1, 64)) AS frame_sha256
-FROM d, unnest(generate_series(0,
-  CASE WHEN n = 0 THEN 0 ELSE CAST(ceil(n / 64.0) AS INT) - 1 END)) AS t(i)
+    # html_extract_text: Spark recovers text FROM the binary html envelope
+    # (decode → <pre> extract → entity unescape); the oracle hashes the
+    # ORIGINAL text — value parity proves the extraction is byte-identical
+    # per url (BASELINE.json input_hint per-row invariant)
+    o["html_extract_text"] = """
+SELECT 'https://' || source || '.example.com/doc/' || doc_id AS url,
+  md5(text) AS text_md5,
+  octet_length(encode(text))::BIGINT AS n_bytes
+FROM documents
 """
 
     # Arrow-engine parse: per-host record counts reduce to non-empty-line

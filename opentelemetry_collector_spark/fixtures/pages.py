@@ -207,11 +207,20 @@ def generate_pages_pandas(ids: np.ndarray) -> pd.DataFrame:
         s = pd.Series(lines).groupby(page_idx).agg("\n".join)
         texts[s.index.to_numpy()] = s.to_numpy()
 
+    # entity-escape the body (& first) so operators.htmltext.extract_text
+    # can invert the envelope byte-identically for ANY body content —
+    # the input_hint's per-row invariant
+    def _esc(s: str) -> str:
+        return (
+            s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+            .replace('"', "&quot;").replace("'", "&#39;")
+        )
+
     pad_n = (h >> np.uint64(17)) % np.uint64(50)
     htmls = [
         (
-            "<html><head><title>" + u + "</title></head><body><pre>"
-            + t + "</pre>" + "<div class=\"boilerplate\">pad</div>" * int(p)
+            "<html><head><title>" + _esc(u) + "</title></head><body><pre>"
+            + _esc(t) + "</pre>" + "<div class=\"boilerplate\">pad</div>" * int(p)
             + "</body></html>"
         ).encode("utf-8")
         for u, t, p in zip(urls, texts, pad_n)

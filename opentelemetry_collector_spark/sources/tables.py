@@ -93,12 +93,15 @@ def pages_from_documents(docs: DataFrame) -> DataFrame:
     text so the north-star pipeline runs over the standard tables:
     url derives from (source, doc_id), warc_ts from doc_id seconds.
     """
+    from ..operators.htmltext import wrap_html
+
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/doc/"), F.col("doc_id")
+    )
     return docs.select(
-        F.concat(
-            F.lit("https://"), F.col("source"), F.lit(".example.com/doc/"), F.col("doc_id")
-        ).alias("url"),
+        url.alias("url"),
         F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id")).alias("warc_ts"),
-        F.encode(F.col("text"), "UTF-8").alias("html"),
+        wrap_html(F.col("text"), url).alias("html"),
         F.col("text"),
         F.col("lang"),
     )

@@ -30,7 +30,8 @@ SUBSET = [
     "dedup_simhash",
     "ann_topk_bruteforce",
     "text_signals",
-    "multimodal_decode_stub",
+    "multimodal_suite",
+    "html_extract_text",
 ]
 
 
@@ -67,6 +68,5 @@ def test_every_query_has_oracle_or_is_flagged(spark):
         "ann_lsh_pairs",
         "ann_ivf_topk",
         "winnowing_fingerprints",
-        "multimodal_decode_stub",
         "parse_arrow_engine",
     }

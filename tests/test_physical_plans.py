@@ -168,12 +168,12 @@ _PLAN_SHUFFLE_BUDGET = {
     "text_signals": 0,  # token/quality/lang/digest signals, one narrow pass
     "bpe_tokenize": 0,  # merge table folds into the expression tree, scan speed
     "winnowing_fingerprints": 0,  # pure narrow scan
+    "html_extract_text": 0,  # decode→extract→unescape, narrow scan speed
 }
 
 # the ONLY queries allowed Python eval nodes: the declared Arrow surfaces
 _PYTHON_ALLOWED = {
-    "multimodal_decode_stub",
-    "multimodal_frame_sample",
+    "multimodal_suite",
     "parse_arrow_engine",
     "otlp_pb_roundtrip",  # hand-written proto3 wire codec (no protoc here)
 }
