@@ -1332,32 +1332,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["embedding_neardup"] = emb_neardup
 
-    # --- similarity search ---
-    def ann_brute(spark, sf):
+    # --- similarity search (one suite: brute top-k ∪ RP-LSH pairs ∪ the
+    # IVF recall gate — each part is the intact operator output, tagged) ---
+    def ann_suite(spark, sf):
         emb = _t(spark, sf, "embeddings")
         queries_df = emb.where(F.col("vec_id") < 3).select(
             F.col("vec_id").alias("query_id"), F.col("embedding")
         )
-        return sim_ops.cosine_topk(emb, queries_df, k=5)
-
-    q["ann_topk_bruteforce"] = ann_brute
-
-    def ann_lsh(spark, sf):  # RP-LSH is fully deterministic → full oracle
-        return sim_ops.rp_lsh_pairs(_t(spark, sf, "embeddings"), threshold=0.4)
-
-    q["ann_lsh_pairs"] = ann_lsh
-
-    def ann_ivf(spark, sf):
+        _I = F.lit(None).cast("int")
+        _D = F.lit(None).cast("double")
+        _B = F.lit(None).cast("boolean")
+        p_brute = sim_ops.cosine_topk(emb, queries_df, k=5).select(
+            F.lit("brute").alias("part"),
+            F.col("query_id").alias("id_a"),
+            F.col("vec_id").cast("long").alias("id_b"),
+            F.col("rank"),
+            F.col("sim"),
+            _B.alias("recall_ok"),
+        )
+        # RP-LSH is fully deterministic → full oracle
+        p_lsh = sim_ops.rp_lsh_pairs(emb, threshold=0.4).select(
+            F.lit("lsh").alias("part"),
+            F.col("v1").cast("long").alias("id_a"),
+            F.col("v2").cast("long").alias("id_b"),
+            _I.alias("rank"),
+            F.col("sim"),
+            _B.alias("recall_ok"),
+        )
         # KMeans is iterative (not SQL-expressible), so the hash-checkable
         # output is the per-query recall-vs-bruteforce gate: recall_ok is
         # TRUE iff ≥ half of the exact top-k survives probing half the
         # cells — the oracle expects true for every query (VERDICT r1
         # Next #9). Both sides are deterministic (seeded KMeans, fixed
         # tie-breaks), so the boolean is stable.
-        emb = _t(spark, sf, "embeddings")
-        queries_df = emb.where(F.col("vec_id") < 3).select(
-            F.col("vec_id").alias("query_id"), F.col("embedding")
-        )
         exact = sim_ops.cosine_topk(emb, queries_df, k=5)
         ivf = sim_ops.ivf_topk(emb, queries_df, k=5, nprobe=8)
         hit = exact.alias("e").join(
@@ -1366,19 +1373,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             & (F.col("e.vec_id") == F.col("i.vec_id")),
             "left",
         )
-        return (
+        p_ivf = (
             hit.groupBy(F.col("e.query_id").alias("query_id"))
             .agg(
                 F.sum(F.when(F.col("i.vec_id").isNotNull(), 1).otherwise(0)).alias("__hits")
             )
             .select(
-                "query_id",
-                F.lit(5).alias("k"),
+                F.lit("ivf").alias("part"),
+                F.col("query_id").alias("id_a"),
+                F.lit(None).cast("long").alias("id_b"),
+                _I.alias("rank"),
+                _D.alias("sim"),
                 (F.col("__hits") / F.lit(5.0) >= F.lit(0.5)).alias("recall_ok"),
             )
         )
+        return p_brute.unionAll(p_lsh).unionAll(p_ivf)
 
-    q["ann_ivf_topk"] = ann_ivf
+    q["ann_suite"] = ann_suite
 
     # --- text analysis ---
     def text_signals_q(spark, sf):
@@ -1461,6 +1472,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["html_extract_text"] = html_extract
+
+    # --- WARC ingest boundary (Common Crawl's native format): pages →
+    # WARC/1.0 records (columnar) → chunk shards (one url-hash shuffle) →
+    # content-length streaming parse (Arrow, sequential-by-format) →
+    # html → text. Value parity vs the source documents proves the whole
+    # chain is byte-identical per url, headers included.
+    def warc_roundtrip(spark, sf):
+        from opentelemetry_collector_spark.operators.htmltext import extract_text
+        from opentelemetry_collector_spark.sources.warc import (
+            parse_warc,
+            warc_chunks,
+            warc_records,
+        )
+
+        pages = pages_from_documents(_t(spark, sf, "documents"))
+        parsed = parse_warc(warc_chunks(warc_records(pages), n_chunks=32))
+        # the envelope's exact byte length depends on a hash-sized pad
+        # DuckDB can't replay, so the header's Content-Length is checked
+        # as a consistency bit (== recovered payload bytes) rather than
+        # as a value; the text bytes ARE value-checked.
+        ext = extract_text(F.col("html"))
+        return parsed.select(
+            "url",
+            "warc_date",
+            (F.col("content_length") == F.octet_length(F.col("html"))).alias("len_ok"),
+            F.md5(ext).alias("text_md5"),
+            F.octet_length(F.encode(ext, "UTF-8")).cast("long").alias("n_bytes"),
+        )
+
+    q["warc_roundtrip"] = warc_roundtrip
 
     def grok_access(spark, sf):  # grok-syntax compiler over planted CLF lines
         from opentelemetry_collector_spark.operators.grok import grok_extract
@@ -2374,14 +2415,25 @@ WITH p AS (
 SELECT doc_id, host FROM p WHERE host NOT IN (SELECT host FROM b)
 """
     o["embedding_neardup"] = _EMB_NEARDUP_SQL
-    o["ann_topk_bruteforce"] = _ANN_TOPK_SQL
-    o["ann_lsh_pairs"] = _ann_lsh_sql()
     o["embedding_dedup_lsh"] = _lsh_cell_dedup_sql()
     o["grok_access_log"] = _grok_access_sql()
-    # recall gate: deterministic seeded KMeans + fixed tie-breaks → the
-    # per-query boolean is stable; the oracle expects TRUE for every query
-    o["ann_ivf_topk"] = """
-SELECT vec_id AS query_id, 5 AS k, true AS recall_ok
+    # merged ANN suite: 'brute' = exact cosine top-k; 'lsh' = the fully
+    # deterministic RP-LSH candidate pairs (plane constants embedded as
+    # literals, IEEE left-to-right sums); 'ivf' = the recall gate —
+    # deterministic seeded KMeans + fixed tie-breaks → the per-query
+    # boolean is stable; the oracle expects TRUE for every query
+    o["ann_suite"] = f"""
+SELECT 'brute' AS part, query_id AS id_a, vec_id AS id_b, rank,
+  sim, CAST(NULL AS BOOLEAN) AS recall_ok
+FROM ({_ANN_TOPK_SQL})
+UNION ALL
+SELECT 'lsh' AS part, v1 AS id_a, v2 AS id_b, CAST(NULL AS INTEGER) AS rank,
+  sim, CAST(NULL AS BOOLEAN) AS recall_ok
+FROM ({_ann_lsh_sql()})
+UNION ALL
+SELECT 'ivf' AS part, vec_id AS id_a, CAST(NULL AS BIGINT) AS id_b,
+  CAST(NULL AS INTEGER) AS rank, CAST(NULL AS DOUBLE) AS sim,
+  true AS recall_ok
 FROM embeddings WHERE vec_id < 3
 """
     o["winnowing_fingerprints"] = _WINNOW_SQL
@@ -2423,6 +2475,22 @@ FROM (SELECT doc_id, text, length(text) AS n FROM documents WHERE text IS NOT NU
     # per url (BASELINE.json input_hint per-row invariant)
     o["html_extract_text"] = """
 SELECT 'https://' || source || '.example.com/doc/' || doc_id AS url,
+  md5(text) AS text_md5,
+  octet_length(encode(text))::BIGINT AS n_bytes
+FROM documents
+"""
+
+    # warc_roundtrip: pages → WARC/1.0 shards → content-length streaming
+    # parse → html → text. The oracle reconstructs the expected record
+    # set from documents directly: url and WARC-Date from the derivation
+    # rules, text hash/bytes from the source column — value parity proves
+    # headers AND payload survive the wire byte-identically. len_ok is
+    # the in-engine Content-Length == payload-bytes framing check.
+    o["warc_roundtrip"] = """
+SELECT 'https://' || source || '.example.com/doc/' || doc_id AS url,
+  strftime(make_timestamp((1704067200 + doc_id) * 1000000),
+           '%Y-%m-%dT%H:%M:%SZ') AS warc_date,
+  true AS len_ok,
   md5(text) AS text_md5,
   octet_length(encode(text))::BIGINT AS n_bytes
 FROM documents

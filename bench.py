@@ -153,8 +153,9 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",
-    "ann_topk_bruteforce",
+    "ann_suite",
     "winnowing_fingerprints",
+    "warc_roundtrip",
     "chunk_dedup",
     "doc_signals",
     "text_signals",

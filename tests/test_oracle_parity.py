@@ -28,7 +28,8 @@ SUBSET = [
     "window_tumbling",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "ann_topk_bruteforce",
+    "ann_suite",
+    "warc_roundtrip",
     "text_signals",
     "multimodal_suite",
     "html_extract_text",
@@ -64,9 +65,4 @@ def test_every_query_has_oracle_or_is_flagged(spark):
     assert set(oracles) <= set(qs)
     # non-SQL-expressible ops are the documented exceptions
     rows_only = set(qs) - set(oracles)
-    assert rows_only <= {
-        "ann_lsh_pairs",
-        "ann_ivf_topk",
-        "winnowing_fingerprints",
-        "parse_arrow_engine",
-    }
+    assert rows_only == set()

@@ -162,9 +162,8 @@ _PLAN_SHUFFLE_BUDGET = {
     # exchange is materialized once behind the localCheckpoint pin)
     "pack_sequences": 2,
     "embedding_neardup": 0,  # broadcast nested-loop cross join
-    "ann_topk_bruteforce": 2,  # partial + final top-k
-    "ann_lsh_pairs": 1,
-    "ann_ivf_topk": 8,  # KMeans pipeline + rank windows
+    "ann_suite": 11,  # brute partial+final top-k (2) + lsh band join (1)
+    # + the ivf part's KMeans pipeline + rank windows (8)
     "text_signals": 0,  # token/quality/lang/digest signals, one narrow pass
     "bpe_tokenize": 0,  # merge table folds into the expression tree, scan speed
     "winnowing_fingerprints": 0,  # pure narrow scan
@@ -176,6 +175,7 @@ _PYTHON_ALLOWED = {
     "multimodal_suite",
     "parse_arrow_engine",
     "otlp_pb_roundtrip",  # hand-written proto3 wire codec (no protoc here)
+    "warc_roundtrip",  # content-length framing is sequential by format
 }
 
 

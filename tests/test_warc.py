@@ -1,0 +1,97 @@
+"""WARC format ↔ pages: framing, determinism, strictness, byte identity."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_spark.fixtures import synthesize_pages
+from opentelemetry_collector_spark.operators.htmltext import extract_text
+from opentelemetry_collector_spark.sources.warc import (
+    _parse_blob,
+    parse_warc,
+    warc_chunks,
+    warc_records,
+)
+
+
+def _roundtrip_frames(spark, n=200):
+    pages = synthesize_pages(spark, n, partitions=4)
+    chunks = warc_chunks(warc_records(pages), n_chunks=8)
+    return pages, parse_warc(chunks)
+
+
+def test_roundtrip_byte_identity(spark):
+    """Every page's html survives format→chunk→parse byte-identically,
+    and the recovered text equals the original text column."""
+    pages, parsed = _roundtrip_frames(spark)
+    joined = pages.alias("p").join(parsed.alias("w"), "url", "full")
+    bad = joined.where(
+        ~F.col("p.html").eqNullSafe(F.col("w.html"))
+        | ~extract_text(F.col("w.html")).eqNullSafe(F.col("p.text"))
+    ).count()
+    assert bad == 0
+    assert parsed.count() == pages.where(F.col("html").isNotNull()).count()
+
+
+def test_record_framing(spark):
+    pages = synthesize_pages(spark, 5, partitions=1)
+    rec = warc_records(pages).select("record").first()["record"]
+    b = bytes(rec)
+    assert b.startswith(b"WARC/1.0\r\n")
+    assert b.endswith(b"\r\n\r\n")
+    (url, date, clen, payload) = _parse_blob(b)[0]
+    assert url.startswith("http")
+    assert len(payload) == clen
+    assert date.endswith("Z")
+
+
+def test_chunks_deterministic(spark):
+    pages = synthesize_pages(spark, 120, partitions=4)
+
+    def digest():
+        return sorted(
+            (r["chunk_id"], r["d"])
+            for r in warc_chunks(warc_records(pages), n_chunks=4)
+            .select("chunk_id", F.md5(F.col("warc")).alias("d"))
+            .collect()
+        )
+
+    assert digest() == digest()
+
+
+@pytest.mark.parametrize(
+    "blob",
+    [
+        b"GZIP not a warc",
+        b"WARC/1.0\r\nContent-Length: 10\r\n\r\nshort\r\n\r\n",  # truncated
+        b"WARC/1.0\r\nContent-Length: 3\r\n\r\nabcXY",  # missing separator
+    ],
+)
+def test_misframe_raises(blob):
+    with pytest.raises(ValueError, match="misframe"):
+        _parse_blob(blob)
+
+
+def test_payload_may_contain_magic():
+    """Content-Length framing, not delimiter splitting: a payload that
+    embeds the record magic must parse as ONE record."""
+    payload = b"<html>WARC/1.0\r\n\r\n</html>"
+    blob = (
+        b"WARC/1.0\r\nWARC-Target-URI: u\r\nWARC-Date: d\r\n"
+        b"Content-Length: " + str(len(payload)).encode() + b"\r\n\r\n"
+        + payload + b"\r\n\r\n"
+    )
+    recs = _parse_blob(blob)
+    assert len(recs) == 1 and recs[0][3] == payload
+
+
+def test_empty_input(spark):
+    pages = synthesize_pages(spark, 5, partitions=1).where(F.lit(False))
+    assert parse_warc(warc_chunks(warc_records(pages))).count() == 0
+
+
+def test_null_html_pages_emit_no_record(spark):
+    pages = synthesize_pages(spark, 10, partitions=1).withColumn(
+        "html", F.when(F.col("url").isNotNull(), F.lit(None).cast("binary"))
+    )
+    assert warc_records(pages).count() == 0
