@@ -1405,6 +1405,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bpe_tokenize"] = bpe_tokenize_q
 
+    def nb_classifier_q(spark, sf):
+        # one-pass trainable linear classifier (NB log-odds over hashed
+        # unigrams), self-trained on the corpus to predict lang=='en' —
+        # the fastText-shaped quality/lang filter of corpus curation
+        from opentelemetry_collector_spark.operators.classify import nb_self_classify
+
+        docs = _t(spark, sf, "documents")
+        return nb_self_classify(docs, F.col("lang") == F.lit("en"))
+
+    q["nb_classifier"] = nb_classifier_q
+
     def twinnow(spark, sf):  # exploded (doc, fingerprint) rows → full oracle
         # explode_OUTER + post-filter, not plain explode: Catalyst's
         # InferFiltersFromGenerate pushes size()>0 AND isnotnull() below a
@@ -2440,6 +2451,44 @@ FROM embeddings WHERE vec_id < 3
 
     o["text_signals"] = _TEXT_SIGNALS_SQL
     o["bpe_tokenize"] = _bpe_tokenize_sql()
+
+    # nb_classifier: the closed-form NB training aggregation replayed
+    # exactly — identical md5 feature hashing (the 60-bit bridge), same
+    # +α / +α·B smoothing, 9-dp weight rounding before the per-doc mean
+    # (house float-parity pattern), 4-dp score output
+    o["nb_classifier"] = f"""
+WITH base AS (
+  SELECT doc_id, (lang = 'en') AS y, text FROM documents WHERE text IS NOT NULL
+), toks AS (
+  SELECT doc_id, y, ({_dd_hexlong("tok")}) % 4096 AS bucket
+  FROM (SELECT doc_id, y, unnest(string_split_regex(trim(text), ' +')) AS tok
+        FROM base)
+), counts AS (
+  SELECT bucket,
+    sum(CASE WHEN y THEN 1 ELSE 0 END)::DOUBLE AS pos,
+    sum(CASE WHEN y THEN 0 ELSE 1 END)::DOUBLE AS neg
+  FROM toks GROUP BY bucket
+), tot AS (
+  SELECT sum(pos) AS pt, sum(neg) AS nt FROM counts
+), model AS (
+  SELECT bucket,
+    round(log2((pos + 1.0) / (pt + 4096.0))
+        - log2((neg + 1.0) / (nt + 4096.0)), 9) AS w
+  FROM counts, tot
+), b AS (
+  SELECT round(log2(sum(CASE WHEN y THEN 1 ELSE 0 END)::DOUBLE)
+             - log2(sum(CASE WHEN y THEN 0 ELSE 1 END)::DOUBLE), 9) AS bias
+  FROM base
+), scored AS (
+  SELECT t.doc_id, t.y, coalesce(m.w, 0.0) AS w
+  FROM toks t LEFT JOIN model m USING (bucket)
+)
+SELECT s.doc_id, s.y AS label, count(*)::BIGINT AS n_tokens,
+  round(b.bias + avg(s.w), 4) AS score,
+  (b.bias + avg(s.w)) >= 0 AS predicted
+FROM scored s, b
+GROUP BY s.doc_id, s.y, b.bias
+"""
 
     # merged multimodal metadata: 'meta' = codec-free columnar digests,
     # 'decode' = the md5-seeded deterministic fake header decode

@@ -168,6 +168,8 @@ _PLAN_SHUFFLE_BUDGET = {
     "bpe_tokenize": 0,  # merge table folds into the expression tree, scan speed
     "winnowing_fingerprints": 0,  # pure narrow scan
     "html_extract_text": 0,  # decode→extract→unescape, narrow scan speed
+    "nb_classifier": 3,  # train bucket agg + totals/bias; scoring is
+    # broadcast join + per-doc agg (corpus never shuffles on the token key)
 }
 
 # the ONLY queries allowed Python eval nodes: the declared Arrow surfaces
