@@ -528,3 +528,63 @@ def chunk_dedup(
             "dup_frac", F.round(F.col("n_dup_chunks") / F.col("n_chunks"), 4)
         )
     )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+) -> DataFrame:
+    """CCNet-style paragraph-level deduplication: drop every paragraph
+    whose exact content appears in ≥ ``min_docs`` DISTINCT documents
+    corpus-wide (nav bars, cookie banners, footers — the boilerplate
+    that survives document-level dedup because the surrounding text
+    differs), then reassemble each document with its original paragraph
+    order intact.
+
+    Semantics are deterministic and order-free: a paragraph is dropped
+    from EVERY document it appears in once it crosses the threshold
+    (unlike keep-first-occurrence variants, the result does not depend
+    on any global scan order). A document repeating its own paragraph
+    does not make it boilerplate — the count is per distinct document.
+
+    Scale shape: posexplode on newline (narrow) → ONE groupBy on the
+    md5 paragraph key (map-side partial, uniform by construction) →
+    the duplicate-key set joins back on the same key (shuffle join —
+    the dup set is corpus-sized, NOT broadcastable at 100 TB) → ONE
+    per-doc aggregate reassembles via an in-group sort_array (paragraph
+    counts per doc are document-sized, never corpus-sized). Documents
+    whose every paragraph is boilerplate survive with empty text — the
+    flag rides the paragraph rows, so no doc is lost to an anti-join.
+
+    Returns ``(id, n_paras, n_dropped, clean_text)``.
+    """
+    paras = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "para"),
+    )
+    h = F.md5(F.col("para"))
+    dup = (
+        paras.groupBy(h.alias("h"))
+        .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+        .where(F.col("__nd") >= min_docs)
+        .select("h")
+    )
+    flagged = paras.withColumn("h", h).join(
+        dup.withColumn("__dup", F.lit(True)), "h", "left"
+    )
+    item = F.struct(F.col("pos"), F.col("para"), F.coalesce("__dup", F.lit(False)).alias("d"))
+    return (
+        flagged.groupBy(id_col)
+        .agg(F.sort_array(F.collect_list(item)).alias("__ps"))
+        .select(
+            F.col(id_col),
+            F.size("__ps").cast("long").alias("n_paras"),
+            F.size(F.filter("__ps", lambda x: x["d"])).cast("long").alias("n_dropped"),
+            F.array_join(
+                F.transform(F.filter("__ps", lambda x: ~x["d"]), lambda x: x["para"]),
+                "\n",
+            ).alias("clean_text"),
+        )
+    )

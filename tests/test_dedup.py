@@ -114,3 +114,68 @@ def test_simhash_identical_for_exact_dups(docs):
 def test_simhash_pairs_hamming_zero_for_dups(docs):
     pairs = {(r["d1"], r["d2"]): r["hamming"] for r in simhash_pairs(docs, max_hamming=3).collect()}
     assert pairs.get((0, 3)) == 0
+
+
+# --- paragraph-level boilerplate dedup (CCNet-style) ---
+
+
+def test_paragraph_dedup_drops_cross_doc_boilerplate(spark):
+    from opentelemetry_collector_spark.operators.dedup import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "cookie banner\nunique alpha\nfooter"),
+            (2, "cookie banner\nunique beta\nfooter"),
+            (3, "cookie banner\nunique gamma"),
+            (4, "solo document\nwith its own lines"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in paragraph_dedup(docs, min_docs=2).collect()}
+    assert out[1]["clean_text"] == "unique alpha"
+    assert out[2]["clean_text"] == "unique beta"
+    assert out[3]["clean_text"] == "unique gamma"
+    assert out[4]["clean_text"] == "solo document\nwith its own lines"
+    assert out[1]["n_paras"] == 3 and out[1]["n_dropped"] == 2
+    assert out[4]["n_dropped"] == 0
+
+
+def test_paragraph_dedup_self_repeat_is_not_boilerplate(spark):
+    """A doc repeating its own paragraph must NOT cross the threshold —
+    the count is per distinct document."""
+    from opentelemetry_collector_spark.operators.dedup import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "echo\necho\necho"), (2, "other text")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in paragraph_dedup(docs, min_docs=2).collect()}
+    assert out[1]["clean_text"] == "echo\necho\necho"
+    assert out[1]["n_dropped"] == 0
+
+
+def test_paragraph_dedup_all_boilerplate_doc_survives_empty(spark):
+    from opentelemetry_collector_spark.operators.dedup import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "banner"), (2, "banner"), (3, "banner\nreal content")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in paragraph_dedup(docs, min_docs=2).collect()}
+    assert len(out) == 3  # no doc lost to an anti-join
+    assert out[1]["clean_text"] == "" and out[1]["n_dropped"] == 1
+    assert out[3]["clean_text"] == "real content"
+
+
+def test_paragraph_dedup_preserves_order_and_empty_paras(spark):
+    from opentelemetry_collector_spark.operators.dedup import paragraph_dedup
+
+    # empty paragraphs ('\n\n') are shared across docs → dropped as
+    # boilerplate; surviving order must match the original
+    docs = spark.createDataFrame(
+        [(1, "z last?\n\na first\nm middle\n"), (2, "x\n\ny\n")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in paragraph_dedup(docs, min_docs=2).collect()}
+    assert out[1]["clean_text"] == "z last?\na first\nm middle"
+    assert out[2]["clean_text"] == "x\ny"

@@ -144,6 +144,7 @@ _PLAN_SHUFFLE_BUDGET = {
     "dedup_clusters": 3,  # per-round plans are checkpointed separately
     "dedup_simhash": 1,
     "chunk_dedup": 2,  # first-occurrence window on chunk hash + per-doc agg
+    "paragraph_dedup": 3,  # para-hash agg + keyed join back + per-doc reassembly
     "doc_signals": 0,  # repetition + entropy, pure narrow array expressions
     "pii_redact": 0,  # narrow regex projection, scan speed
     "blocklist_filter": 1,  # blocklist-side distinct only; pages never shuffle
@@ -161,8 +162,8 @@ _PLAN_SHUFFLE_BUDGET = {
     # two visible: per-partition window + tiny totals agg (the range
     # exchange is materialized once behind the localCheckpoint pin)
     "pack_sequences": 2,
-    "embedding_neardup": 0,  # broadcast nested-loop cross join
-    "ann_suite": 11,  # brute partial+final top-k (2) + lsh band join (1)
+    "ann_suite": 11,  # brute partial+final top-k (2) + exact-pairs
+    # broadcast cross join (0) + lsh band join (1)
     # + the ivf part's KMeans pipeline + rank windows (8)
     "text_signals": 0,  # token/quality/lang/digest signals, one narrow pass
     "bpe_tokenize": 0,  # merge table folds into the expression tree, scan speed
