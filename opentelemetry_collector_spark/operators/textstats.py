@@ -60,19 +60,41 @@ def text_signals(
     ``text``.
     """
     text = F.col(text_col)
-    w = tokenize(text)
-    n = F.size(w)
     bpe = F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), 0)
+
+    # every token-array consumer lives in ONE bound lambda: expressions
+    # referenced from inside lambda scopes are re-inlined per call site
+    # (no cross-scope CSE — the winnowing/minhash lesson), so a shared
+    # `w = tokenize(text)` would re-split the text once per signal (8×,
+    # one per lang vote alone). The single-element transform bind
+    # materializes the split once; the outer projection's repeated struct
+    # references CSE normally (they are not inside lambda scopes).
+    def _tok_signals(w: Column) -> Column:
+        n = F.size(w)
+        total_len = F.aggregate(
+            F.transform(w, lambda t: F.length(t).cast("double")),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        stop_en = F.array(*[F.lit(s) for s in STOPWORDS["en"]])
+        n_stop = F.size(F.filter(w, lambda t: F.array_contains(stop_en, t)))
+        votes = []
+        for lang_code in sorted(STOPWORDS):
+            arr = F.array(*[F.lit(s) for s in STOPWORDS[lang_code]])
+            votes.append(
+                F.size(F.filter(w, lambda t: F.array_contains(arr, t)))
+                .alias(f"s_{lang_code}")
+            )
+        return F.struct(n.alias("n"), total_len.alias("tl"), n_stop.alias("ns"), *votes)
+
+    s = F.element_at(F.transform(F.array(tokenize(text)), _tok_signals), 1)
+    df = df.withColumn("__s", s)
+    n = F.col("__s.n")
     # quality features (quality_score semantics, verbatim)
-    total_len = F.aggregate(
-        F.transform(w, lambda t: F.length(t).cast("double")),
-        F.lit(0.0),
-        lambda a, x: a + x,
-    )
-    mean_word_len = F.when(n > 0, total_len / n).otherwise(F.lit(0.0))
-    stop_en = F.array(*[F.lit(s) for s in STOPWORDS["en"]])
-    n_stop = F.size(F.filter(w, lambda t: F.array_contains(stop_en, t)))
-    stopword_ratio = F.when(n > 0, n_stop.cast("double") / n).otherwise(F.lit(0.0))
+    mean_word_len = F.when(n > 0, F.col("__s.tl") / n).otherwise(F.lit(0.0))
+    stopword_ratio = F.when(
+        n > 0, F.col("__s.ns").cast("double") / n
+    ).otherwise(F.lit(0.0))
     n_alpha = F.length(F.regexp_replace(text, "[^A-Za-z ]", ""))
     alpha_ratio = F.when(
         F.length(text) > 0, n_alpha.cast("double") / F.length(text)
@@ -80,10 +102,7 @@ def text_signals(
     ws_norm = F.least(n.cast("double") / F.lit(100.0), F.lit(1.0))
     score = F.lit(0.4) * ws_norm + F.lit(0.3) * stopword_ratio + F.lit(0.3) * alpha_ratio
     # lang-id votes (lang_id semantics, verbatim)
-    scores: dict[str, Column] = {}
-    for lang_code, words in STOPWORDS.items():
-        arr = F.array(*[F.lit(s) for s in words])
-        scores[lang_code] = F.size(F.filter(w, lambda t: F.array_contains(arr, t)))
+    scores = {c: F.col(f"__s.s_{c}") for c in sorted(STOPWORDS)}
     entries = F.array(
         *[
             F.struct((-scores[c]).alias("neg"), F.lit(c).alias("lang"))
@@ -121,17 +140,27 @@ def quality_score(
     - score: 0.4·min(ws_tokens/100,1) + 0.3·stopword_ratio + 0.3·alpha_ratio.
     """
     text = F.col(text_col)
-    w = tokenize(text)
-    n = F.size(w)
-    total_len = F.aggregate(
-        F.transform(w, lambda t: F.length(t).cast("double")),
-        F.lit(0.0),
-        lambda a, x: a + x,
-    )
-    mean_word_len = F.when(n > 0, total_len / n).otherwise(F.lit(0.0))
-    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS["en"]])
-    n_stop = F.size(F.filter(w, lambda t: F.array_contains(stop_arr, t)))
-    stopword_ratio = F.when(n > 0, n_stop.cast("double") / n).otherwise(F.lit(0.0))
+
+    # token-array consumers live in one bound lambda (see text_signals:
+    # lambda call sites re-inline a shared tokenize, no cross-scope CSE)
+    def _tok(w: Column) -> Column:
+        stop_arr = F.array(*[F.lit(s) for s in STOPWORDS["en"]])
+        return F.struct(
+            F.size(w).alias("n"),
+            F.aggregate(
+                F.transform(w, lambda t: F.length(t).cast("double")),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ).alias("tl"),
+            F.size(F.filter(w, lambda t: F.array_contains(stop_arr, t))).alias("ns"),
+        )
+
+    df = df.withColumn("__s", F.element_at(F.transform(F.array(tokenize(text)), _tok), 1))
+    n = F.col("__s.n")
+    mean_word_len = F.when(n > 0, F.col("__s.tl") / n).otherwise(F.lit(0.0))
+    stopword_ratio = F.when(
+        n > 0, F.col("__s.ns").cast("double") / n
+    ).otherwise(F.lit(0.0))
     n_alpha = F.length(F.regexp_replace(text, "[^A-Za-z ]", ""))
     alpha_ratio = F.when(
         F.length(text) > 0, n_alpha.cast("double") / F.length(text)
@@ -157,11 +186,25 @@ def lang_id(
     (score DESC, language ASC); 'und' when all scores are 0. Deterministic
     and exactly reproducible in SQL.
     """
-    w = tokenize(F.col(text_col))
-    scores: dict[str, Column] = {}
-    for lang_code, words in STOPWORDS.items():
-        arr = F.array(*[F.lit(s) for s in words])
-        scores[lang_code] = F.size(F.filter(w, lambda t: F.array_contains(arr, t)))
+    # one bound lambda computes every language's vote (a shared tokenize
+    # would re-split the text once per language — no cross-scope CSE)
+    def _votes(w: Column) -> Column:
+        cols = []
+        for lang_code in sorted(STOPWORDS):
+            arr = F.array(*[F.lit(s) for s in STOPWORDS[lang_code]])
+            cols.append(
+                F.size(F.filter(w, lambda t: F.array_contains(arr, t)))
+                .alias(f"s_{lang_code}")
+            )
+        return F.struct(*cols)
+
+    df = df.withColumn(
+        "__v",
+        F.element_at(F.transform(F.array(tokenize(F.col(text_col))), _votes), 1),
+    )
+    scores: dict[str, Column] = {
+        c: F.col(f"__v.s_{c}") for c in sorted(STOPWORDS)
+    }
     # argmax with (score desc, lang asc) tiebreak via sort of structs
     entries = F.array(
         *[
