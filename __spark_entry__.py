@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from opentelemetry_collector_spark.operators import aggregate as agg_ops
 from opentelemetry_collector_spark.operators import dedup as dedup_ops
+from opentelemetry_collector_spark.operators import dsir as dsir_ops
 from opentelemetry_collector_spark.operators import metrics as met_ops
 from opentelemetry_collector_spark.operators import multimodal as mm_ops
 from opentelemetry_collector_spark.operators import traces as tr_ops
@@ -36,6 +37,7 @@ from opentelemetry_collector_spark.operators.parse import parse_pages
 from opentelemetry_collector_spark.sources.tables import (
     EVENT_SEVERITY,
     events_to_records,
+    fan_out_small_scan,
     pages_from_documents,
 )
 from opentelemetry_collector_spark.streaming.router import FanoutRouter, Route
@@ -278,12 +280,19 @@ FROM sig s LEFT JOIN dup d ON s.vec_id = d.vid
 """
 
 
-_WINNOW_SQL = f"""
-WITH g AS (
-  SELECT doc_id,
-    list_transform(generate_series(1, greatest(length(text) - 4, 0)),
-                   i -> {_dd_hexlong("substr(text, i, 5)")}) AS gh
+# Rabin-Karp gram hash over Unicode code points, B=257 (k=5 powers):
+# unicode() ≡ Spark ascii() — both return the code point
+_WINNOW_SQL = """
+WITH cp AS (
+  SELECT doc_id, list_transform(string_split(text, ''), c -> unicode(c)) AS cps,
+    length(text) AS n
   FROM documents
+), g AS (
+  SELECT doc_id,
+    list_transform(generate_series(1, greatest(n - 4, 0)),
+                   i -> cps[i] * 4362470401 + cps[i+1] * 16974593
+                      + cps[i+2] * 66049 + cps[i+3] * 257 + cps[i+4]) AS gh
+  FROM cp
 ), m AS (
   SELECT doc_id,
     CASE WHEN len(gh) >= 4
@@ -1208,8 +1217,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def doc_signals_q(spark, sf):
         # Gopher-family repetition filters + Shannon bits/char gibberish
         # signal, one narrow projection (former repetition_signals +
-        # char_entropy queries, same column semantics)
-        return ts_ops.doc_signals(_t(spark, sf, "documents"))
+        # char_entropy queries, same column semantics); compute-bound on a
+        # byte-tiny scan → small-scan fan-out (no-op at scale)
+        return ts_ops.doc_signals(fan_out_small_scan(_t(spark, sf, "documents")))
 
     q["doc_signals"] = doc_signals_q
 
@@ -1274,9 +1284,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["embedding_dedup_lsh"] = emb_dedup_lsh_q
 
     def sampling_suite(spark, sf):
-        # deterministic samplers, one 2-part union: 'stratified' =
+        # deterministic samplers, one 3-part union: 'stratified' =
         # per-group quota sampling rows; 'hash' = salted-md5 10% sample
-        # rolled up per source.
+        # rolled up per source; 'dsir' = importance resampling toward a
+        # target slice (hashed-ngram density-ratio weights + Gumbel
+        # top-k, Xie et al. 2023 — operators/dsir.py).
+        _D = F.lit(None).cast("double")
         strat = ts_ops.sample_stratified(
             _t(spark, sf, "documents"), group_col="lang", n_per_group=10
         )
@@ -1285,6 +1298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("lang").alias("s1"),
             F.col("doc_id").cast("long").alias("k1"),
             F.col("sample_rank").cast("long").alias("k2"),
+            _D.alias("d1"),
         )
         sampled = ts_ops.hash_sample(_t(spark, sf, "documents"), pct=0.10)
         p_hash = sampled.groupBy("source").agg(
@@ -1294,8 +1308,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("source").alias("s1"),
             F.col("n_sampled").cast("long").alias("k1"),
             F.col("first_doc").cast("long").alias("k2"),
+            _D.alias("d1"),
         )
-        return p_strat.unionAll(p_hash)
+        docs = _t(spark, sf, "documents")
+        model, consts = dsir_ops.dsir_log_ratios(
+            docs, docs.where(F.col("doc_id") % 37 == 0), n_buckets=4096
+        )
+        picked = dsir_ops.dsir_resample(
+            dsir_ops.dsir_scores(docs, model, consts, n_buckets=4096), k=25
+        )
+        p_dsir = picked.select(
+            F.lit("dsir").alias("part"),
+            F.lit(None).cast("string").alias("s1"),
+            F.col("doc_id").cast("long").alias("k1"),
+            F.col("rank").cast("long").alias("k2"),
+            F.col("log_w").alias("d1"),
+        )
+        return p_strat.unionAll(p_hash).unionAll(p_dsir)
 
     q["sampling_suite"] = sampling_suite
 
@@ -1435,13 +1464,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def text_signals_q(spark, sf):
         # token counts + quality features + language ID + content digests
         # in one pass (former token_count / quality_score / lang_id /
-        # doc_fingerprint queries, identical per-column semantics)
-        return ts_ops.text_signals(_t(spark, sf, "documents"))
+        # doc_fingerprint queries, identical per-column semantics);
+        # compute-bound narrow scan → small-scan fan-out (no-op at scale)
+        return ts_ops.text_signals(fan_out_small_scan(_t(spark, sf, "documents")))
 
     q["text_signals"] = text_signals_q
 
-    def bpe_tokenize_q(spark, sf):  # merge-table BPE, fully columnar
-        return ts_ops.bpe_encode(_t(spark, sf, "documents"))
+    def bpe_tokenize_q(spark, sf):  # merge-table BPE, fully columnar;
+        # compute-bound narrow scan → small-scan fan-out (no-op at scale)
+        return ts_ops.bpe_encode(fan_out_small_scan(_t(spark, sf, "documents")))
 
     q["bpe_tokenize"] = bpe_tokenize_q
 
@@ -1462,7 +1493,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # non-outer Generate, duplicating the whole gram-hash expression —
         # 3× the md5 work per row. The outer variant infers nothing; the
         # null-filter on the GENERATED column is a cheap post-Generate op.
-        fp = ts_ops.winnowing_fingerprints(_t(spark, sf, "documents"))
+        # |text| gram hashes per doc on a byte-tiny scan → small-scan
+        # fan-out (no-op at scale); measured 2.6 s → 0.93 s at local[32]
+        fp = ts_ops.winnowing_fingerprints(
+            fan_out_small_scan(_t(spark, sf, "documents"))
+        )
         return fp.select(
             "doc_id", F.explode_outer("fingerprints").alias("fingerprint")
         ).where(F.col("fingerprint").isNotNull())
@@ -2302,16 +2337,55 @@ WITH r AS (
     row_number() OVER (PARTITION BY lang
                        ORDER BY md5('sample:' || doc_id) ASC, doc_id ASC) AS rk
   FROM documents
+), toks AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS t
+  FROM documents WHERE text IS NOT NULL
+), fb AS (
+  SELECT doc_id, ({_dd_hexlong("tok")}) % 4096 AS bucket
+  FROM (SELECT doc_id, unnest(list_concat(t,
+          CASE WHEN len(t) >= 2
+               THEN list_transform(generate_series(1, len(t) - 1),
+                                   i -> t[i] || ' ' || t[i + 1])
+               ELSE [] END)) AS tok
+        FROM toks)
+), counts AS (
+  SELECT bucket,
+    sum(CASE WHEN doc_id % 37 = 0 THEN 1 ELSE 0 END)::DOUBLE AS ct,
+    count(*)::DOUBLE AS cr
+  FROM fb GROUP BY bucket
+), tot AS (
+  SELECT sum(ct) AS tt, sum(cr) AS tr FROM counts
+), model AS (
+  SELECT bucket,
+    round(ln((ct + 1.0) / (tt + 4096.0))
+        - ln((cr + 1.0) / (tr + 4096.0)), 9) AS ratio
+  FROM counts, tot
+), scored AS (
+  SELECT f.doc_id, round(sum(m.ratio), 4) AS log_w
+  FROM fb f JOIN model m USING (bucket)
+  GROUP BY f.doc_id
+), keyed AS (
+  SELECT doc_id, log_w,
+    round(log_w - ln(-ln((({_dd_hexlong("'dsir#' || doc_id")}) + 0.5)
+                         / 1152921504606846976.0)), 9) AS gk
+  FROM scored
+), ranked AS (
+  SELECT doc_id, log_w, row_number() OVER (ORDER BY gk DESC, doc_id) AS rank
+  FROM keyed
 )
 SELECT 'stratified' AS part, lang AS s1, doc_id::BIGINT AS k1,
-  rk::BIGINT AS k2
+  rk::BIGINT AS k2, NULL::DOUBLE AS d1
 FROM r WHERE rk <= 10
 UNION ALL
 SELECT 'hash' AS part, source AS s1, count(*)::BIGINT AS k1,
-  min(doc_id)::BIGINT AS k2
+  min(doc_id)::BIGINT AS k2, NULL::DOUBLE AS d1
 FROM documents
 WHERE {_dd_hexlong("'sample:' || doc_id")} % 10000 < 1000
 GROUP BY source
+UNION ALL
+SELECT 'dsir' AS part, NULL::VARCHAR AS s1, doc_id::BIGINT AS k1,
+  rank::BIGINT AS k2, log_w AS d1
+FROM ranked WHERE rank <= 25
 """
 
     # CCNet head/middle/tail: unigram LM scoring (top-1000 vocab by

@@ -40,6 +40,30 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE
     return {n: spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet")) for n in names}
 
 
+def fan_out_small_scan(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin rebalance a scan whose per-row compute dominates its
+    byte size (gram/shingle explodes over short compressed text: a 600 KB
+    parquet file is ONE split at any sane maxPartitionBytes, so a narrow
+    scan-speed operator runs on one core while 31 idle).
+
+    No-op whenever the scan already has ≥ ``min_partitions`` (default:
+    defaultParallelism) partitions — the 100 TB case, where splits ≫
+    cores and the rebalance would only add a pointless full shuffle. The
+    round-robin exchange this inserts locally moves the RAW text column
+    once (≤ input bytes — trivially cheap relative to the compute it
+    unlocks) and is accounted in the plan-budget test like any other
+    exchange. NOT for operators whose contract is "corpus never
+    shuffles" (blocklist/broadcast enrichment) or whose map side is
+    already cheap relative to their keyed shuffles (the dedup family —
+    measured a regression on simhash under round-robin repartition).
+    """
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 # Severity mapping for event_type — the severity_number enum analog
 # (pdata/plog/severity_number.go:26-46): error→ERROR(17), purchase→INFO(9),
 # signup→INFO(9), click→DEBUG(5), view→TRACE(1).

@@ -145,10 +145,15 @@ _PLAN_SHUFFLE_BUDGET = {
     "dedup_simhash": 1,
     "chunk_dedup": 2,  # first-occurrence window on chunk hash + per-doc agg
     "paragraph_dedup": 3,  # para-hash agg + keyed join back + per-doc reassembly
-    "doc_signals": 0,  # repetition + entropy, pure narrow array expressions
+    "doc_signals": 1,  # small-scan fan-out (round-robin; no-op at scale)
     "pii_redact": 0,  # narrow regex projection, scan speed
     "blocklist_filter": 1,  # blocklist-side distinct only; pages never shuffle
-    "sampling_suite": 2,  # stratified rank window + hash-sample rollup agg
+    # stratified rank window + hash-sample rollup agg (2) + the dsir
+    # part's fit/score aggs: ONE bucket groupBy inlined under model and
+    # totals/consts subtrees in the static plan (AQE reuses the exchange
+    # at runtime) + per-doc score agg; Gumbel top-k is
+    # TakeOrderedAndProject — no sort/range exchange
+    "sampling_suite": 6,
     "contamination_overlap": 2,  # bench distinct agg + per-doc agg (bench broadcast)
     "ccnet_buckets": 3,  # per-doc score agg (inlined both sides of the cut join; AQE reuses) + langs-row cut agg, cuts broadcast back
     "tfidf_top_terms": 4,  # df count-distinct (two aggs) + per-group tf agg + top-k window; idf broadcast
@@ -165,9 +170,9 @@ _PLAN_SHUFFLE_BUDGET = {
     "ann_suite": 11,  # brute partial+final top-k (2) + exact-pairs
     # broadcast cross join (0) + lsh band join (1)
     # + the ivf part's KMeans pipeline + rank windows (8)
-    "text_signals": 0,  # token/quality/lang/digest signals, one narrow pass
-    "bpe_tokenize": 0,  # merge table folds into the expression tree, scan speed
-    "winnowing_fingerprints": 0,  # pure narrow scan
+    "text_signals": 1,  # one narrow pass + small-scan fan-out (no-op at scale)
+    "bpe_tokenize": 1,  # merge table folds into the expression tree + fan-out
+    "winnowing_fingerprints": 1,  # narrow gram scan + small-scan fan-out
     "html_extract_text": 0,  # decode→extract→unescape, narrow scan speed
     "nb_classifier": 3,  # train bucket agg + totals/bias; scoring is
     # broadcast join + per-doc agg (corpus never shuffles on the token key)
@@ -197,8 +202,10 @@ def test_all_queries_stay_jvm_side_with_bounded_shuffles(spark):
         plan = plan_of(qs[name](spark, SF_DIR))
         for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
             assert node not in plan, f"{name}: Python node {node} in plan"
-        n_exchange = plan.count("Exchange hashpartitioning") + plan.count(
-            "Exchange rangepartitioning"
+        n_exchange = (
+            plan.count("Exchange hashpartitioning")
+            + plan.count("Exchange rangepartitioning")
+            + plan.count("Exchange RoundRobinPartitioning")
         )
         assert n_exchange <= budget, f"{name}: {n_exchange} shuffles > budget {budget}"
 
