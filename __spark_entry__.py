@@ -1153,7 +1153,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- dedup (corpus curation) ---
     def dd_exact(spark, sf):
-        return dedup_ops.dedup_exact(_t(spark, sf, "documents"))
+        # 2-part union: 'full' = one-shot corpus dedup; 'incremental' =
+        # continuous-crawl dedup of the doc_id%3!=0 slice against a
+        # snapshot built from the doc_id%3==0 slice (keyed anti join —
+        # the snapshot is corpus-sized, never broadcast)
+        docs = _t(spark, sf, "documents")
+        full = dedup_ops.dedup_exact(docs).select(
+            F.lit("full").alias("part"), "digest", "doc_id", "n_copies"
+        )
+        seen = docs.where(F.col("doc_id") % 3 == 0).select(
+            F.md5("text").alias("digest")
+        )
+        survivors, _snapshot = dedup_ops.dedup_incremental(
+            docs.where(F.col("doc_id") % 3 != 0), seen
+        )
+        inc = survivors.select(
+            F.lit("incremental").alias("part"), "digest", "doc_id", "n_copies"
+        )
+        return full.unionAll(inc)
 
     q["dedup_exact"] = dd_exact
 
@@ -1217,9 +1234,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def doc_signals_q(spark, sf):
         # Gopher-family repetition filters + Shannon bits/char gibberish
         # signal, one narrow projection (former repetition_signals +
-        # char_entropy queries, same column semantics); compute-bound on a
-        # byte-tiny scan → small-scan fan-out (no-op at scale)
-        return ts_ops.doc_signals(fan_out_small_scan(_t(spark, sf, "documents")))
+        # char_entropy queries, same column semantics), plus the
+        # composite keep/drop decision with per-rule fail_reasons
+        # (gopher_filter); compute-bound on a byte-tiny scan →
+        # small-scan fan-out (no-op at scale)
+        return ts_ops.gopher_filter(
+            ts_ops.doc_signals(fan_out_small_scan(_t(spark, sf, "documents")))
+        )
 
     q["doc_signals"] = doc_signals_q
 
@@ -2217,8 +2238,17 @@ LIMIT 10
 """
 
     o["dedup_exact"] = """
-SELECT md5(text) AS digest, min(doc_id) AS doc_id, count(*) AS n_copies
-FROM documents GROUP BY 1
+SELECT 'full' AS part, md5(text) AS digest, min(doc_id) AS doc_id,
+  count(*) AS n_copies
+FROM documents GROUP BY 2
+UNION ALL
+SELECT 'incremental' AS part, md5(text) AS digest, min(doc_id) AS doc_id,
+  count(*) AS n_copies
+FROM documents d
+WHERE doc_id % 3 <> 0
+  AND NOT EXISTS (SELECT 1 FROM documents s
+                  WHERE s.doc_id % 3 = 0 AND md5(s.text) = md5(d.text))
+GROUP BY 2
 """
 
     from opentelemetry_collector_spark.operators.dedup import DEFAULT_MAX_SHINGLE_FREQ
@@ -2293,7 +2323,17 @@ FROM f GROUP BY doc_id
 
     # merged repetition + entropy signals: list-function twins of the
     # bound-array lambdas, joined per doc (both sides filter NULL text)
-    o["doc_signals"] = """
+    # gopher_filter twin: rule conditions generated from the SAME
+    # GOPHER_RULES table the Spark side compiles (textstats.GOPHER_RULES),
+    # evaluated over the 4-dp ROUNDED signal columns in both engines
+    from opentelemetry_collector_spark.operators.textstats import GOPHER_RULES
+
+    _reasons_sql = "concat_ws(','," + ",".join(
+        f" CASE WHEN {cond} THEN '{name}' END" for name, cond in GOPHER_RULES
+    ) + ")"
+    o["doc_signals"] = f"""
+SELECT s.*, {_reasons_sql} AS fail_reasons, ({_reasons_sql} = '') AS keep
+FROM (
 WITH w AS (SELECT doc_id, text, string_split_regex(trim(text), ' +') AS ws
            FROM documents WHERE text IS NOT NULL),
 b AS (SELECT doc_id, ws, len(ws) AS n, len(list_distinct(ws)) AS nd FROM w),
@@ -2326,6 +2366,7 @@ SELECT b.doc_id, n::BIGINT AS n_words,
 FROM b
 JOIN top ON b.doc_id = top.doc_id
 JOIN ent ON b.doc_id = ent.doc_id
+) s
 """
 
     # merged deterministic samplers: quota sampling (identical salted-md5

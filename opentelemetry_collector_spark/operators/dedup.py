@@ -132,6 +132,43 @@ def dedup_exact(
     )
 
 
+def dedup_incremental(
+    new_docs: DataFrame,
+    seen_digests: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """Continuous-crawl exact dedup: drop new documents whose content
+    digest is already in the accumulated snapshot, then keep the
+    first occurrence within the batch. Returns ``(survivors,
+    updated_snapshot)`` — survivors in :func:`dedup_exact` shape
+    ``(digest, id, n_copies)``, the snapshot as a 1-column ``digest``
+    frame ready to persist for the next batch (crawls arrive in monthly
+    slices; a batch replayed against its own updated snapshot yields
+    ZERO survivors, which is what makes a resumed epoch idempotent).
+
+    Scale: the snapshot is corpus-sized, so membership is a left-anti
+    join on the 32-byte digest (computed map-side) keyed on a uniform
+    key — at snapshot sizes past the broadcast threshold Catalyst plans
+    the shuffle join this shape is designed for (AQE may still broadcast
+    a small snapshot locally; both are correct). Within-batch dedup is
+    the dedup_exact groupBy. The returned snapshot is
+    distinct-by-construction (old snapshot ∪ survivor digests), so
+    persisting it needs no extra distinct pass.
+    """
+    hashed = new_docs.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("digest")
+    )
+    fresh = hashed.join(seen_digests.select("digest"), "digest", "left_anti")
+    survivors = fresh.groupBy("digest").agg(
+        F.min(id_col).alias(id_col), F.count("*").alias("n_copies")
+    )
+    updated = seen_digests.select("digest").unionAll(
+        survivors.select("digest")
+    )
+    return survivors, updated
+
+
 # ---------------------------------------------------------------------------
 # Exact n-gram Jaccard via inverted shingle index
 # ---------------------------------------------------------------------------

@@ -450,6 +450,39 @@ def doc_signals(
     )
 
 
+# Gopher-family composite keep/drop rules (Rae et al. 2021 §A1.1 shape;
+# thresholds are the knobs). Each rule reads the 4-dp ROUNDED doc_signals
+# columns so the pass/fail decision is identical in both engines — a
+# raw-double comparison could flip on a last-ulp divergence exactly at a
+# threshold. Order is the emission order of fail_reasons.
+GOPHER_RULES: tuple[tuple[str, str], ...] = (
+    ("word_count", "n_words < 50 OR n_words > 100000"),
+    ("mean_word_len", "mean_word_len < 3.0 OR mean_word_len > 10.0"),
+    ("dup_words", "dup_word_frac > 0.3"),
+    ("dup_2grams", "dup_2gram_frac > 0.2"),
+    ("top_word", "top_word_frac > 0.2"),
+    ("entropy", "entropy_bits_per_char < 2.0"),
+)
+
+
+def gopher_filter(signals: DataFrame) -> DataFrame:
+    """Composite quality filter over a :func:`doc_signals` frame: appends
+    ``fail_reasons`` (comma-joined failed rule names, '' when clean) and
+    ``keep`` (no rule failed) — the pipeline's keep/drop decision WITH
+    its explanation, so curation sweeps can report per-rule drop rates
+    instead of a bare survivor count. Pure narrow projection over
+    already-computed signals; composes with the fan-out/scan cost of
+    doc_signals itself.
+    """
+    reasons = F.concat_ws(
+        ",",
+        *[F.when(F.expr(cond), F.lit(name)) for name, cond in GOPHER_RULES],
+    )
+    return signals.withColumn("fail_reasons", reasons).withColumn(
+        "keep", F.col("fail_reasons") == ""
+    )
+
+
 def sample_stratified(
     df: DataFrame,
     group_col: str = "lang",

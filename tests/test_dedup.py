@@ -179,3 +179,45 @@ def test_paragraph_dedup_preserves_order_and_empty_paras(spark):
     out = {r["doc_id"]: r for r in paragraph_dedup(docs, min_docs=2).collect()}
     assert out[1]["clean_text"] == "z last?\na first\nm middle"
     assert out[2]["clean_text"] == "x\ny"
+
+
+def test_incremental_dedup_drops_seen_and_within_batch(spark):
+    from opentelemetry_collector_spark.operators.dedup import (
+        dedup_exact,
+        dedup_incremental,
+    )
+
+    prior = spark.createDataFrame(
+        [(1, "already crawled"), (2, "also crawled")], "doc_id long, text string"
+    )
+    snapshot = dedup_exact(prior).select("digest")
+    batch = spark.createDataFrame(
+        [
+            (10, "already crawled"),  # seen in snapshot → dropped
+            (11, "brand new page"),
+            (12, "brand new page"),  # within-batch dup → folded into 11
+            (13, "another new one"),
+        ],
+        "doc_id long, text string",
+    )
+    survivors, updated = dedup_incremental(batch, snapshot)
+    got = {r["doc_id"]: r["n_copies"] for r in survivors.collect()}
+    assert got == {11: 2, 13: 1}
+    # snapshot grows by exactly the survivor digests, stays distinct
+    digs = [r["digest"] for r in updated.collect()]
+    assert len(digs) == len(set(digs)) == 4
+
+
+def test_incremental_dedup_replay_is_idempotent(spark):
+    from opentelemetry_collector_spark.operators.dedup import dedup_incremental
+
+    batch = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "a")], "doc_id long, text string"
+    )
+    empty = spark.createDataFrame([], "digest string")
+    survivors, updated = dedup_incremental(batch, empty)
+    assert survivors.count() == 2
+    # the continuous-pipeline resume property: replaying the SAME batch
+    # against its own updated snapshot yields zero survivors
+    replay, _ = dedup_incremental(batch, updated)
+    assert replay.count() == 0

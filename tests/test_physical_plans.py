@@ -138,7 +138,9 @@ _PLAN_SHUFFLE_BUDGET = {
     "enrich_broadcast_geo": 1,  # dims broadcast; one rollup agg
     "q1_pricing_rollup": 1,
     "q3_revenue_topk": 2,  # fact join + agg (customer broadcast)
-    "dedup_exact": 1,  # one digest groupBy
+    # 'full' digest groupBy + the 'incremental' part's snapshot anti join
+    # side + survivor groupBy (the batch side's digest agg reuses)
+    "dedup_exact": 3,
     "dedup_ngram_jaccard": 7,  # freq cut + self-join + sizes (AQE reuses)
     "dedup_minhash_lsh": 3,
     "dedup_clusters": 3,  # per-round plans are checkpointed separately

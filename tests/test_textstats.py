@@ -596,3 +596,24 @@ def test_apply_mixture_copy_counts_track_weights(spark):
     df2 = df.union(spark.createDataFrame([(9999, "zz", "x y z")], df.columns))
     zz = apply_mixture(df2, target, group_col="lang").where(F.col("lang") == "zz")
     assert [r["n_copies"] for r in zz.collect()] == [0]
+
+
+def test_gopher_filter_reasons_and_keep(spark):
+    from opentelemetry_collector_spark.operators.textstats import (
+        doc_signals,
+        gopher_filter,
+    )
+
+    clean = " ".join(f"word{i}xy" for i in range(60))  # 60 distinct words
+    repeated = " ".join(["spam"] * 80)  # dup words + top-word + short words
+    short = "tiny doc"
+    docs = spark.createDataFrame(
+        [(1, clean), (2, repeated), (3, short)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in gopher_filter(doc_signals(docs)).collect()}
+    assert out[1]["keep"] and out[1]["fail_reasons"] == ""
+    assert not out[2]["keep"]
+    reasons2 = out[2]["fail_reasons"].split(",")
+    assert "dup_words" in reasons2 and "top_word" in reasons2
+    assert not out[3]["keep"]
+    assert "word_count" in out[3]["fail_reasons"].split(",")
