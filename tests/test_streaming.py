@@ -434,3 +434,41 @@ service:
         + _batch_expected(spark, second)["audit"]
     )
     assert pipe.sink_counts()["audit"] == expected
+
+
+def test_streaming_deduper_exactly_once_across_epochs(spark, tmp_path):
+    from opentelemetry_collector_spark.streaming.dedup import StreamingDeduper
+
+    root = str(tmp_path / "digest_snapshot")
+    dd = StreamingDeduper(root)
+    b0 = spark.createDataFrame(
+        [(1, "page alpha"), (2, "page beta"), (3, "page alpha")],
+        "doc_id long, text string",
+    )
+    s0 = dd.dedupe_batch(b0, 0)
+    assert {r["doc_id"] for r in s0.collect()} == {1, 2}
+    s0.unpersist()
+
+    b1 = spark.createDataFrame(
+        [(10, "page alpha"), (11, "page gamma")], "doc_id long, text string"
+    )
+    s1 = dd.dedupe_batch(b1, 1)
+    assert {r["doc_id"] for r in s1.collect()} == {11}
+    s1.unpersist()
+
+    # replayed micro-batch (crash between snapshot commit and checkpoint
+    # commit): same epoch id → same survivor set, snapshot unchanged
+    replay = dd.dedupe_batch(b1, 1)
+    assert {r["doc_id"] for r in replay.collect()} == {11}
+    replay.unpersist()
+    assert dd.sink.committed_epochs() == [0, 1]
+
+    # restart (fresh deduper over the same snapshot root): accumulated
+    # state survives the process, exactly like a checkpoint resume
+    dd2 = StreamingDeduper(root)
+    b2 = spark.createDataFrame(
+        [(20, "page gamma"), (21, "page delta")], "doc_id long, text string"
+    )
+    s2 = dd2.dedupe_batch(b2, 2)
+    assert {r["doc_id"] for r in s2.collect()} == {21}
+    s2.unpersist()
