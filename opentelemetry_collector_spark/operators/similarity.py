@@ -268,8 +268,18 @@ def ivf_topk(
     corpus = emb.select(
         F.col(id_col), F.col(vec_col), array_to_vector(_dbl(F.col(vec_col))).alias("__fv")
     )
-    km = KMeans(k=n_cells, seed=seed, featuresCol="__fv", predictionCol="__cell")
-    model = km.fit(corpus)
+    # cell centers only need APPROXIMATE density structure (faiss trains
+    # IVF on a sample with few iterations for the same reason), so the
+    # iteration budget is bounded and the training frame is pinned once
+    # and coalesced: every KMeans iteration is a separate Spark job, so
+    # 20 default iterations over a wide-but-tiny frame is pure scheduler
+    # overhead. Assignment (model.transform) still runs over the full
+    # corpus at its native parallelism.
+    train = corpus.select("__fv").coalesce(8).localCheckpoint(eager=True)
+    km = KMeans(
+        k=n_cells, seed=seed, maxIter=10, featuresCol="__fv", predictionCol="__cell"
+    )
+    model = km.fit(train)
     assigned = model.transform(corpus).select(
         id_col, vec_col, norm(F.col(vec_col)).alias("__n"), "__cell"
     )
