@@ -919,7 +919,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["trace_summaries"] = trace_summaries
 
     def _events_plog(spark, sf):  # flat plog frame planted on events
-        rec = events_to_records(_t(spark, sf, "events"))
+        # per-record JSON/proto fragment building dominates the byte-tiny
+        # events scan → small-scan fan-out (no-op at scale); envelope
+        # salting is content-keyed (xxhash64(url, line_no)), so the
+        # round-trip values are partitioning-independent
+        rec = events_to_records(fan_out_small_scan(_t(spark, sf, "events")))
         return rec.select(
             F.concat(F.lit("event://"), F.col("event_id")).alias("url"),
             F.col("time_unix_nano"),

@@ -133,7 +133,7 @@ _PLAN_SHUFFLE_BUDGET = {
     "otlp_json_spans_roundtrip": 2,
     "spanevents_connector": 1,
     "trace_summaries": 2,  # parent-chain lag window + per-trace agg
-    "otlp_json_roundtrip": 1,  # envelope groupBy
+    "otlp_json_roundtrip": 2,  # envelope groupBy + small-scan fan-out
     "salted_rollup": 2,  # two-phase by design
     "enrich_broadcast_geo": 1,  # dims broadcast; one rollup agg
     "q1_pricing_rollup": 1,
