@@ -31,6 +31,8 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..operators.dedup import dedup_incremental
 from .sinks import IdempotentParquetSink
@@ -71,4 +73,35 @@ class StreamingDeduper:
         )
         survivors = survivors.persist()
         self.sink.write_epoch(survivors.select("digest"), int(epoch_id))
+        return survivors
+
+    def dedupe_batch_rows(self, df: DataFrame, epoch_id: int) -> DataFrame:
+        """Like :meth:`dedupe_batch` but returns the surviving ROWS with
+        every original column intact — the shape a pipeline's processor
+        chain needs (the digest-summary shape drops the record).
+        First occurrence within the batch = lowest ``id_col`` per digest
+        (one window shuffle on the same 32-byte key the anti join uses);
+        the snapshot slice written is the survivors' distinct digests.
+        Returns a CACHED frame — caller unpersists after its writes."""
+        spark = df.sparkSession
+        hashed = df.withColumn("__digest", F.md5(F.col(self.text_col)))
+        seen = self._seen_before(spark, int(epoch_id))
+        fresh = hashed.join(
+            seen.withColumnRenamed("digest", "__digest"), "__digest", "left_anti"
+        )
+        w = Window.partitionBy("__digest").orderBy(self.id_col)
+        survivors = (
+            fresh.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") == 1)
+            .drop("__rk", "__digest")
+            .persist()
+        )
+        # survivors carry unique digests by construction (rk=1 per
+        # digest), so the snapshot slice is a map-side re-hash of the
+        # persisted rows — no distinct pass, and the RETURNED frame is
+        # the persisted one (unpersist() works on it directly)
+        self.sink.write_epoch(
+            survivors.select(F.md5(F.col(self.text_col)).alias("digest")),
+            int(epoch_id),
+        )
         return survivors

@@ -87,6 +87,10 @@ class StreamingPipeline:
     # parse engine from the pipeline's parse processor (from_config) —
     # start() falls back to this when the caller doesn't pass one
     parse_engine: str = "sql"
+    # config-declarable cross-micro-batch dedup (processor kind "dedup"):
+    # runs FIRST in process_batch — it is epoch-aware (snapshot state),
+    # so it cannot live in the stateless transform chain
+    deduper: object | None = None
 
     def __post_init__(self) -> None:
         self.router = FanoutRouter(list(self.routes))
@@ -96,6 +100,9 @@ class StreamingPipeline:
         }
 
     def process_batch(self, records: DataFrame, epoch_id: int) -> None:
+        deduped = None
+        if self.deduper is not None:
+            records = deduped = self.deduper.dedupe_batch_rows(records, epoch_id)
         if self.transform is not None:
             records = self.transform(records)
         assigned = self.router.assign(records).persist()
@@ -114,6 +121,8 @@ class StreamingPipeline:
             self.epochs_seen.append(int(epoch_id))
         finally:
             assigned.unpersist()
+            if deduped is not None:
+                deduped.unpersist()
 
     def start(
         self,
@@ -196,12 +205,28 @@ class StreamingPipeline:
                 source = s if source is None else source.unionByName(s)
         stages = []
         parse_engine = "sql"
+        deduper = None
         for proc_name in p.processors:
             c = config.processors[proc_name]
             if c.kind == "parse":
                 # start() parses the stream itself — but honor the
                 # configured engine rather than silently dropping it
                 parse_engine = c.options.get("engine", "sql")
+                continue
+            if c.kind == "dedup":
+                # epoch-aware cross-micro-batch dedup: snapshot state
+                # lives next to the sinks unless the config points it
+                # elsewhere; dedups the PARSED record stream on content
+                # (body) with the url as the first-occurrence tiebreak
+                from .dedup import StreamingDeduper
+
+                deduper = StreamingDeduper(
+                    c.options.get(
+                        "snapshot_dir", os.path.join(out_root, "_dedup_snapshot")
+                    ),
+                    id_col=c.options.get("id_col", "url"),
+                    text_col=c.options.get("text_col", "body"),
+                )
                 continue
             stages.append(_build_processor(spark, c.kind, c.options))
 
@@ -229,6 +254,7 @@ class StreamingPipeline:
             source=source,
             max_records_per_file=write_cap,
             parse_engine=parse_engine,
+            deduper=deduper,
         )
 
     def sink_counts(self) -> dict[str, int]:

@@ -472,3 +472,41 @@ def test_streaming_deduper_exactly_once_across_epochs(spark, tmp_path):
     s2 = dd2.dedupe_batch(b2, 2)
     assert {r["doc_id"] for r in s2.collect()} == {21}
     s2.unpersist()
+
+
+def test_config_declared_dedup_processor_dedupes_across_batches(spark, tmp_path):
+    """A pipeline declaring `dedup` drops records whose content an
+    earlier micro-batch already shipped: two files carrying the SAME
+    page ids (identical bodies) stream as two micro-batches
+    (maxFilesPerTrigger=1); the sink receives each distinct record once."""
+    from opentelemetry_collector_spark.plans.config import load_config
+
+    src = str(tmp_path / "pages_dup")
+    ids = np.arange(0, 40, dtype=np.uint64)
+    for _ in range(2):  # same ids → byte-identical pages, twice
+        pdf = generate_pages_pandas(ids)
+        spark.createDataFrame(pdf, PAGES_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    cfg = f"""
+receivers:
+  pages: {{kind: pages_parquet, path: {src}, max_files_per_trigger: 1}}
+processors:
+  dedup: {{}}
+exporters:
+  audit: {{kind: parquet, all: true}}
+service:
+  pipelines:
+    logs: {{receivers: [pages], processors: [dedup], exporters: [audit]}}
+"""
+    out = str(tmp_path / "sinks")
+    pipe = StreamingPipeline.from_config(spark, load_config(cfg), "logs", out)
+    assert pipe.deduper is not None
+    q = pipe.start(checkpoint_dir=str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+    assert len(pipe.epochs_seen) >= 2  # the dup file really was a 2nd batch
+    # one file's worth of parsed records, not two
+    once = parse_pages(
+        spark.createDataFrame(generate_pages_pandas(ids), PAGES_SCHEMA)
+    ).count()
+    assert pipe.sink_counts()["audit"] == once
