@@ -161,6 +161,8 @@ BENCH_QUERIES = [
     "text_signals",
     "bpe_tokenize",
     "pii_redact",
+    "sampling_suite",  # incl. the DSIR fit/score/Gumbel-top-k part
+    "nb_classifier",
 ]
 
 
