@@ -41,3 +41,15 @@ def test_synthesize_distributed_matches_local(spark):
     assert list(sdf["url"]) == list(loc["url"])
     assert list(sdf["text"]) == list(loc["text"])
     assert [bytes(h) for h in sdf["html"]] == list(loc["html"])
+
+
+def test_fan_out_small_scan_is_conditional(spark):
+    """Rebalances a 1-split scan to defaultParallelism; NO-OP once the
+    frame already has >= target partitions (the cluster-scale case)."""
+    from opentelemetry_collector_spark.sources.tables import fan_out_small_scan
+
+    one = spark.range(100).coalesce(1)
+    fanned = fan_out_small_scan(one)
+    assert fanned.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    wide = spark.range(100).repartition(64)
+    assert fan_out_small_scan(wide, min_partitions=8) is wide  # untouched
