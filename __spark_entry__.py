@@ -1157,10 +1157,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- dedup (corpus curation) ---
     def dd_exact(spark, sf):
-        # 2-part union: 'full' = one-shot corpus dedup; 'incremental' =
+        # 3-part union: 'full' = one-shot corpus dedup; 'incremental' =
         # continuous-crawl dedup of the doc_id%3!=0 slice against a
         # snapshot built from the doc_id%3==0 slice (keyed anti join —
-        # the snapshot is corpus-sized, never broadcast)
+        # the snapshot is corpus-sized, never broadcast); 'normalized' =
+        # exact dedup over the CCNet-normalized text (case/punct/space
+        # canonicalization before hashing — textstats.normalize_text)
         docs = _t(spark, sf, "documents")
         full = dedup_ops.dedup_exact(docs).select(
             F.lit("full").alias("part"), "digest", "doc_id", "n_copies"
@@ -1174,7 +1176,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         inc = survivors.select(
             F.lit("incremental").alias("part"), "digest", "doc_id", "n_copies"
         )
-        return full.unionAll(inc)
+        norm = dedup_ops.dedup_exact(
+            docs.select("doc_id", ts_ops.normalize_text(F.col("text")).alias("text"))
+        ).select(F.lit("normalized").alias("part"), "digest", "doc_id", "n_copies")
+        return full.unionAll(inc).unionAll(norm)
 
     q["dedup_exact"] = dd_exact
 
@@ -2260,6 +2265,12 @@ WHERE doc_id % 3 <> 0
   AND NOT EXISTS (SELECT 1 FROM documents s
                   WHERE s.doc_id % 3 = 0 AND md5(s.text) = md5(d.text))
 GROUP BY 2
+UNION ALL
+SELECT 'normalized' AS part,
+  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                          ' +', ' ', 'g'))) AS digest,
+  min(doc_id) AS doc_id, count(*) AS n_copies
+FROM documents GROUP BY 2
 """
 
     from opentelemetry_collector_spark.operators.dedup import DEFAULT_MAX_SHINGLE_FREQ

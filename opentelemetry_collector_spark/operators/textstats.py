@@ -450,6 +450,23 @@ def doc_signals(
     )
 
 
+def normalize_text(text: Column) -> Column:
+    """CCNet-style normalization for dedup hashing (Wenzek et al. 2020
+    §4.1 shape): lowercase, strip everything outside [a-z0-9 ], collapse
+    whitespace runs, trim. Near-identical pages that differ only in
+    case, punctuation, or spacing hash to the SAME digest — the
+    canonicalization web dedup applies before exact hashing.
+
+    Pure built-ins, identical semantics in Spark (Java regex) and DuckDB
+    (RE2): the character classes used are dialect-independent. ASCII
+    folding only — non-Latin text passes through minus the stripped
+    classes, which is the documented CCNet behavior for its hash key.
+    """
+    lowered = F.lower(text)
+    stripped = F.regexp_replace(lowered, "[^a-z0-9 ]", "")
+    return F.trim(F.regexp_replace(stripped, " +", " "))
+
+
 # Gopher-family composite keep/drop rules (Rae et al. 2021 §A1.1 shape;
 # thresholds are the knobs). Each rule reads the 4-dp ROUNDED doc_signals
 # columns so the pass/fail decision is identical in both engines — a

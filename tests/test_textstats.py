@@ -617,3 +617,25 @@ def test_gopher_filter_reasons_and_keep(spark):
     assert "dup_words" in reasons2 and "top_word" in reasons2
     assert not out[3]["keep"]
     assert "word_count" in out[3]["fail_reasons"].split(",")
+
+
+def test_normalize_text_canonicalizes_for_dedup(spark):
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_spark.operators.dedup import dedup_exact
+    from opentelemetry_collector_spark.operators.textstats import normalize_text
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Hello,  World!"),
+            (2, "hello world"),       # same after normalization
+            (3, "HELLO --- WORLD??"), # same after normalization
+            (4, "goodbye world"),
+        ],
+        "doc_id long, text string",
+    )
+    norm = docs.select("doc_id", normalize_text(F.col("text")).alias("text"))
+    vals = {r["doc_id"]: r["text"] for r in norm.collect()}
+    assert vals[1] == vals[2] == vals[3] == "hello world"
+    out = {r["doc_id"]: r["n_copies"] for r in dedup_exact(norm).collect()}
+    assert out == {1: 3, 4: 1}
