@@ -1257,8 +1257,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # CCNet head/middle/tail per language; the per-doc
         # unigram-LM-perplexity scores (bits_per_token / perplexity
         # columns) ARE the former unigram_logperplexity query's output —
-        # this oracle evidences both operators
-        return ts_ops.ccnet_perplexity_buckets(_t(spark, sf, "documents"))
+        # this oracle evidences both operators. The bigram_bits /
+        # bigram_ppl columns add the JM-interpolated BIGRAM LM score
+        # (textstats.bigram_logperplexity) under the same top-1000 vocab
+        # — a per-doc co-keyed join, both sides already doc-grained.
+        docs = _t(spark, sf, "documents")
+        tiers = ts_ops.ccnet_perplexity_buckets(docs)
+        bi = ts_ops.bigram_logperplexity(docs).select(
+            "doc_id", "bigram_bits", "bigram_ppl"
+        )
+        return tiers.join(bi, "doc_id")
 
     q["ccnet_buckets"] = ccnet_buckets_q
 
@@ -2484,12 +2492,49 @@ WITH toks AS (
     round(quantile_cont(bits_per_token, {1.0 / 3!r}), 6) AS c1,
     round(quantile_cont(bits_per_token, {2.0 / 3!r}), 6) AS c2
   FROM ppl GROUP BY lang
+), ptoks AS (
+  SELECT doc_id, i AS pos, ws[i] AS tok
+  FROM (SELECT doc_id, string_split_regex(trim(text), ' +') AS ws
+        FROM documents WHERE text IS NOT NULL),
+       unnest(generate_series(1, len(ws))) AS u(i)
+), vocab AS (
+  SELECT tok FROM counts ORDER BY c DESC, tok ASC LIMIT 1000
+), mapped AS (
+  SELECT p.doc_id, p.pos,
+    CASE WHEN v.tok IS NOT NULL THEN p.tok ELSE '<unk>' END AS w
+  FROM ptoks p LEFT JOIN vocab v USING (tok)
+), prevd AS (
+  SELECT doc_id, w, lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w_prev
+  FROM mapped
+), uni AS (
+  SELECT w, count(*)::DOUBLE AS uc FROM prevd GROUP BY w
+), unit AS (
+  SELECT sum(uc) AS ut FROM uni
+), bi AS (
+  SELECT w_prev, w, count(*)::DOUBLE AS bc
+  FROM prevd WHERE w_prev IS NOT NULL GROUP BY w_prev, w
+), ctx AS (
+  SELECT w_prev, sum(bc) AS cc FROM bi GROUP BY w_prev
+), bscored AS (
+  SELECT d.doc_id,
+    round(log2(0.7 * coalesce(b.bc / x.cc, 0.0)
+             + (1.0 - 0.7) * (u.uc / t.ut)), 9) AS lp
+  FROM prevd d
+  JOIN uni u ON d.w = u.w
+  CROSS JOIN unit t
+  LEFT JOIN bi b ON d.w_prev = b.w_prev AND d.w = b.w
+  LEFT JOIN ctx x ON d.w_prev = x.w_prev
+), bppl AS (
+  SELECT doc_id, round(-avg(lp), 4) AS bigram_bits,
+    round(pow(2.0, -avg(lp)), 4) AS bigram_ppl
+  FROM bscored GROUP BY doc_id
 )
 SELECT p.doc_id, p.lang, p.n_tokens, p.bits_per_token, p.perplexity,
   CASE WHEN p.bits_per_token <= c.c1 THEN 'head'
        WHEN p.bits_per_token <= c.c2 THEN 'middle'
-       ELSE 'tail' END AS ppl_bucket
-FROM ppl p JOIN cut c USING (lang)
+       ELSE 'tail' END AS ppl_bucket,
+  b.bigram_bits, b.bigram_ppl
+FROM ppl p JOIN cut c USING (lang) JOIN bppl b USING (doc_id)
 """
 
     # mixture weights: one token aggregate, then arithmetic (weight uses

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from .dedup import md5_long, tokenize
 
@@ -659,6 +660,103 @@ def contamination_overlap(
                 F.round(F.col("n_contaminated") / F.col("n_shingles"), 4),
             ).otherwise(F.lit(0.0)),
         )
+    )
+
+
+def bigram_logperplexity(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 1000,
+    lam: float = 0.7,
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-document cross-entropy under a Jelinek-Mercer-interpolated
+    BIGRAM LM — the stronger fluency signal CCNet gets from its n-gram
+    KenLM, in a fully columnar, engine-reproducible form:
+
+        p(w_i | w_{i-1}) = λ·p_bi(w_i | w_{i-1}) + (1−λ)·p_uni(w_i)
+
+    Tokens outside the top-``vocab_size`` vocabulary (count DESC, tok
+    ASC — the same rule as :func:`unigram_logperplexity`) map to
+    ``<unk>`` BEFORE any counting, so BOTH models are bounded: the
+    unigram table at vocab_size+1 rows, the bigram table at observed
+    distinct mapped pairs ≤ (vocab_size+1)². An unseen bigram simply
+    contributes 0 to the interpolation (LEFT JOIN + coalesce — natural
+    JM backoff, no special casing), as does the first token of a
+    document (no context).
+
+    Scale shape: vocab mapping and model lookups are broadcast joins
+    (corpus never shuffles on a token key); the only corpus-keyed
+    exchange is ONE lag window per doc for adjacency (the span-frame
+    shape) plus the final per-doc aggregate. Training makes two extra
+    narrow scans (uni + bi counts) — train-then-score passes, with only
+    the MODELS pinned (localCheckpoint), never the exploded corpus.
+    Per-token log2 probs are 9-dp rounded in both engines before
+    averaging; outputs 4-dp.
+    """
+    docs = df.where(F.col(text_col).isNotNull())
+    toks = docs.select(
+        F.col(id_col),
+        *[F.col(c) for c in carry_cols],
+        F.posexplode(tokenize(F.col(text_col))).alias("pos", "tok"),
+    )
+    counts = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    vocab = (
+        counts.orderBy(F.col("c").desc(), F.col("tok").asc())
+        .limit(vocab_size)
+        .select("tok", F.lit(True).alias("__in"))
+        .localCheckpoint(eager=True)
+    )
+    mapped = toks.join(F.broadcast(vocab), "tok", "left").select(
+        F.col(id_col),
+        *[F.col(c) for c in carry_cols],
+        "pos",
+        F.when(F.col("__in"), F.col("tok")).otherwise(F.lit("<unk>")).alias("w"),
+    )
+    w_prev = F.lag("w").over(
+        Window.partitionBy(id_col).orderBy("pos")
+    )
+    prevd = mapped.withColumn("w_prev", w_prev)
+    uni = prevd.groupBy("w").agg(F.count("*").cast("double").alias("__uc"))
+    unit = uni.agg(F.sum("__uc").alias("__ut"))
+    uni_m = (
+        uni.crossJoin(F.broadcast(unit))
+        .select("w", (F.col("__uc") / F.col("__ut")).alias("__pu"))
+        .localCheckpoint(eager=True)
+    )
+    bi = (
+        prevd.where(F.col("w_prev").isNotNull())
+        .groupBy("w_prev", "w")
+        .agg(F.count("*").cast("double").alias("__bc"))
+    )
+    ctx = bi.groupBy("w_prev").agg(F.sum("__bc").alias("__cc"))
+    bi_m = (
+        bi.join(ctx, "w_prev")
+        .select("w_prev", "w", (F.col("__bc") / F.col("__cc")).alias("__pb"))
+        .localCheckpoint(eager=True)
+    )
+    lam_c = F.lit(float(lam))
+    one_minus = F.lit(1.0) - F.lit(float(lam))  # same IEEE value as the SQL twin's 1.0 - λ
+    scored = (
+        prevd.join(F.broadcast(uni_m), "w")
+        .join(F.broadcast(bi_m), ["w_prev", "w"], "left")
+        .select(
+            F.col(id_col),
+            *[F.col(c) for c in carry_cols],
+            F.round(
+                F.log2(
+                    lam_c * F.coalesce(F.col("__pb"), F.lit(0.0))
+                    + one_minus * F.col("__pu")
+                ),
+                9,
+            ).alias("__lp"),
+        )
+    )
+    return scored.groupBy(id_col, *carry_cols).agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.round(-F.avg("__lp"), 4).alias("bigram_bits"),
+        F.round(F.pow(F.lit(2.0), -F.avg("__lp")), 4).alias("bigram_ppl"),
     )
 
 

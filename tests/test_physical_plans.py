@@ -157,7 +157,11 @@ _PLAN_SHUFFLE_BUDGET = {
     # TakeOrderedAndProject — no sort/range exchange
     "sampling_suite": 6,
     "contamination_overlap": 2,  # bench distinct agg + per-doc agg (bench broadcast)
-    "ccnet_buckets": 3,  # per-doc score agg (inlined both sides of the cut join; AQE reuses) + langs-row cut agg, cuts broadcast back
+    # unigram: per-doc score agg (inlined both sides of the cut join;
+    # AQE reuses) + langs-row cut agg (3); bigram columns: ONE doc-keyed
+    # lag window + per-doc agg visible (the uni/bi/ctx model aggs sit
+    # behind localCheckpoint pins) → 5
+    "ccnet_buckets": 5,
     "tfidf_top_terms": 4,  # df count-distinct (two aggs) + per-group tf agg + top-k window; idf broadcast
     "embedding_dedup_lsh": 2,  # same-cell self-join; dup set broadcast back
     "grok_access_log": 0,  # narrow typed regex projection, scan speed

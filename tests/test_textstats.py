@@ -639,3 +639,50 @@ def test_normalize_text_canonicalizes_for_dedup(spark):
     assert vals[1] == vals[2] == vals[3] == "hello world"
     out = {r["doc_id"]: r["n_copies"] for r in dedup_exact(norm).collect()}
     assert out == {1: 3, 4: 1}
+
+
+def test_bigram_logperplexity_hand_computed(spark):
+    """JM-interpolated bigram LM against a hand-replicated computation."""
+    import math
+
+    from opentelemetry_collector_spark.operators.textstats import (
+        bigram_logperplexity,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a c")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in bigram_logperplexity(docs).collect()}
+
+    lam, om = 0.7, 1.0 - 0.7
+    pu = {"a": 3 / 6, "b": 2 / 6, "c": 1 / 6}
+    pb = {("a", "b"): 2 / 3, ("b", "a"): 1.0, ("a", "c"): 1 / 3}
+
+    def lp(w, prev):
+        p = lam * pb.get((prev, w), 0.0) + om * pu[w]
+        return round(math.log2(p), 9)
+
+    d1 = [lp("a", None), lp("b", "a"), lp("a", "b"), lp("b", "a")]
+    assert out[1]["n_tokens"] == 4
+    assert out[1]["bigram_bits"] == pytest.approx(round(-sum(d1) / 4, 4), abs=1e-4)
+    d2 = [lp("a", None), lp("c", "a")]
+    assert out[2]["bigram_bits"] == pytest.approx(round(-sum(d2) / 2, 4), abs=1e-4)
+    # fluent text (seen bigrams) scores lower bits than shuffled text
+    assert out[1]["bigram_bits"] < out[2]["bigram_bits"]
+
+
+def test_bigram_lm_unk_mapping_bounds_the_model(spark):
+    from opentelemetry_collector_spark.operators.textstats import (
+        bigram_logperplexity,
+    )
+
+    # vocab_size=2 → only the two most frequent tokens stay; the rest
+    # map to <unk> BEFORE counting, so rare tokens share statistics
+    docs = spark.createDataFrame(
+        [(1, "x x x y y z1"), (2, "x y z2"), (3, "z3 z4")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in bigram_logperplexity(docs, vocab_size=2).collect()}
+    assert set(out) == {1, 2, 3}
+    # doc3 is all-<unk>: both tokens share the <unk> stats, finite score
+    assert out[3]["bigram_bits"] > 0
