@@ -192,3 +192,27 @@ def test_pb_codec_and_new_ops_on_empty_inputs(spark, empty_docs):
     assert ts.bpe_encode(empty_docs).count() == 0
     empty_lang = spark.createDataFrame([], "doc_id long, lang string, text string")
     assert ts.apply_mixture(empty_lang, {"en": 1.0}, group_col="lang").count() == 0
+
+
+def test_round4_operators_empty(spark, empty_docs):
+    from opentelemetry_collector_spark.operators import dsir
+
+    # gopher filter over empty signals
+    assert ts.gopher_filter(ts.doc_signals(empty_docs)).count() == 0
+    # normalization + dedup over empty corpus
+    norm = empty_docs.select(
+        "doc_id", ts.normalize_text(F.col("text")).alias("text")
+    )
+    assert dedup.dedup_exact(norm).count() == 0
+    # incremental dedup: empty batch vs empty snapshot
+    empty_snap = spark.createDataFrame([], "digest string")
+    survivors, updated = dedup.dedup_incremental(empty_docs, empty_snap)
+    assert survivors.count() == 0 and updated.count() == 0
+    # bigram LM: empty corpus scores nothing, does not divide by zero
+    assert ts.bigram_logperplexity(empty_docs).count() == 0
+    # DSIR scoring under a model trained elsewhere, over an empty corpus
+    raw = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    model, consts = dsir.dsir_log_ratios(raw, raw, n_buckets=64)
+    assert dsir.dsir_scores(empty_docs, model, consts, n_buckets=64).count() == 0
+    scored_empty = spark.createDataFrame([], "doc_id long, log_w double")
+    assert dsir.dsir_resample(scored_empty, k=5).count() == 0
