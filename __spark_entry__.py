@@ -86,6 +86,24 @@ def entry(spark: SparkSession) -> DataFrame:
     return _pipeline_e2e(spark, "/root/testdata/sf0.001")
 
 
+# Planted robots.txt for the url_suite 'robots' part: the * group denies
+# /doc/1* but re-allows the /doc/12* subtree; the googlebot/other groups
+# must NOT leak into the * rules. No single quotes (embedded in SQL).
+_ROBOTS_TEMPLATE = (
+    "User-agent: googlebot\n"
+    "Disallow: /g\n"
+    "\n"
+    "User-agent: friendly\n"
+    "User-agent: *\n"
+    "Disallow: /doc/1\n"
+    "Allow: /doc/12  # this subtree is fine\n"
+    "Disallow:\n"
+    "\n"
+    "User-agent: other\n"
+    "Disallow: /\n"
+)
+
+
 # ---------------------------------------------------------------------------
 # Oracle-SQL building blocks
 # ---------------------------------------------------------------------------
@@ -673,7 +691,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("n_unique_texts").cast("long").alias("k3"),
             F.col("dup_rate").cast("double").alias("d1"),
         )
-        return p_canon.unionAll(p_hosts)
+        # 'robots': parse a planted robots.txt per host (the * group of
+        # _ROBOTS_TEMPLATE) and enforce longest-match allow/disallow on
+        # every page URL — urls.robots_star_rules + apply_robots
+        from opentelemetry_collector_spark.operators.urls import (
+            apply_robots,
+            robots_star_rules,
+        )
+
+        rdocs = _t(spark, sf, "documents")
+        pages_r = rdocs.select(
+            "doc_id",
+            F.concat(
+                F.lit("https://"), F.lower("source"),
+                F.lit(".example.com/doc/"), F.col("doc_id").cast("string"),
+            ).alias("url"),
+        )
+        robots = rdocs.select(F.lower("source").alias("src")).distinct().select(
+            F.concat(F.col("src"), F.lit(".example.com")).alias("host"),
+            F.lit(_ROBOTS_TEMPLATE).alias("robots_txt"),
+        )
+        verdicts = apply_robots(pages_r, robots_star_rules(robots))
+        p_rob = pages_r.join(verdicts, "url").select(
+            F.lit("robots").alias("part"),
+            F.col("url").alias("s1"),
+            _S.alias("s2"),
+            F.col("doc_id").cast("long").alias("k1"),
+            F.col("robots_blocked").cast("long").alias("k2"),
+            _L.alias("k3"), _D.alias("d1"),
+        )
+        return p_canon.unionAll(p_hosts).unionAll(p_rob)
 
     q["url_suite"] = url_suite
 
@@ -1853,6 +1900,58 @@ SELECT doc_id,
     || CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&')
             ELSE '' END) AS url_key
 FROM norm
+)
+""" + f"""
+UNION ALL
+SELECT 'robots' AS part, url AS s1, CAST(NULL AS VARCHAR) AS s2,
+  doc_id::BIGINT AS k1, blocked::BIGINT AS k2,
+  CAST(NULL AS BIGINT) AS k3, CAST(NULL AS DOUBLE) AS d1
+FROM (
+WITH rpages AS (
+  SELECT doc_id,
+    'https://' || lower(source) || '.example.com/doc/' || doc_id AS url,
+    lower(source) || '.example.com' AS host,
+    '/doc/' || doc_id AS path
+  FROM documents
+), rhosts AS (
+  SELECT DISTINCT host FROM rpages
+), rlines AS (
+  SELECT host, i AS pos, ls[i] AS raw
+  FROM (SELECT host, string_split('{_ROBOTS_TEMPLATE}', chr(10)) AS ls
+        FROM rhosts),
+       unnest(generate_series(1, len(ls))) AS u(i)
+), typed AS (
+  SELECT host, pos,
+    starts_with(lower(cl), 'user-agent:') AS is_ua,
+    starts_with(lower(cl), 'allow:') AS is_allow,
+    starts_with(lower(cl), 'disallow:') AS is_dis,
+    trim(substr(cl, strpos(cl, ':') + 1)) AS val
+  FROM (SELECT host, pos, trim(regexp_replace(raw, '#.*$', '')) AS cl
+        FROM rlines)
+), lagged AS (
+  SELECT *, coalesce(lag(is_ua) OVER (PARTITION BY host ORDER BY pos),
+                     FALSE) AS prev_ua
+  FROM typed
+), grouped AS (
+  SELECT *, sum(CASE WHEN is_ua AND NOT prev_ua THEN 1 ELSE 0 END)
+    OVER (PARTITION BY host ORDER BY pos
+          ROWS UNBOUNDED PRECEDING) AS gid
+  FROM lagged
+), star AS (
+  SELECT DISTINCT host, gid FROM grouped WHERE is_ua AND val = '*'
+), rrules AS (
+  SELECT g.host, g.is_allow AS allow, g.val AS prefix,
+    length(g.val) AS plen
+  FROM grouped g JOIN star s ON g.host = s.host AND g.gid = s.gid
+  WHERE (g.is_allow OR g.is_dis) AND g.val != ''
+)
+SELECT p.doc_id, p.url,
+  coalesce(max(CASE WHEN NOT r.allow AND starts_with(p.path, r.prefix)
+                    THEN r.plen END), -1)
+  > coalesce(max(CASE WHEN r.allow AND starts_with(p.path, r.prefix)
+                      THEN r.plen END), -1) AS blocked
+FROM rpages p LEFT JOIN rrules r ON p.host = r.host
+GROUP BY p.doc_id, p.url
 )
 """
 

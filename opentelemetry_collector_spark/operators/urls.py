@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def url_host(url: Column) -> Column:
@@ -136,3 +137,93 @@ def canonicalize_url(url: Column) -> Column:
     return F.when(scheme == "", url).otherwise(
         F.concat(scheme, F.lit("://"), host, path, qpart)
     )
+
+
+def robots_star_rules(
+    robots: DataFrame, host_col: str = "host", txt_col: str = "robots_txt"
+) -> DataFrame:
+    """Parse robots.txt bodies into the ``*`` (any-agent) group's rules:
+    ``(host, allow:boolean, prefix, plen)`` — the deny/allow table a
+    crawl-curation pass enforces before keeping a page.
+
+    Columnar parse of the RFC 9309 prefix subset (no in-prefix wildcards,
+    no crawl-delay): explode lines with position; a user-agent BLOCK
+    starts at a ``User-agent:`` line not directly preceded by one
+    (consecutive ua lines share a group per the RFC); the running count
+    of block starts is the group id (one window per host); a group is
+    live for ``*`` if any of its ua lines names ``*``; Allow/Disallow
+    lines inherit their group's liveness. Comments (#…) are stripped,
+    directives match case-insensitively, empty prefixes (the allow-all
+    ``Disallow:``) drop out. Two host-keyed window/agg shuffles over the
+    LINES of robots files — a corpus that is tiny relative to pages.
+    """
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(txt_col), "\n")).alias("pos", "raw"),
+    )
+    clean = F.trim(F.regexp_replace(F.col("raw"), "#.*$", ""))
+    low = F.lower(clean)
+    colon = F.locate(":", clean)
+    val = F.trim(F.substring(clean, colon + 1, 1_000_000))
+    typed = lines.select(
+        "host",
+        "pos",
+        low.startswith("user-agent:").alias("is_ua"),
+        low.startswith("allow:").alias("is_allow"),
+        low.startswith("disallow:").alias("is_dis"),
+        val.alias("val"),
+    )
+    w = Window.partitionBy("host").orderBy("pos")
+    blocked_start = F.col("is_ua") & ~F.coalesce(F.lag("is_ua").over(w), F.lit(False))
+    grouped = typed.withColumn(
+        "gid", F.sum(blocked_start.cast("int")).over(w)
+    )
+    star_groups = (
+        grouped.where(F.col("is_ua") & (F.col("val") == "*"))
+        .select("host", "gid")
+        .distinct()
+    )
+    return (
+        grouped.where((F.col("is_allow") | F.col("is_dis")) & (F.col("val") != ""))
+        .join(star_groups, ["host", "gid"])
+        .select(
+            "host",
+            F.col("is_allow").alias("allow"),
+            F.col("val").alias("prefix"),
+            F.length("val").alias("plen"),
+        )
+    )
+
+
+def apply_robots(
+    pages: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """Append ``robots_blocked`` to ``pages`` under the standard
+    longest-match rule: a page is blocked when its longest matching
+    Disallow prefix is longer than its longest matching Allow prefix
+    (allow wins ties); hosts without rules are allowed.
+
+    Scale: a host-keyed join (rules are per-host and FEW; Catalyst
+    broadcasts a small rules table, shuffles a big one) followed by one
+    per-page aggregate — pages never shuffle on anything finer than the
+    join key, and the pre-aggregation below the join keeps the fan-out
+    bounded by rules-per-host.
+    """
+    host = url_host(F.col(url_col))
+    path_raw = F.regexp_extract(F.col(url_col), "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^#]*)?", 1)
+    path = F.when(path_raw == "", F.lit("/")).otherwise(path_raw)
+    keyed = pages.select(
+        F.col(url_col), host.alias("__h"), path.alias("__p")
+    )
+    j = keyed.join(rules.withColumnRenamed("host", "__h"), "__h", "left")
+    match = F.col("__p").startswith(F.col("prefix"))
+    agg = j.groupBy(url_col).agg(
+        F.max(F.when(match & F.col("allow"), F.col("plen"))).alias("__alen"),
+        F.max(F.when(match & ~F.col("allow"), F.col("plen"))).alias("__dlen"),
+    )
+    blocked = F.coalesce(F.col("__dlen"), F.lit(-1)) > F.coalesce(
+        F.col("__alen"), F.lit(-1)
+    )
+    return agg.select(url_col, blocked.alias("robots_blocked"))

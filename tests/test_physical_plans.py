@@ -166,7 +166,11 @@ _PLAN_SHUFFLE_BUDGET = {
     "embedding_dedup_lsh": 2,  # same-cell self-join; dup set broadcast back
     "grok_access_log": 0,  # narrow typed regex projection, scan speed
     "enrich_asof_versions": 1,  # dim distinct agg; intervalized dim broadcast, facts never shuffle
-    "url_suite": 2,  # host-stats count-distinct expands to two aggregates; canon part narrow
+    # host-stats count-distinct expands to two aggregates; canon part
+    # narrow (2); robots part: hosts distinct + parser lag/running-sum
+    # windows over robots LINES (a host-sized corpus, not pages) + the
+    # per-page longest-match agg (5)
+    "url_suite": 7,
     # weights part (token agg ×2-phase) + the resample part re-derives
     # the same tiny weights aggregate for its broadcast (AQE reuses)
     "mixture_weights": 4,

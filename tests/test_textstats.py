@@ -686,3 +686,53 @@ def test_bigram_lm_unk_mapping_bounds_the_model(spark):
     assert set(out) == {1, 2, 3}
     # doc3 is all-<unk>: both tokens share the <unk> stats, finite score
     assert out[3]["bigram_bits"] > 0
+
+
+def test_robots_rules_and_enforcement(spark):
+    """RFC 9309 prefix subset: * group extraction (consecutive ua lines
+    share a group), comment stripping, longest-match allow-vs-disallow."""
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_spark.operators.urls import (
+        apply_robots,
+        robots_star_rules,
+    )
+
+    txt = (
+        "User-agent: googlebot\n"
+        "Disallow: /g\n"
+        "\n"
+        "User-agent: friendly\n"
+        "User-agent: *\n"          # consecutive ua lines: one group
+        "Disallow: /private\n"
+        "Allow: /private/ok  # but this subtree is fine\n"
+        "Disallow:\n"              # empty = allow-all, dropped
+        "\n"
+        "User-agent: other\n"
+        "Disallow: /\n"
+    )
+    robots = spark.createDataFrame([("site.com", txt), ("open.org", "# nothing\n")],
+                                   "host string, robots_txt string")
+    rules = robots_star_rules(robots)
+    got = {(r["host"], r["allow"], r["prefix"]) for r in rules.collect()}
+    assert got == {
+        ("site.com", False, "/private"),
+        ("site.com", True, "/private/ok"),
+    }
+
+    pages = spark.createDataFrame(
+        [
+            ("https://site.com/public/a",),
+            ("https://site.com/private/x",),
+            ("https://site.com/private/ok/y",),
+            ("https://site.com/g/googlebot-only",),  # * group doesn't block /g
+            ("https://open.org/anything",),
+        ],
+        "url string",
+    )
+    out = {r["url"]: r["robots_blocked"] for r in apply_robots(pages, rules).collect()}
+    assert out["https://site.com/public/a"] is False
+    assert out["https://site.com/private/x"] is True
+    assert out["https://site.com/private/ok/y"] is False  # longer Allow wins
+    assert out["https://site.com/g/googlebot-only"] is False
+    assert out["https://open.org/anything"] is False
