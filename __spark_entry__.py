@@ -1420,12 +1420,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["contamination_overlap"] = contamination_q
 
-    def pii_redact_q(spark, sf):  # PII scrub: counts + redacted digest
+    def cleanup_suite(spark, sf):
+        # text-cleanup editors, one 2-part union: 'pii' = PII scrub
+        # counts + redacted digest (synthetic corpus has no PII, so a
+        # deterministic email/IP/phone is planted per doc — same
+        # expression in the oracle); 'c4' = C4 line-level filter counters
+        # + doc_ok flag + edited-text digest over a planted multi-line
+        # page (textstats.c4_line_filter).
         from opentelemetry_collector_spark.operators.redact import redact_pii
 
-        # the synthetic corpus has no PII, so the query plants a
-        # deterministic email/IP/phone per doc (same expression in the
-        # oracle) and verifies counts + the redacted text's digest
+        _L = F.lit(None).cast("long")
+        _B = F.lit(None).cast("boolean")
         docs = _t(spark, sf, "documents").select(
             "doc_id",
             F.concat(
@@ -1440,13 +1445,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
             ).alias("text"),
         )
-        out = redact_pii(docs)
-        return out.select(
-            "doc_id", "n_emails", "n_ips", "n_phones",
-            F.md5(F.col("clean_text")).alias("clean_digest"),
+        p_pii = redact_pii(docs).select(
+            F.lit("pii").alias("part"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("n_emails").cast("long").alias("k1"),
+            F.col("n_ips").cast("long").alias("k2"),
+            F.col("n_phones").cast("long").alias("k3"),
+            _B.alias("ok"),
+            F.md5(F.col("clean_text")).alias("digest"),
         )
+        pages_c4 = _t(spark, sf, "documents").select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.lit("\nSentence one has enough words to count.\ntiny.\n"),
+                F.when(
+                    F.col("doc_id") % 7 == 0,
+                    F.lit("lorem ipsum appears here with many words."),
+                ).otherwise(F.lit("A solid closing line with several words.")),
+            ).alias("text"),
+        )
+        p_c4 = ts_ops.c4_line_filter(pages_c4).select(
+            F.lit("c4").alias("part"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("n_lines").alias("k1"),
+            F.col("n_kept").alias("k2"),
+            _L.alias("k3"),
+            F.col("doc_ok").alias("ok"),
+            F.md5(F.col("clean_text")).alias("digest"),
+        )
+        return p_pii.unionAll(p_c4)
 
-    q["pii_redact"] = pii_redact_q
+    q["cleanup_suite"] = cleanup_suite
 
     def blocklist_q(spark, sf):  # domain-deny broadcast anti-join
         from opentelemetry_collector_spark.operators.urls import (
@@ -2747,23 +2777,47 @@ FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
     # byte-identical regexes (RE2 ∩ java.util.regex subset, redact.py);
     # DuckDB needs the 'g' flag for replace-all and counts via
     # len(regexp_extract_all)
-    o["pii_redact"] = r"""
+    o["cleanup_suite"] = r"""
 WITH aug AS (
   SELECT doc_id,
     text || ' contact u' || CAST(doc_id AS VARCHAR) || '@mail.example.com from 10.'
          || CAST(doc_id % 200 AS VARCHAR) || '.0.' || CAST(doc_id % 250 AS VARCHAR)
          || ' call +1 555-012-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
   FROM documents
+), c4page AS (
+  SELECT doc_id,
+    text || chr(10) || 'Sentence one has enough words to count.' || chr(10)
+         || 'tiny.' || chr(10)
+         || CASE WHEN doc_id % 7 = 0
+                 THEN 'lorem ipsum appears here with many words.'
+                 ELSE 'A solid closing line with several words.' END AS text
+  FROM documents
+), c4split AS (
+  SELECT doc_id, text, string_split(text, chr(10)) AS ls FROM c4page
+), c4kept AS (
+  SELECT doc_id, text, ls,
+    list_filter(ls, l -> regexp_matches(trim(l), '[.!?"]$')
+                     AND len(string_split_regex(trim(l), ' +')) >= 5) AS kept
+  FROM c4split
 )
-SELECT doc_id,
-  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::INT AS n_emails,
-  len(regexp_extract_all(text, '\b(?:\d{1,3}\.){3}\d{1,3}\b'))::INT AS n_ips,
-  len(regexp_extract_all(text, '\+\d{1,3}[ .-]?\(?\d{1,4}\)?[ .-]?\d{3,4}[ .-]?\d{3,4}'))::INT AS n_phones,
+SELECT 'pii' AS part, doc_id::BIGINT AS doc_id,
+  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS k1,
+  len(regexp_extract_all(text, '\b(?:\d{1,3}\.){3}\d{1,3}\b'))::BIGINT AS k2,
+  len(regexp_extract_all(text, '\+\d{1,3}[ .-]?\(?\d{1,4}\)?[ .-]?\d{3,4}[ .-]?\d{3,4}'))::BIGINT AS k3,
+  CAST(NULL AS BOOLEAN) AS ok,
   md5(regexp_replace(regexp_replace(regexp_replace(text,
       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
       '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
-      '\+\d{1,3}[ .-]?\(?\d{1,4}\)?[ .-]?\d{3,4}[ .-]?\d{3,4}', '<PHONE>', 'g')) AS clean_digest
+      '\+\d{1,3}[ .-]?\(?\d{1,4}\)?[ .-]?\d{3,4}[ .-]?\d{3,4}', '<PHONE>', 'g')) AS digest
 FROM aug
+UNION ALL
+SELECT 'c4' AS part, doc_id::BIGINT AS doc_id,
+  len(ls)::BIGINT AS k1, len(kept)::BIGINT AS k2,
+  CAST(NULL AS BIGINT) AS k3,
+  (len(kept) >= 3 AND strpos(text, '{') = 0 AND strpos(text, '}') = 0
+   AND strpos(lower(text), 'lorem ipsum') = 0) AS ok,
+  md5(array_to_string(kept, chr(10))) AS digest
+FROM c4kept
 """
     o["blocklist_filter"] = """
 WITH p AS (

@@ -160,7 +160,7 @@ BENCH_QUERIES = [
     "doc_signals",
     "text_signals",
     "bpe_tokenize",
-    "pii_redact",
+    "cleanup_suite",  # pii scrub + c4 line filter
     "sampling_suite",  # incl. the DSIR fit/score/Gumbel-top-k part
     "nb_classifier",
 ]

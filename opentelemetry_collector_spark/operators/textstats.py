@@ -451,6 +451,43 @@ def doc_signals(
     )
 
 
+def c4_line_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words_per_line: int = 5,
+    min_kept_lines: int = 3,
+) -> DataFrame:
+    """C4's line-level cleanup (Raffel et al. 2020 §2.2): keep only lines
+    that end in terminal punctuation AND carry at least
+    ``min_words_per_line`` words; flag pages containing code braces or
+    the "lorem ipsum" placeholder; a page is ``doc_ok`` when at least
+    ``min_kept_lines`` lines survive and neither flag fired.
+
+    Output: ``(id, n_lines, n_kept, doc_ok, clean_text)`` — the edited
+    page plus the audit counters. Zero shuffles: line split, per-line
+    predicate, and rebuild are array expressions at scan speed; the
+    punctuation test is a dialect-independent regex class.
+    """
+    text = F.col(text_col)
+    lines = F.split(text, "\n")
+    keep_line = lambda l: F.trim(l).rlike('[.!?"]$') & (
+        F.size(F.split(F.trim(l), " +")) >= min_words_per_line
+    )
+    kept = F.filter(lines, keep_line)
+    has_brace = text.contains("{") | text.contains("}")
+    has_lorem = F.lower(text).contains("lorem ipsum")
+    return df.where(text.isNotNull()).select(
+        F.col(id_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        (
+            (F.size(kept) >= min_kept_lines) & ~has_brace & ~has_lorem
+        ).alias("doc_ok"),
+        F.array_join(kept, "\n").alias("clean_text"),
+    )
+
+
 def normalize_text(text: Column) -> Column:
     """CCNet-style normalization for dedup hashing (Wenzek et al. 2020
     §4.1 shape): lowercase, strip everything outside [a-z0-9 ], collapse

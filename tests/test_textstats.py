@@ -736,3 +736,30 @@ def test_robots_rules_and_enforcement(spark):
     assert out["https://site.com/private/ok/y"] is False  # longer Allow wins
     assert out["https://site.com/g/googlebot-only"] is False
     assert out["https://open.org/anything"] is False
+
+
+def test_c4_line_filter_rules(spark):
+    from opentelemetry_collector_spark.operators.textstats import c4_line_filter
+
+    good = (
+        "This is a proper sentence with enough words.\n"
+        "Another complete line that ends with a question mark?\n"
+        'A third quoted line with plenty of words here."\n'
+        "too short.\n"                       # < 5 words → dropped
+        "no terminal punctuation at all"     # no punct → dropped
+    )
+    docey = {
+        1: good,
+        2: "function f() { return 1; }\nA fine sentence with enough words.",
+        3: "Lorem Ipsum dolor sit amet and then some.\nMore words in this line here.",
+        4: "One good sentence with five words.\nonly line kept here today.",
+    }
+    df = spark.createDataFrame(list(docey.items()), "doc_id long, text string")
+    out = {r["doc_id"]: r for r in c4_line_filter(df).collect()}
+    assert out[1]["n_lines"] == 5 and out[1]["n_kept"] == 3
+    assert out[1]["doc_ok"] is True
+    assert out[1]["clean_text"].count("\n") == 2
+    assert out[2]["doc_ok"] is False  # brace page
+    assert out[3]["doc_ok"] is False  # lorem ipsum page
+    assert out[4]["doc_ok"] is False  # only 2 kept lines < 3
+    assert out[4]["n_kept"] == 2
