@@ -216,3 +216,14 @@ def test_round4_operators_empty(spark, empty_docs):
     assert dsir.dsir_scores(empty_docs, model, consts, n_buckets=64).count() == 0
     scored_empty = spark.createDataFrame([], "doc_id long, log_w double")
     assert dsir.dsir_resample(scored_empty, k=5).count() == 0
+
+
+def test_c4_line_filter_empty_and_null(spark, empty_docs):
+    assert ts.c4_line_filter(empty_docs).count() == 0
+    # NULL text rows are filtered out, not nulled through
+    nulls = spark.createDataFrame(
+        [(1, None), (2, "A good line with five words.")],
+        "doc_id long, text string",
+    )
+    rows = ts.c4_line_filter(nulls).collect()
+    assert [r["doc_id"] for r in rows] == [2]
