@@ -1421,12 +1421,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["contamination_overlap"] = contamination_q
 
     def cleanup_suite(spark, sf):
-        # text-cleanup editors, one 2-part union: 'pii' = PII scrub
+        # text-cleanup editors, one 3-part union: 'pii' = PII scrub
         # counts + redacted digest (synthetic corpus has no PII, so a
         # deterministic email/IP/phone is planted per doc — same
         # expression in the oracle); 'c4' = C4 line-level filter counters
         # + doc_ok flag + edited-text digest over a planted multi-line
-        # page (textstats.c4_line_filter).
+        # page (textstats.c4_line_filter); 'badwords' = C4 word-blocklist
+        # page filter (textstats.badwords_filter) over planted terms.
         from opentelemetry_collector_spark.operators.redact import redact_pii
 
         _L = F.lit(None).cast("long")
@@ -1474,7 +1475,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("doc_ok").alias("ok"),
             F.md5(F.col("clean_text")).alias("digest"),
         )
-        return p_pii.unionAll(p_c4)
+        _S = F.lit(None).cast("string")
+        pages_bw = _t(spark, sf, "documents").select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.when(
+                    F.col("doc_id") % 11 == 0,
+                    F.lit(" then BlockedAlpha appears"),
+                ).otherwise(F.lit("")),
+                F.when(
+                    F.col("doc_id") % 13 == 0,
+                    F.lit(" and (blockedbeta) too"),
+                ).otherwise(F.lit("")),
+            ).alias("text"),
+        )
+        p_bw = ts_ops.badwords_filter(
+            pages_bw, ["blockedalpha", "blockedbeta"]
+        ).select(
+            F.lit("badwords").alias("part"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("n_bad_terms").alias("k1"),
+            _L.alias("k2"),
+            _L.alias("k3"),
+            F.col("ok"),
+            _S.alias("digest"),
+        )
+        return p_pii.unionAll(p_c4).unionAll(p_bw)
 
     q["cleanup_suite"] = cleanup_suite
 
@@ -2818,6 +2845,20 @@ SELECT 'c4' AS part, doc_id::BIGINT AS doc_id,
    AND strpos(lower(text), 'lorem ipsum') = 0) AS ok,
   md5(array_to_string(kept, chr(10))) AS digest
 FROM c4kept
+UNION ALL
+SELECT 'badwords' AS part, doc_id::BIGINT AS doc_id,
+  len(list_intersect(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     ['blockedalpha', 'blockedbeta']))::BIGINT AS k1,
+  CAST(NULL AS BIGINT) AS k2, CAST(NULL AS BIGINT) AS k3,
+  (len(list_intersect(string_split_regex(lower(text), '[^a-z0-9]+'),
+                      ['blockedalpha', 'blockedbeta'])) = 0) AS ok,
+  CAST(NULL AS VARCHAR) AS digest
+FROM (
+  SELECT doc_id,
+    text || CASE WHEN doc_id % 11 = 0 THEN ' then BlockedAlpha appears' ELSE '' END
+         || CASE WHEN doc_id % 13 = 0 THEN ' and (blockedbeta) too' ELSE '' END AS text
+  FROM documents
+)
 """
     o["blocklist_filter"] = """
 WITH p AS (

@@ -488,6 +488,36 @@ def c4_line_filter(
     )
 
 
+def badwords_filter(
+    df: DataFrame,
+    words: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4's word-blocklist page filter (Raffel et al. 2020 §2.2: drop any
+    page containing a listed term): tokenize on non-alphanumeric runs,
+    intersect with the blocklist, and flag the page.
+
+    The blocklist rides the plan as a LITERAL array (it is a config
+    artifact of at most a few thousand terms), so matching is a
+    whole-stage-codegen ``array_intersect`` at scan speed — no join, no
+    shuffle, no Python. Matching is whole-token (``badword`` does not
+    fire on ``embadwordded``) and case-insensitive, the documented C4
+    behavior. Output: ``(id, n_bad_terms, ok)`` where ``n_bad_terms``
+    counts DISTINCT blocklist terms present and ``ok`` is True when the
+    page is clean.
+    """
+    toks = F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")
+    hits = F.array_intersect(
+        toks, F.array(*[F.lit(w.lower()) for w in words])
+    )
+    return df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.size(hits).cast("long").alias("n_bad_terms"),
+        (F.size(hits) == 0).alias("ok"),
+    )
+
+
 def normalize_text(text: Column) -> Column:
     """CCNet-style normalization for dedup hashing (Wenzek et al. 2020
     §4.1 shape): lowercase, strip everything outside [a-z0-9 ], collapse

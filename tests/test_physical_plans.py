@@ -148,7 +148,7 @@ _PLAN_SHUFFLE_BUDGET = {
     "chunk_dedup": 2,  # first-occurrence window on chunk hash + per-doc agg
     "paragraph_dedup": 3,  # para-hash agg + keyed join back + per-doc reassembly
     "doc_signals": 1,  # small-scan fan-out (round-robin; no-op at scale)
-    "cleanup_suite": 0,  # pii regex scrub + c4 line edit, both narrow scan-speed
+    "cleanup_suite": 0,  # pii scrub + c4 line edit + badwords flag, all narrow scan-speed
     "blocklist_filter": 1,  # blocklist-side distinct only; pages never shuffle
     # stratified rank window + hash-sample rollup agg (2) + the dsir
     # part's fit/score aggs: ONE bucket groupBy inlined under model and

@@ -763,3 +763,25 @@ def test_c4_line_filter_rules(spark):
     assert out[3]["doc_ok"] is False  # lorem ipsum page
     assert out[4]["doc_ok"] is False  # only 2 kept lines < 3
     assert out[4]["n_kept"] == 2
+
+
+def test_badwords_filter_whole_token_case_insensitive(spark):
+    from opentelemetry_collector_spark.operators.textstats import badwords_filter
+
+    docs = {
+        1: "a perfectly clean page of text",
+        2: "contains BlockedAlpha mid sentence",          # case-insensitive hit
+        3: "embblockedalphadded is not a whole token",    # substring must NOT fire
+        4: "blockedalpha and blockedbeta, blockedalpha",  # distinct count = 2
+        5: "punct-wrapped (blockedbeta) fires too",
+    }
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["n_bad_terms"], r["ok"])
+        for r in badwords_filter(df, ["blockedalpha", "blockedbeta"]).collect()
+    }
+    assert out[1] == (0, True)
+    assert out[2] == (1, False)
+    assert out[3] == (0, True)
+    assert out[4] == (2, False)
+    assert out[5] == (1, False)
