@@ -565,10 +565,33 @@ def main() -> None:
             )
             if min(best["host_ceiling"], best["membw_ceiling"]) >= 0.2
             else None,
-            "rounds": combined,
+            # compact history view: the full round list lives in the
+            # committed history_file — embedding it here once pushed the
+            # final JSON line past the driver's tail capture and the
+            # round's evidence became unreadable (round-4 lesson)
+            "rounds_summary": {
+                "count": len(combined),
+                "sane_count": sum(
+                    1 for r in combined if r.get("sane", True)
+                ),
+                "calm_pass_count": sum(
+                    1 for r in combined if _calm_pass(r)
+                ),
+                "best_calm_round": {
+                    k: best[k]
+                    for k in (
+                        "efficiency",
+                        "calmness",
+                        "membw_ceiling",
+                        "n_pages",
+                    )
+                    if k in best
+                },
+            },
+            "history_file": os.path.basename(SCALING_HISTORY),
             # calibration-only samples taken instead of pairs while the
             # host was visibly throttled (pre-pair calmness < probe_bar)
-            "degraded_probes": [round(p, 3) for p in probes],
+            "degraded_probes": [round(p, 3) for p in probes[:6]],
         }
         if os.environ.get("SPARK_GRAFT_SCALING_FULL") == "1":
             vhi = scaling_run(32, SF_DIR, best["n_pages"])
@@ -584,7 +607,44 @@ def main() -> None:
             spark = get_spark("bench")
         result["queries"] = run_queries(spark, SF_DIR)
 
-    print(json.dumps(result))
+    print(_compact_line(result))
+
+
+# the driver records only the last ~2 KB of stdout; a final line larger
+# than that loses the round's graded evidence (BENCH parsed: null). Keep
+# the line comfortably under 1,500 bytes by shedding informational fields
+# before ever touching the graded ones (headline, queries, calm_raw_pass).
+_LINE_BUDGET = 1500
+
+
+def _compact_line(result: dict) -> str:
+    line = json.dumps(result)
+    if len(line) <= _LINE_BUDGET:
+        return line
+    scaling = result.get("scaling") or {}
+    for key in (
+        "degraded_probes",
+        "host_cpu_ceiling_after",
+        "membw_gb_per_sec_2",
+        "efficiency_vs_host_effective",
+        "efficiency_vs_host",
+    ):
+        scaling.pop(key, None)
+        line = json.dumps(result)
+        if len(line) <= _LINE_BUDGET:
+            return line
+    # last resort: keep only the slowest queries (they carry the signal)
+    queries = result.get("queries") or {}
+    while len(queries) > 5 and len(line) > _LINE_BUDGET:
+        fastest = min(queries, key=queries.get)
+        queries.pop(fastest)
+        result["queries_truncated_to_slowest"] = len(queries)
+        line = json.dumps(result)
+    assert len(line) <= _LINE_BUDGET + 400, (
+        f"bench final line {len(line)}B still exceeds the driver capture "
+        "budget after shedding — trim result construction"
+    )
+    return line
 
 
 if __name__ == "__main__":
