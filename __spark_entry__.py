@@ -2820,7 +2820,7 @@ WITH aug AS (
                  ELSE 'A solid closing line with several words.' END AS text
   FROM documents
 ), c4split AS (
-  SELECT doc_id, text, string_split(text, chr(10)) AS ls FROM c4page
+  SELECT doc_id, text, string_split_regex(text, '\r?\n') AS ls FROM c4page
 ), c4kept AS (
   SELECT doc_id, text, ls,
     list_filter(ls, l -> regexp_matches(trim(l), '[.!?"]$')

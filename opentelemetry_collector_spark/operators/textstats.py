@@ -470,8 +470,11 @@ def c4_line_filter(
     punctuation test is a dialect-independent regex class.
     """
     text = F.col(text_col)
-    lines = F.split(text, "\n")
-    keep_line = lambda l: F.trim(l).rlike('[.!?"]$') & (
+    # split on \r?\n (CRLF pages would otherwise keep a trailing \r that
+    # Java's $ forgives but RE2's does not) and anchor with \z so the
+    # Spark regex matches only true end-of-string, like the oracle's RE2 $
+    lines = F.split(text, "\r?\n")
+    keep_line = lambda l: F.trim(l).rlike('[.!?"]\\z') & (
         F.size(F.split(F.trim(l), " +")) >= min_words_per_line
     )
     kept = F.filter(lines, keep_line)

@@ -217,7 +217,18 @@ class StreamingPipeline:
                 # epoch-aware cross-micro-batch dedup: snapshot state
                 # lives next to the sinks unless the config points it
                 # elsewhere; dedups the PARSED record stream on content
-                # (body) with the url as the first-occurrence tiebreak
+                # (body) with the url as the first-occurrence tiebreak.
+                # Execution hoists dedup ahead of the transform chain, so
+                # a config declaring it after another processor would run
+                # in a different order than it reads — reject that rather
+                # than silently reordering (config order IS the contract).
+                if stages:
+                    raise ValueError(
+                        f"pipeline {pipeline!r}: 'dedup' processor "
+                        f"{proc_name!r} must be declared before any other "
+                        "(non-parse) processor — dedup always executes "
+                        "first, on the parsed record stream"
+                    )
                 from .dedup import StreamingDeduper
 
                 deduper = StreamingDeduper(

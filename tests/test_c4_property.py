@@ -28,24 +28,33 @@ _LINE = st.sampled_from(
         "code { inside } braces here now.",
         "Lorem Ipsum dolor sit amet today.",
         "Tab\tseparated words do not split here.",
+        "unicode line separator stays glued to five words. ",
     ]
 )
-_PAGE = st.lists(_LINE, min_size=1, max_size=8).map("\n".join)
+# pages join their lines with \n or \r\n — CRLF pages must behave
+# byte-identically to LF pages (the \r is part of the SEPARATOR, never
+# a trailing character the $-anchor quietly forgives)
+_SEP = st.sampled_from(["\n", "\r\n"])
+_PAGE = st.tuples(st.lists(_LINE, min_size=1, max_size=8), _SEP).map(
+    lambda t: t[1].join(t[0])
+)
 
 
 def _reference(pages: dict[int, str], min_words: int = 5, min_kept: int = 3):
-    """Pure-Python replication of the documented semantics: a line is
-    kept when its trimmed form ends in [.!?"] AND splitting the trimmed
-    form on runs of spaces yields >= min_words pieces (java/ducks' trim
-    strips SPACES only, exactly like Spark's ``trim``); page flags scan
-    the RAW text; the kept array carries the ORIGINAL untrimmed lines."""
+    """Pure-Python replication of the documented semantics: lines split
+    on \\r?\\n (CRLF == LF); a line is kept when its trimmed form ends in
+    [.!?"] at TRUE end-of-string (\\Z — no line-terminator forgiveness)
+    AND splitting the trimmed form on runs of spaces yields >= min_words
+    pieces (java/ducks' trim strips SPACES only, exactly like Spark's
+    ``trim``); page flags scan the RAW text; the kept array carries the
+    ORIGINAL untrimmed lines."""
     out = {}
     for i, text in pages.items():
-        lines = text.split("\n")
+        lines = re.split(r"\r?\n", text)
         kept = []
         for line in lines:
             t = line.strip(" ")
-            if re.search(r'[.!?"]$', t) and len(re.split(" +", t)) >= min_words:
+            if re.search(r'[.!?"]\Z', t) and len(re.split(" +", t)) >= min_words:
                 kept.append(line)
         ok = (
             len(kept) >= min_kept

@@ -510,3 +510,44 @@ service:
         spark.createDataFrame(generate_pages_pandas(ids), PAGES_SCHEMA)
     ).count()
     assert pipe.sink_counts()["audit"] == once
+
+
+def test_config_dedup_after_other_processor_is_rejected(spark, tmp_path):
+    """Execution hoists `dedup` ahead of the transform chain; a config
+    declaring it AFTER another processor would read in one order and run
+    in another — from_config must reject it, not silently reorder."""
+    from opentelemetry_collector_spark.plans.config import load_config
+
+    cfg = f"""
+receivers:
+  pages: {{kind: pages_parquet, path: {tmp_path}}}
+processors:
+  keep_err: {{kind: filter, keep_where: 'severity_text == "ERROR"'}}
+  dedup: {{}}
+exporters:
+  audit: {{kind: parquet, all: true}}
+service:
+  pipelines:
+    logs: {{receivers: [pages], processors: [keep_err, dedup], exporters: [audit]}}
+"""
+    with pytest.raises(ValueError, match="must be declared before"):
+        StreamingPipeline.from_config(
+            spark, load_config(cfg), "logs", str(tmp_path / "sinks")
+        )
+    # declared FIRST (parse may still precede it) the same config builds
+    ok = f"""
+receivers:
+  pages: {{kind: pages_parquet, path: {tmp_path}}}
+processors:
+  dedup: {{}}
+  keep_err: {{kind: filter, keep_where: 'severity_text == "ERROR"'}}
+exporters:
+  audit: {{kind: parquet, all: true}}
+service:
+  pipelines:
+    logs: {{receivers: [pages], processors: [dedup, keep_err], exporters: [audit]}}
+"""
+    pipe = StreamingPipeline.from_config(
+        spark, load_config(ok), "logs", str(tmp_path / "sinks")
+    )
+    assert pipe.deduper is not None
