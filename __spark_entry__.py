@@ -1396,9 +1396,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _D.alias("d1"),
         )
         docs = _t(spark, sf, "documents")
-        model, consts = dsir_ops.dsir_log_ratios(
-            docs, docs.where(F.col("doc_id") % 37 == 0), n_buckets=4096
-        )
+        # target slice guaranteed non-empty on ANY non-empty corpus: the
+        # %37 picks plus the minimum doc_id (1-row broadcast constant
+        # join) — dsir_log_ratios raises on an empty target, and a scale
+        # slice with no %37 ids must not abort the whole 3-part suite
+        mn = docs.agg(F.min("doc_id").alias("__mn"))
+        target = docs.join(
+            F.broadcast(mn),
+            (F.col("doc_id") % 37 == 0) | (F.col("doc_id") == F.col("__mn")),
+        ).drop("__mn")
+        model, consts = dsir_ops.dsir_log_ratios(docs, target, n_buckets=4096)
         picked = dsir_ops.dsir_resample(
             dsir_ops.dsir_scores(docs, model, consts, n_buckets=4096), k=25
         )
@@ -2577,7 +2584,9 @@ WITH r AS (
         FROM toks)
 ), counts AS (
   SELECT bucket,
-    sum(CASE WHEN doc_id % 37 = 0 THEN 1 ELSE 0 END)::DOUBLE AS ct,
+    sum(CASE WHEN doc_id % 37 = 0
+              OR doc_id = (SELECT min(doc_id) FROM documents)
+         THEN 1 ELSE 0 END)::DOUBLE AS ct,
     count(*)::DOUBLE AS cr
   FROM fb GROUP BY bucket
 ), tot AS (

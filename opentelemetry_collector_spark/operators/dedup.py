@@ -152,9 +152,16 @@ def dedup_incremental(
     key — at snapshot sizes past the broadcast threshold Catalyst plans
     the shuffle join this shape is designed for (AQE may still broadcast
     a small snapshot locally; both are correct). Within-batch dedup is
-    the dedup_exact groupBy. The returned snapshot is
-    distinct-by-construction (old snapshot ∪ survivor digests), so
-    persisting it needs no extra distinct pass.
+    the dedup_exact groupBy.
+
+    Precondition: ``seen_digests`` must itself be distinct — the
+    contract for an accumulated snapshot, and what every snapshot this
+    function RETURNS satisfies (survivor digests are distinct by the
+    groupBy and disjoint from the old snapshot by the anti-join, so
+    ``old ∪ survivors`` is distinct iff ``old`` is). A caller seeding
+    from a raw non-distinct digest projection must ``.distinct()`` it
+    once before the first call; this function does not re-distinct a
+    corpus-sized snapshot on every batch.
     """
     hashed = new_docs.select(
         F.col(id_col), F.md5(F.col(text_col)).alias("digest")

@@ -270,16 +270,22 @@ def ivf_topk(
     )
     # cell centers only need APPROXIMATE density structure (faiss trains
     # IVF on a sample with few iterations for the same reason), so the
-    # iteration budget is bounded and the training frame is pinned once
+    # iteration budget is bounded and the training frame is cached once
     # and coalesced: every KMeans iteration is a separate Spark job, so
     # 20 default iterations over a wide-but-tiny frame is pure scheduler
-    # overhead. Assignment (model.transform) still runs over the full
-    # corpus at its native parallelism.
-    train = corpus.select("__fv").coalesce(8).localCheckpoint(eager=True)
+    # overhead. persist (not localCheckpoint) so the blocks can be
+    # RELEASED after the fit — the model is only centers from here on,
+    # and a pinned checkpoint would otherwise accumulate storage across
+    # repeated invocations in one session. Assignment (model.transform)
+    # still runs over the full corpus at its native parallelism.
+    train = corpus.select("__fv").coalesce(8).persist()
     km = KMeans(
         k=n_cells, seed=seed, maxIter=10, featuresCol="__fv", predictionCol="__cell"
     )
-    model = km.fit(train)
+    try:
+        model = km.fit(train)
+    finally:
+        train.unpersist()
     assigned = model.transform(corpus).select(
         id_col, vec_col, norm(F.col(vec_col)).alias("__n"), "__cell"
     )
