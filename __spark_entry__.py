@@ -485,6 +485,111 @@ SELECT query_id, vec_id, rk::INTEGER AS rank, sim4 AS sim FROM ranked WHERE rk <
 # queries() — Spark implementations
 # ---------------------------------------------------------------------------
 
+# planted FOREIGN html (markup the engine didn't write), shared verbatim
+# by the Spark query and the DuckDB oracle so the plant is byte-identical
+# in both engines. str pieces are literals; ("col", name) pieces splice a
+# documents column (cast to string). Exercises: script body with a fake
+# close + '<'/'&&', style, noscript, comment hiding fake tags, quoted '>'
+# attributes, broken nesting, inline glue, unclosed trailing tag, numeric
+# entities (2/3/4-byte UTF-8, &#38; no-redecode, surrogate/NUL/overlong
+# left literal), &amp;lt; single-pass, named zoo, CRLF, double spaces.
+_FOREIGN_HTML_PIECES: tuple = (
+    '<!DOCTYPE html>\n<html lang="en">\n<head>\r\n<title>Doc ',
+    ("col", "doc_id"),
+    ' &mdash; caf&#233; &#x1F600;</title>\n'
+    '<style type="text/css">\nbody { color: #333; }\n.x < y { }\n</style>\n'
+    '<script>\nif (a < b && c > d) { document.write("</pre>"); }\n</script>\n'
+    "</head>\n<body>\n<!-- comment with <p>fake</p> and -- dashes -->\n"
+    "<noscript>enable JS</noscript><h1>Heading &amp;lt; kept literal</h1>\n"
+    '<div class="main"><p>',
+    ("col", "text"),
+    "</p>\n<p>Entity zoo: &quot;q&quot;&nbsp;nb&#46; A&#38;B &lt;t&gt; bad"
+    " &#xD800; &#0; &#12345678; &unknown; tail&#</p>\n"
+    "<ul><li>item one</li><li>item &hellip;</li></ul></div>\n"
+    '<table><tr><td a="x > 1">c1</td><td>c2</td></tr></table>\n'
+    "<b><i>broken</b></i> nesting <span>inline</span>glued\n"
+    "<p>unclosed trailing with 2  spaces\n</body></html>",
+)
+
+
+def _foreign_html_sql() -> str:
+    parts = []
+    for p in _FOREIGN_HTML_PIECES:
+        if isinstance(p, tuple):
+            parts.append(f"{p[1]}::VARCHAR")
+        else:
+            parts.append("'" + p.replace("'", "''") + "'")
+    return " || ".join(parts)
+
+
+def _dd_extract_text_any_cte() -> str:
+    """DuckDB twin of htmltext.extract_text_any as a CTE chain over
+    ``fhtml(url, h)`` ending in ``flines(url, t)`` — regenerated from the
+    SAME pattern constants the Spark operator compiles from."""
+    from opentelemetry_collector_spark.operators.htmltext import (
+        _ATTRS,
+        _BLOCK_TAGS,
+        _CONTENT_STRIP_TAGS,
+        _NAMED_ENTITIES,
+    )
+
+    def q(pat: str) -> str:  # SQL-quote a regex/string literal
+        return "'" + pat.replace("'", "''") + "'"
+
+    strip = "regexp_replace(h, '(?s)<!--.*?-->', '', 'g')"
+    for t in _CONTENT_STRIP_TAGS:
+        pat = q(rf"(?is)<{t}\b{_ATTRS}>.*?</{t}\s*>")
+        strip = f"regexp_replace({strip}, {pat}, '', 'g')"
+    block_pat = q(rf"(?i)</?(?:{_BLOCK_TAGS})\b{_ATTRS}>")
+    strip = f"regexp_replace({strip}, {block_pat}, chr(10), 'g')"
+    any_pat = q(rf"</?[a-zA-Z!]{_ATTRS}>")
+    strip = f"regexp_replace({strip}, {any_pat}, '', 'g')"
+
+    def ncase(match_pat, n_expr):
+        n = f"coalesce(try_cast({n_expr} AS BIGINT), -1)"
+        return (
+            f"WHEN regexp_matches(seg, {q(match_pat)})"
+            f" AND {n} BETWEEN 1 AND 1114111"
+            f" AND NOT {n} BETWEEN 55296 AND 57343"
+            f" THEN CASE WHEN {n} = 38 THEN chr(57344)"
+            f" ELSE chr({n}::INT) END"
+            f" || regexp_replace(seg, {q(match_pat)}, '')"
+        )
+
+    dec = ncase("^[0-9]{1,7};", "regexp_extract(seg, '^([0-9]{1,7});', 1)")
+    hx = ncase(
+        "^[xX][0-9a-fA-F]{1,6};",
+        "'0x' || regexp_extract(seg, '^[xX]([0-9a-fA-F]{1,6});', 1)",
+    )
+    named = "h"
+    for name, repl in _NAMED_ENTITIES:
+        named = f"replace({named}, '&{name};', {q(repl)})"
+    ws_class = q("[\t\x0b\x0c\r   ]")
+    return f"""
+fstrip AS (
+  SELECT url, {strip} AS h FROM fhtml
+), famp AS (
+  SELECT url, string_split(replace(h, '&amp;', chr(57344)), '&#') AS parts
+  FROM fstrip
+), fnum AS (
+  SELECT url, parts[1] || array_to_string(list_transform(parts[2:], seg ->
+    CASE {dec} {hx} ELSE '&#' || seg END), '') AS h
+  FROM famp
+), fnamed AS (
+  SELECT url,
+    replace(replace({named}, chr(57344), chr(38)), chr(173), '') AS h
+  FROM fnum
+), fws AS (
+  SELECT url, regexp_replace(h, {ws_class}, ' ', 'g') AS h FROM fnamed
+), flines AS (
+  SELECT url, array_to_string(list_filter(list_transform(
+    string_split(h, chr(10)),
+    l -> trim(regexp_replace(l, ' {{2,}}', ' ', 'g'), ' ')),
+    l -> l <> ''), chr(10)) AS t
+  FROM fws
+)"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
@@ -1697,21 +1802,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["multimodal_suite"] = mm_suite
 
-    # --- html → text extraction boundary (input_hint per-row invariant:
-    # byte-identical extracted text per url, proven by value parity — the
-    # Spark side recovers text FROM the binary html envelope, the oracle
-    # hashes the original text directly) ---
+    # --- html → text extraction boundary, 2-part union. 'envelope':
+    # input_hint per-row invariant — Spark recovers text FROM the binary
+    # html envelope it wrote, the oracle hashes the original text; value
+    # parity proves byte-identical extraction per url. 'foreign': the
+    # GENERAL extractor (htmltext.extract_text_any) over a planted
+    # foreign-HTML corpus (script/style/comment blocks, quoted-'>' attrs,
+    # broken nesting, numeric/named/invalid entities, multi-byte UTF-8)
+    # the engine did NOT write — the oracle replicates the full defined
+    # extraction in SQL, like the reference's receiver unmarshal path
+    # accepting any valid payload (receiver/otlpreceiver/otlp.go:42-279).
     def html_extract(spark, sf):
-        from opentelemetry_collector_spark.operators.htmltext import extract_pages
+        from opentelemetry_collector_spark.operators.htmltext import (
+            extract_pages,
+            extract_text_any,
+        )
 
         pages = pages_from_documents(_t(spark, sf, "documents"))
-        return extract_pages(pages).select(
+        env = extract_pages(pages).select(
+            F.lit("envelope").alias("part"),
             "url",
             F.md5(F.col("extracted_text")).alias("text_md5"),
             F.octet_length(F.encode(F.col("extracted_text"), "UTF-8"))
             .cast("long")
             .alias("n_bytes"),
         )
+        docs = _t(spark, sf, "documents")
+        fhtml = F.encode(
+            F.concat(
+                *[
+                    F.col(p[1]).cast("string") if isinstance(p, tuple) else F.lit(p)
+                    for p in _FOREIGN_HTML_PIECES
+                ]
+            ),
+            "UTF-8",
+        )
+        t = extract_text_any(fhtml)
+        fr = docs.select(
+            F.lit("foreign").alias("part"),
+            F.concat(
+                F.lit("https://"),
+                F.col("source"),
+                F.lit(".example.com/doc/"),
+                F.col("doc_id"),
+            ).alias("url"),
+            F.md5(t).alias("text_md5"),
+            F.octet_length(F.encode(t, "UTF-8")).cast("long").alias("n_bytes"),
+        )
+        return env.unionAll(fr)
 
     q["html_extract_text"] = html_extract
 
@@ -2974,15 +3112,30 @@ FROM (SELECT doc_id, text, length(text) AS n FROM documents WHERE text IS NOT NU
     CASE WHEN n = 0 THEN 0 ELSE CAST(ceil(n / 64.0) AS INT) - 1 END)) AS t(i)
 """
 
-    # html_extract_text: Spark recovers text FROM the binary html envelope
-    # (decode → <pre> extract → entity unescape); the oracle hashes the
-    # ORIGINAL text — value parity proves the extraction is byte-identical
-    # per url (BASELINE.json input_hint per-row invariant)
-    o["html_extract_text"] = """
-SELECT 'https://' || source || '.example.com/doc/' || doc_id AS url,
+    # html_extract_text, 2-part union. 'envelope': Spark recovers text
+    # FROM the binary html envelope (decode → <pre> extract → entity
+    # unescape); the oracle hashes the ORIGINAL text — value parity
+    # proves the extraction is byte-identical per url (BASELINE.json
+    # input_hint per-row invariant). 'foreign': BOTH engines plant the
+    # same foreign-HTML corpus (shared _FOREIGN_HTML_PIECES) and the
+    # oracle re-implements the FULL extract_text_any semantics in SQL
+    # (_dd_extract_text_any_cte) — independent-engine value parity on
+    # markup the engine didn't write.
+    o["html_extract_text"] = f"""
+WITH fhtml AS (
+  SELECT 'https://' || source || '.example.com/doc/' || doc_id AS url,
+         {_foreign_html_sql()} AS h
+  FROM documents
+), {_dd_extract_text_any_cte()}
+SELECT 'envelope' AS part,
+  'https://' || source || '.example.com/doc/' || doc_id AS url,
   md5(text) AS text_md5,
   octet_length(encode(text))::BIGINT AS n_bytes
 FROM documents
+UNION ALL
+SELECT 'foreign' AS part, url, md5(t) AS text_md5,
+  octet_length(encode(t))::BIGINT AS n_bytes
+FROM flines
 """
 
     # warc_roundtrip: pages → WARC/1.0 shards → content-length streaming
