@@ -1066,12 +1066,23 @@ DEFAULT_BPE_MERGES: tuple[tuple[str, str], ...] = (
 )
 
 
+# ceiling for the columnar replace-chain form: past this, whole-stage
+# codegen bails on the expression tree (64 KB JVM method limit), Catalyst
+# tree construction itself becomes the bottleneck, and per-word work is
+# O(n_merges·|word|). Production vocabularies (~50k merges) go through
+# bpe_encode_arrow instead (a declared Arrow surface, same boundary
+# class as the protobuf wire codec).
+_COLUMNAR_MAX_MERGES = 64
+
+
 def bpe_word_expr(
     word: Column, merges: tuple[tuple[str, str], ...] = DEFAULT_BPE_MERGES
 ) -> Column:
     """Encode one whitespace word with merge-table BPE, as a pure column
     expression: char-split into the wrapped representation, then one
-    literal ``replace`` pass per merge in rank order.
+    literal ``replace`` pass per merge in rank order. Refuses merge
+    tables past ``_COLUMNAR_MAX_MERGES`` — use :func:`bpe_encode_arrow`
+    (or :func:`bpe_encode`'s auto dispatch) for production vocabularies.
 
     One full left-to-right pass per rule in rank order is EQUIVALENT to
     the canonical encoder loop (repeatedly merge all occurrences of the
@@ -1084,6 +1095,13 @@ def bpe_word_expr(
     non-overlapping sites, same as the canonical per-word scan.
     (Locked against a reference Python encoder in tests/test_textstats.py.)
     """
+    if len(merges) > _COLUMNAR_MAX_MERGES:
+        raise ValueError(
+            f"columnar BPE caps at {_COLUMNAR_MAX_MERGES} merges "
+            f"(got {len(merges)}): a pass-per-merge replace chain at "
+            "production vocab size blows past the JVM codegen method "
+            "limit — use bpe_encode_arrow / bpe_encode(engine='auto')"
+        )
     s = F.regexp_replace(word, "(.)", BPE_SEP + "$1" + BPE_SEP)
     for a, b in merges:
         s = F.replace(
@@ -1111,17 +1129,36 @@ def bpe_encode(
     merges: tuple[tuple[str, str], ...] = DEFAULT_BPE_MERGES,
     id_col: str = "doc_id",
     text_col: str = "text",
+    engine: str = "auto",
 ) -> DataFrame:
-    """Merge-table BPE tokenization, fully columnar (no Python, no
-    shuffle): per-document whitespace words are char-split and merged by
-    chained literal ``replace`` passes (see :func:`bpe_word_expr`).
+    """Merge-table BPE tokenization. Two physical paths, one semantics:
 
-    At 100 TB the merge table is a compile-time constant folded into the
-    expression tree — nothing is broadcast, the pass runs at scan speed.
+    - ``columnar`` (merge tables ≤ ``_COLUMNAR_MAX_MERGES``): no Python,
+      no shuffle — per-document whitespace words are char-split and
+      merged by chained literal ``replace`` passes (:func:`bpe_word_expr`;
+      proven equivalent to the canonical encoder loop). The merge table
+      is a compile-time constant folded into the expression tree —
+      nothing broadcast, scan speed. This is the oracle'd form.
+    - ``arrow`` (production vocabularies, ~50k merges): the canonical
+      lowest-rank-pair encoder over Arrow batches
+      (:func:`bpe_encode_arrow`) — a replace chain that deep would blow
+      the JVM codegen method limit and cost O(n_merges·|word|) per word.
+
+    ``engine='auto'`` picks columnar when the table fits, arrow past the
+    ceiling; parity between the paths is pinned by
+    tests/test_textstats.py (same table, identical output) and a
+    property test over random VALID merge tables.
+
     Output per doc: ``n_words`` (non-empty words), ``bpe_tokens`` (total
     token count), and ``enc_head`` (the first word's token sequence,
     '|'-joined — the value-parity probe for the merge semantics).
     """
+    if engine not in ("auto", "columnar", "arrow"):
+        raise ValueError(f"unknown bpe engine {engine!r}")
+    if engine == "arrow" or (
+        engine == "auto" and len(merges) > _COLUMNAR_MAX_MERGES
+    ):
+        return bpe_encode_arrow(df, merges, id_col=id_col, text_col=text_col)
     docs = df.where(F.col(text_col).isNotNull())
     enc_arr = F.transform(
         tokenize(F.col(text_col)), lambda w: bpe_word_expr(w, merges)
@@ -1153,6 +1190,111 @@ def bpe_encode(
         F.col("__b.bpe_tokens").alias("bpe_tokens"),
         F.col("__b.enc_head").alias("enc_head"),
     )
+
+
+def bpe_canonical_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Canonical per-word BPE encode: repeatedly merge ALL occurrences of
+    the lowest-rank pair present (left-to-right, non-overlapping) until
+    no table pair remains. Cost is O(pairs-present) per round, NOT
+    O(n_merges) — the table participates only through the rank lookup,
+    so a 50k-merge vocabulary costs the same per word as a 16-merge one.
+    Pure Python; executed worker-side inside :func:`bpe_encode_arrow`."""
+    toks = list(word)
+    while len(toks) > 1:
+        best: tuple[str, str] | None = None
+        best_rank = len(ranks)
+        for pair in zip(toks, toks[1:]):
+            r = ranks.get(pair, best_rank)
+            if r < best_rank:
+                best, best_rank = pair, r
+        if best is None:
+            break
+        a, b = best
+        out: list[str] = []
+        i = 0
+        while i < len(toks):
+            if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(toks[i])
+                i += 1
+        toks = out
+    return toks
+
+
+def bpe_encode_arrow(
+    df: DataFrame,
+    merges: tuple[tuple[str, str], ...] = DEFAULT_BPE_MERGES,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Production-vocabulary BPE: the canonical encoder over Arrow
+    batches (``mapInPandas``). A DECLARED Arrow surface — same boundary
+    class as the protobuf wire codec: the work is inherently per-word
+    iterative with a ~50k-entry rank table, which the columnar replace
+    chain cannot express within JVM codegen limits.
+
+    Scale shape: narrow map-only (zero shuffle, partition-preserving);
+    the rank dict ships once per task in the closure (a ~50k-pair dict
+    is ~5 MB — executor-resident, amortized across every batch); a
+    per-task word→encoding cache exploits Zipf repetition so hot words
+    encode once per task, not once per occurrence.
+
+    Output schema and semantics are IDENTICAL to the columnar
+    :func:`bpe_encode` (parity-pinned in tests): whitespace tokenize is
+    trim-spaces + split-on-space-runs, ``enc_head`` encodes the FIRST
+    raw word ('' text → '' head, matching the columnar form), counts
+    cover non-empty words only. NULL text rows are dropped like the
+    columnar path.
+    """
+    import re as _re
+
+    from pyspark.sql import types as T
+
+    ranks = {(a, b): i for i, (a, b) in enumerate(merges)}
+    id_field = df.schema[id_col]
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, id_field.dataType, id_field.nullable),
+            T.StructField("n_words", T.LongType(), False),
+            T.StructField("bpe_tokens", T.LongType(), False),
+            T.StructField("enc_head", T.StringType(), True),
+        ]
+    )
+    docs = df.where(F.col(text_col).isNotNull()).select(id_col, text_col)
+
+    def encode_batches(batches):
+        import pandas as pd
+
+        cache: dict[str, list[str]] = {}
+
+        def enc(w: str) -> list[str]:
+            got = cache.get(w)
+            if got is None:
+                got = bpe_canonical_word(w, ranks)
+                cache[w] = got
+            return got
+
+        for pdf in batches:
+            ids, n_words, n_toks, heads = [], [], [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                raw = _re.split(" +", t.strip(" "))
+                encs = [enc(w) for w in raw if w]
+                ids.append(i)
+                n_words.append(len(encs))
+                n_toks.append(sum(len(e) for e in encs))
+                heads.append("|".join(enc(raw[0])))
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "n_words": n_words,
+                    "bpe_tokens": n_toks,
+                    "enc_head": heads,
+                }
+            )
+
+    return docs.mapInPandas(encode_batches, out_schema)
 
 
 def pack_sequences(

@@ -785,3 +785,107 @@ def test_badwords_filter_whole_token_case_insensitive(spark):
     assert out[3] == (0, True)
     assert out[4] == (2, False)
     assert out[5] == (1, False)
+
+
+# ---------------------------------------------------------------------------
+# BPE: Arrow (canonical) path ≡ columnar path; columnar refuses big tables
+# ---------------------------------------------------------------------------
+
+
+def _valid_random_merges(rng, alphabet: str, n: int) -> tuple:
+    """A VALID merge table, constructed like training constructs one:
+    every rule's constituents are single chars or outputs of EARLIER
+    rules (an arbitrary random table can legally diverge between the
+    pass-per-rank and canonical forms; a trained table cannot)."""
+    tokens = list(alphabet)
+    merges, seen = [], set()
+    while len(merges) < n:
+        a, b = rng.choice(tokens), rng.choice(tokens)
+        if (a, b) in seen:
+            continue
+        seen.add((a, b))
+        merges.append((a, b))
+        tokens.append(a + b)
+    return tuple(merges)
+
+
+def _bpe_rows(spark):
+    rows = [
+        (0, "the theatre then standing"),
+        (1, "aaaa bbbb erer ananan outer"),
+        (2, ""),
+        (3, "x"),
+        (4, "  padded   runs  of   spaces  "),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_bpe_arrow_matches_columnar_default_table(spark):
+    from opentelemetry_collector_spark.operators.textstats import (
+        DEFAULT_BPE_MERGES,
+        bpe_encode,
+        bpe_encode_arrow,
+    )
+
+    df = _bpe_rows(spark)
+    col = {r["doc_id"]: r.asDict() for r in bpe_encode(df).collect()}
+    arr = {
+        r["doc_id"]: r.asDict()
+        for r in bpe_encode_arrow(df, DEFAULT_BPE_MERGES).collect()
+    }
+    assert col == arr
+
+
+def test_bpe_columnar_refuses_production_table_and_auto_dispatches(spark):
+    import random
+
+    import pytest as _pytest
+
+    from opentelemetry_collector_spark.operators.textstats import (
+        _COLUMNAR_MAX_MERGES,
+        bpe_canonical_word,
+        bpe_encode,
+    )
+
+    rng = random.Random(7)
+    big = _valid_random_merges(rng, "abcdefghijklmnopqrstuvwxyz", 200)
+    assert len(big) > _COLUMNAR_MAX_MERGES
+    df = _bpe_rows(spark)
+    with _pytest.raises(ValueError, match="columnar BPE caps"):
+        bpe_encode(df, big, engine="columnar").collect()
+    # auto dispatch takes the Arrow path and matches the canonical
+    # reference computed driver-side
+    got = {r["doc_id"]: r for r in bpe_encode(df, big, engine="auto").collect()}
+    ranks = {p: i for i, p in enumerate(big)}
+    for doc_id, text in [(r["doc_id"], r["text"]) for r in df.collect()]:
+        words = [w for w in text.strip(" ").split() if w]
+        encs = [bpe_canonical_word(w, ranks) for w in words]
+        assert got[doc_id]["n_words"] == len(encs)
+        assert got[doc_id]["bpe_tokens"] == sum(len(e) for e in encs)
+
+
+def test_bpe_property_paths_agree_on_random_valid_tables(spark):
+    import random
+
+    from opentelemetry_collector_spark.operators.textstats import (
+        bpe_encode,
+        bpe_encode_arrow,
+    )
+
+    rng = random.Random(1234)
+    for trial in range(4):
+        merges = _valid_random_merges(rng, "abcde", rng.randint(1, 24))
+        words = [
+            "".join(rng.choice("abcde") for _ in range(rng.randint(0, 12)))
+            for _ in range(8)
+        ]
+        df = spark.createDataFrame(
+            [(i, " ".join(words[: i + 1])) for i in range(8)],
+            ["doc_id", "text"],
+        )
+        col = {r["doc_id"]: r.asDict() for r in bpe_encode(df, merges).collect()}
+        arr = {
+            r["doc_id"]: r.asDict()
+            for r in bpe_encode_arrow(df, merges).collect()
+        }
+        assert col == arr, (trial, merges)
