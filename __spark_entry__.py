@@ -1236,8 +1236,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             d=(F.col("summary_sum"), F.col("quantile"),
                F.col("quantile_value")),
         )
+        # 'typed': FOREIGN payloads with every AnyValue oneof member —
+        # typed attrs survive the wire and land as the reference's
+        # AsString coercions (pdata/pcommon/value.go:31-40); the oracle
+        # predicts the strings from the same id-derivation rules
+        typed_back = otlp_pb.typed_attrs_roundtrip(
+            _t(spark, sf, "events").select("event_id")
+        )
+        p_typed = packed(
+            "typed", typed_back,
+            s=(F.col("int_s"), F.col("dbl_s"), F.col("bool_s"),
+               F.col("bytes_s"), F.col("arr_s"), F.col("kv_s")),
+            k=(F.col("event_id"),),
+        )
         out = p_logs
-        for part in (p_spans, p_msum, p_mhist, p_mexph, p_msummary):
+        for part in (p_spans, p_msum, p_mhist, p_mexph, p_msummary, p_typed):
             out = out.unionAll(part)
         return out
 
@@ -2512,6 +2525,20 @@ SELECT 'msummary' AS part,
   summary_sum::DOUBLE AS d1, quantile::DOUBLE AS d2,
   quantile_value::DOUBLE AS d3, CAST(NULL AS DOUBLE) AS d4
 FROM ({sql_summary})
+UNION ALL
+SELECT 'typed' AS part,
+  ((event_id % 1000) - 500)::VARCHAR AS s1,
+  ((event_id % 16) - 8 + 0.5)::VARCHAR AS s2,
+  CASE WHEN event_id % 2 = 0 THEN 'true' ELSE 'false' END AS s3,
+  to_base64(encode('id:' || event_id)) AS s4,
+  '[' || (event_id % 5)::VARCHAR || ',"tag"]' AS s5,
+  '{{"x":' || (event_id % 7)::VARCHAR || '}}' AS s6,
+  CAST(NULL AS VARCHAR) AS s7, CAST(NULL AS VARCHAR) AS s8,
+  event_id::BIGINT AS k1, CAST(NULL AS BIGINT) AS k2,
+  CAST(NULL AS BIGINT) AS k3, CAST(NULL AS BIGINT) AS k4,
+  CAST(NULL AS BIGINT) AS k5, CAST(NULL AS BIGINT) AS k6,
+  {_PB_NULL_D}
+FROM events
 """
 
     o["spanmetrics_spans"] = f"""

@@ -25,7 +25,12 @@ Field map (wire numbers/types from the public .proto files):
                   9 bytes trace_id, 10 bytes span_id,
                   11 fixed64 observed_time_unix_nano
 - KeyValue:       1 string key, 2 AnyValue value
-- AnyValue:       1 string string_value (the subset the flat model uses)
+- AnyValue:       the full 8-way oneof (pdata/pcommon/value.go:31-40):
+                  1 string, 2 bool, 3 int64, 4 double,
+                  5 ArrayValue{1 repeated AnyValue},
+                  6 KeyValueList{1 repeated KeyValue}, 7 bytes.
+                  The flat model WRITES strings; FOREIGN typed values
+                  decode through Value.AsString coercion (never skipped)
 - ExportLogsServiceResponse: 1 ExportLogsPartialSuccess{
                   1 int64 rejected_log_records, 2 string error_message}
 
@@ -156,8 +161,125 @@ def _enc_any_string(s: str | None) -> bytes:
     return _f_string(1, s)
 
 
-def _enc_kv(key: str, value: str | None) -> bytes:
-    return _f_bytes(1, key.encode("utf-8")) + _f_msg(2, _enc_any_string(value))
+def _enc_any(v) -> bytes:
+    """Full 8-way AnyValue union (pdata/pcommon/value.go:31-40; field
+    numbers from opentelemetry/proto/common/v1/common.proto): 1 string,
+    2 bool, 3 int64, 4 double, 5 ArrayValue, 6 KeyValueList, 7 bytes.
+    None encodes the EMPTY AnyValue (no oneof member set). bool checks
+    before int (Python bool ⊂ int)."""
+    if v is None:
+        return b""
+    if isinstance(v, str):
+        return _enc_any_string(v)
+    # oneof members are emitted even at their zero value (false / 0 /
+    # 0.0) — proto3 default-omission applies to PLAIN fields, not to a
+    # set oneof; omitting them here would decode as the EMPTY AnyValue
+    if isinstance(v, bool):
+        return _tag(2, 0) + _varint(1 if v else 0)
+    if isinstance(v, int):
+        return _tag(3, 0) + _varint(v & 0xFFFFFFFFFFFFFFFF)  # two's-complement
+    if isinstance(v, float):
+        return _f_double(4, v, always=True)
+    if isinstance(v, (bytes, bytearray)):
+        # direct tag+len+payload: _f_bytes omits EMPTY payloads (plain-
+        # field semantics), but bytes_value b'' is a set oneof member
+        return _tag(7, 2) + _varint(len(v)) + bytes(v)
+    if isinstance(v, (list, tuple)):
+        return _f_msg(5, b"".join(_f_msg(1, _enc_any(x)) for x in v))
+    if isinstance(v, dict):
+        return _f_msg(
+            6, b"".join(_f_msg(1, _enc_kv(k, x)) for k, x in v.items())
+        )
+    return _enc_any_string(str(v))
+
+
+def _dec_any(buf: bytes):
+    """AnyValue bytes → typed Python value (inverse of :func:`_enc_any`);
+    the EMPTY AnyValue decodes to None."""
+    for field, _w, v in _fields(buf):
+        if field == 1:
+            return bytes(v).decode("utf-8")
+        if field == 2:
+            return bool(v)
+        if field == 3:
+            n = int(v)
+            return n - (1 << 64) if n >= (1 << 63) else n
+        if field == 4:
+            return struct.unpack("<d", struct.pack("<Q", int(v)))[0]
+        if field == 5:
+            return [
+                _dec_any(bytes(x))
+                for f2, _w2, x in _fields(bytes(v))
+                if f2 == 1
+            ]
+        if field == 6:
+            out = {}
+            for f2, _w2, x in _fields(bytes(v)):
+                if f2 == 1:
+                    k, val = _dec_kv_typed(bytes(x))
+                    out[k] = val
+            return out
+        if field == 7:
+            return bytes(v)
+    return None
+
+
+def _any_as_string(v) -> str:
+    """The reference's Value.AsString coercion at the flat boundary
+    (pdata/pcommon/value.go AsString): identity for strings,
+    'true'/'false' for bool, decimal for int, exact ES6 rendering for
+    double, base64 for bytes, compact JSON (ES6 doubles, base64 bytes)
+    for array/kvlist, '' for the empty value — byte-compatible with the
+    JSON codec's coercion (functions/values.py as_string)."""
+    import base64
+
+    from .values import es6_float_str
+
+    if v is None:
+        return ""
+    if isinstance(v, str):
+        return v
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, float):
+        return es6_float_str(v)
+    if isinstance(v, (bytes, bytearray)):
+        return base64.b64encode(bytes(v)).decode("ascii")
+
+    def _json(x) -> str:
+        if x is None:
+            return "null"
+        if isinstance(x, str):
+            import json as _j
+
+            return _j.dumps(x, ensure_ascii=False)
+        if isinstance(x, bool):
+            return "true" if x else "false"
+        if isinstance(x, int):
+            return str(x)
+        if isinstance(x, float):
+            return es6_float_str(x)
+        if isinstance(x, (bytes, bytearray)):
+            import json as _j
+
+            return _j.dumps(base64.b64encode(bytes(x)).decode("ascii"))
+        if isinstance(x, (list, tuple)):
+            return "[" + ",".join(_json(e) for e in x) + "]"
+        if isinstance(x, dict):
+            return (
+                "{"
+                + ",".join(f"{_json(str(k))}:{_json(e)}" for k, e in x.items())
+                + "}"
+            )
+        return _json(str(x))
+
+    return _json(v)
+
+
+def _enc_kv(key: str, value) -> bytes:
+    return _f_bytes(1, key.encode("utf-8")) + _f_msg(2, _enc_any(value))
 
 
 def _enc_log_record(r: dict) -> bytes:
@@ -189,20 +311,27 @@ def _enc_request(host: str | None, lang: str | None, records: list[dict]) -> byt
 
 
 def _dec_any_string(buf: bytes) -> str:
-    for field, _w, v in _fields(buf):
-        if field == 1:
-            return bytes(v).decode("utf-8")
-    return ""
+    """AnyValue bytes → the flat model's string: typed decode + AsString.
+    A FOREIGN payload with int/double/bool/bytes/array/kvlist attributes
+    survives as its AsString rendering instead of being dropped as an
+    unknown field (the reference accepts any valid AnyValue —
+    pdata/pcommon/value.go:31-40)."""
+    return _any_as_string(_dec_any(buf))
 
 
-def _dec_kv(buf: bytes) -> tuple[str, str]:
-    key, val = "", ""
+def _dec_kv_typed(buf: bytes) -> tuple[str, object]:
+    key, val = "", None
     for field, _w, v in _fields(buf):
         if field == 1:
             key = bytes(v).decode("utf-8")
         elif field == 2:
-            val = _dec_any_string(bytes(v))
+            val = _dec_any(bytes(v))
     return key, val
+
+
+def _dec_kv(buf: bytes) -> tuple[str, str]:
+    key, val = _dec_kv_typed(buf)
+    return key, _any_as_string(val)
 
 
 def _dec_log_record(buf: bytes) -> dict:
@@ -450,6 +579,69 @@ def roundtrip_pb(
             max_records_per_envelope=max_records_per_envelope,
         )
     )
+
+
+def typed_attrs_roundtrip(df: DataFrame, id_col: str = "event_id") -> DataFrame:
+    """FOREIGN-payload typed-attribute exercise over the wire: per id,
+    build a log record whose attributes use EVERY AnyValue oneof member
+    (int — negative, so the 10-byte varint path runs — double, bool,
+    bytes, array, kvlist; pdata/pcommon/value.go:31-40), marshal the
+    full request, unmarshal it, and emit the flat-boundary AsString
+    coercions. Proves typed attributes SURVIVE decode (not skipped as
+    unknown fields) and land exactly where the JSON codec's coercion
+    would put them. Declared Arrow surface (same class as the codec).
+
+    Output: ``(id, int_s, dbl_s, bool_s, bytes_s, arr_s, kv_s)`` —
+    every value derived deterministically from the id, so an oracle can
+    predict the strings without re-implementing the codec."""
+    from pyspark.sql import types as T
+
+    id_field = df.schema[id_col]
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, id_field.dataType, id_field.nullable),
+            *[
+                T.StructField(n, T.StringType(), True)
+                for n in ("int_s", "dbl_s", "bool_s", "bytes_s", "arr_s", "kv_s")
+            ],
+        ]
+    )
+    ids_df = df.select(id_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                id_col: [],
+                "int_s": [],
+                "dbl_s": [],
+                "bool_s": [],
+                "bytes_s": [],
+                "arr_s": [],
+                "kv_s": [],
+            }
+            for raw in pdf[id_col]:
+                i = int(raw)
+                attrs = {
+                    "t_int": (i % 1000) - 500,
+                    "t_dbl": (i % 16) - 8 + 0.5,
+                    "t_bool": i % 2 == 0,
+                    "t_bytes": f"id:{i}".encode("utf-8"),
+                    "t_arr": [i % 5, "tag"],
+                    "t_kv": {"x": i % 7},
+                }
+                rec = {"body": "typed", "attributes": attrs, "url": f"u:{i}"}
+                back = _dec_request(_enc_request("h", "en", [rec]))
+                got = back[0]["attributes"]
+                out[id_col].append(raw)
+                out["int_s"].append(got["t_int"])
+                out["dbl_s"].append(got["t_dbl"])
+                out["bool_s"].append(got["t_bool"])
+                out["bytes_s"].append(got["t_bytes"])
+                out["arr_s"].append(got["t_arr"])
+                out["kv_s"].append(got["t_kv"])
+            yield pd.DataFrame(out)
+
+    return ids_df.mapInPandas(run, out_schema)
 
 
 # ---------------------------------------------------------------------------

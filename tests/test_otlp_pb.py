@@ -218,3 +218,86 @@ def test_pb_exphist_and_summary_roundtrip_identity():
     )
     assert sb[0]["metric_type"] == 5
     assert sb[0]["quantiles"] == [(0.5, 1.0), (0.9, 3.5), (0.99, 4.25)]
+
+
+# ---------------------------------------------------------------------------
+# typed AnyValue union (pdata/pcommon/value.go:31-40): every oneof member
+# survives the wire; flat boundary applies the reference's AsString
+# ---------------------------------------------------------------------------
+
+
+def test_pb_anyvalue_typed_union_roundtrip():
+    from opentelemetry_collector_spark.functions.otlp_pb import (
+        _dec_any,
+        _enc_any,
+    )
+
+    cases = [
+        "plain",
+        "",                       # empty string (flat path omits; '' == empty)
+        True,
+        False,                    # zero-value oneof must still be emitted
+        0,
+        -1,                       # 10-byte two's-complement varint
+        (1 << 62),
+        -(1 << 62),
+        0.0,
+        -4.5,
+        1e300,
+        b"",
+        b"\x00\xffraw",
+        [1, "a", False, None],
+        {"x": 0, "y": "s", "z": [2.5, b"b"]},
+        None,                     # the EMPTY AnyValue
+    ]
+    for v in cases:
+        back = _dec_any(_enc_any(v))
+        if v is None or (isinstance(v, str) and v == ""):
+            # the flat path encodes '' as the empty AnyValue (proto3
+            # string default); both decode to the empty value
+            assert back is None, v
+        else:
+            assert back == v and type(back) is type(v), v
+
+
+def test_pb_foreign_typed_attrs_survive_as_asstring():
+    """A FOREIGN payload with int/double/bool/bytes/array/kvlist attrs
+    must decode to the AsString coercions, not vanish as unknown
+    fields (the r4 codec skipped everything but string_value)."""
+    from opentelemetry_collector_spark.functions.otlp_pb import (
+        _dec_request,
+        _enc_request,
+    )
+
+    rec = {
+        "body": "b",
+        "url": "u",
+        "attributes": {
+            "i": -42,
+            "d": 2.5,
+            "t": True,
+            "f": False,
+            "by": b"\x01\x02",
+            "arr": [1, "x"],
+            "kv": {"n": 0},
+            "empty": None,
+        },
+    }
+    got = _dec_request(_enc_request("h", "en", [rec]))[0]["attributes"]
+    assert got["i"] == "-42"
+    assert got["d"] == "2.5"
+    assert got["t"] == "true" and got["f"] == "false"
+    assert got["by"] == "AQI="
+    assert got["arr"] == '[1,"x"]'
+    assert got["kv"] == '{"n":0}'
+    assert got["empty"] == ""
+
+
+def test_pb_asstring_matches_json_boundary_es6():
+    from opentelemetry_collector_spark.functions.otlp_pb import _any_as_string
+    from opentelemetry_collector_spark.functions.values import es6_float_str
+
+    for x in (0.1, -7.5, 1e21, 1.5e-7, 123456789.0):
+        assert _any_as_string(x) == es6_float_str(x)
+    # nested doubles in compound values render ES6 too
+    assert _any_as_string([1e21]) == f"[{es6_float_str(1e21)}]"
