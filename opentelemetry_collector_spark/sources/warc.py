@@ -91,29 +91,72 @@ def warc_records(pages: DataFrame) -> DataFrame:
     )
 
 
-def warc_chunks(records: DataFrame, n_chunks: int = 32) -> DataFrame:
+def warc_chunks(
+    records: DataFrame,
+    n_chunks: int | None = 32,
+    *,
+    target_shard_bytes: int = 256 << 20,
+    max_shard_bytes: int = 1 << 30,
+) -> DataFrame:
     """records → ``(chunk_id, warc: binary)`` chunk files.
 
     ONE shuffle: url-hash → chunk id (uniform by construction — no hot
     hosts since the key is the full url hash), records ordered by url
     within a chunk so chunk bytes are deterministic, then a binary fold
-    concatenates them. ``n_chunks`` is the shard-count knob; at real
-    scale pick it from target shard size (~1 GB), and the chunk id is
-    the write-time partitioning.
+    concatenates them. ``n_chunks`` is the shard-count knob; pass
+    ``n_chunks=None`` to derive it from the corpus —
+    ``ceil(total_record_bytes / target_shard_bytes)`` via one
+    column-pruned aggregate pre-pass (the scan reads only the record
+    length, and at real scale the writer would take total bytes from
+    table metadata instead).
+
+    Each shard is materialized as ONE binary cell, so shard size is
+    bounded by the JVM's 2 GB array limit. ``max_shard_bytes`` guards
+    that limit at runtime: the per-chunk byte total rides the same
+    aggregate as the fold (no extra shuffle), and an over-budget shard
+    raises instead of failing later with an opaque OOM/negative-length
+    error deep inside the concat — corrupt knobs surface, they do not
+    half-write.
     """
-    return (
+    if max_shard_bytes > ((2 << 30) - 64):
+        raise ValueError(
+            "max_shard_bytes must stay under the JVM 2 GB single-cell limit"
+        )
+    if n_chunks is None:
+        total = records.agg(
+            F.sum(F.octet_length("record")).alias("b")
+        ).first()["b"] or 0
+        n_chunks = max(1, -(-total // target_shard_bytes))
+    assembled = (
         records.select(
             F.pmod(F.xxhash64(F.col("url")), F.lit(n_chunks)).cast("int").alias("chunk_id"),
             F.struct(F.col("url"), F.col("record")).alias("it"),
         )
         .groupBy("chunk_id")
         .agg(
+            F.sum(F.octet_length(F.col("it").getField("record"))).alias("__nbytes"),
             F.aggregate(
                 F.sort_array(F.collect_list("it")),
                 F.lit(b""),
                 lambda acc, x: F.concat(acc, x["record"]),
-            ).alias("warc")
+            ).alias("__warc"),
         )
+    )
+    return assembled.select(
+        "chunk_id",
+        F.when(F.col("__nbytes") <= F.lit(max_shard_bytes), F.col("__warc"))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("warc_chunks: shard "),
+                    F.col("chunk_id").cast("string"),
+                    F.lit(" would be "),
+                    F.col("__nbytes").cast("string"),
+                    F.lit(f" bytes > max_shard_bytes={max_shard_bytes}"),
+                )
+            )
+        )
+        .alias("warc"),
     )
 
 

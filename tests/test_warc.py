@@ -95,3 +95,41 @@ def test_null_html_pages_emit_no_record(spark):
         "html", F.when(F.col("url").isNotNull(), F.lit(None).cast("binary"))
     )
     assert warc_records(pages).count() == 0
+
+
+def test_oversized_shard_raises(spark):
+    """A shard over max_shard_bytes must raise at assembly, not fail
+    later inside the binary concat (2 GB JVM cell limit guard)."""
+    pages = synthesize_pages(spark, 50, partitions=2)
+    chunks = warc_chunks(
+        warc_records(pages), n_chunks=1, max_shard_bytes=1024
+    )
+    with pytest.raises(Exception, match="max_shard_bytes"):
+        chunks.collect()
+
+
+def test_max_shard_bytes_over_jvm_limit_rejected(spark):
+    pages = synthesize_pages(spark, 1, partitions=1)
+    with pytest.raises(ValueError, match="2 GB"):
+        warc_chunks(warc_records(pages), max_shard_bytes=3 << 30)
+
+
+def test_derived_n_chunks_scales_with_corpus(spark):
+    """n_chunks=None derives shard count from total bytes / target:
+    more corpus bytes -> more shards, same target -> bounded shard size,
+    and the roundtrip still recovers every page byte-identically."""
+    pages = synthesize_pages(spark, 120, partitions=4)
+    records = warc_records(pages)
+    total = records.agg(F.sum(F.octet_length("record")).alias("b")).first()["b"]
+    target = total // 6
+    chunks = warc_chunks(
+        records, None, target_shard_bytes=target, max_shard_bytes=total
+    )
+    got = chunks.select(
+        "chunk_id", F.octet_length("warc").alias("b")
+    ).collect()
+    # ceil(total/target) ~ 6-7 shards requested; hash-assignment may leave
+    # some empty, but the id space matches the derived count
+    assert 2 <= len(got) <= 7
+    assert all(0 <= r["chunk_id"] < 7 for r in got)
+    assert parse_warc(chunks).count() == pages.count()
