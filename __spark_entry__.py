@@ -841,8 +841,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["window_tumbling"] = window_tumbling
 
-    def spanmetrics(spark, sf):  # T5 connector: events → metrics
-        return agg_ops.spanmetrics(_t(spark, sf, "events"))
+    def spanmetrics(spark, sf):
+        # T5 connector matrix, two cells in one union: events→metrics
+        # (spanmetrics RED rollup) + logs→metrics (count connector over
+        # the record frame, grouped by the full attribute set)
+        ev = _t(spark, sf, "events")
+        _D = F.lit(None).cast("double")
+        p_span = agg_ops.spanmetrics(ev).select(
+            F.lit("spanmetrics").alias("part"),
+            F.lit("span.metrics").alias("metric_name"),
+            F.col("event_type"),
+            F.lit(None).cast("string").alias("severity_text"),
+            F.col("calls").alias("n"),
+            "min_value",
+            "max_value",
+            "sum_value",
+            "avg_value",
+        )
+        p_count = met_ops.count_connector(
+            events_to_records(ev), attrs=("event_type", "severity_text")
+        ).select(
+            F.lit("count").alias("part"),
+            F.col("metric_name"),
+            F.col("event_type"),
+            F.col("severity_text"),
+            F.col("point_count").alias("n"),
+            _D.alias("min_value"),
+            _D.alias("max_value"),
+            _D.alias("sum_value"),
+            # the count connector's Sum metric VALUE is the count
+            F.col("value_double").alias("avg_value"),
+        )
+        return p_span.unionByName(p_count)
 
     q["spanmetrics_connector"] = spanmetrics
 
@@ -2180,13 +2210,24 @@ SELECT (floor(epoch(ts) / 300) * 300)::BIGINT AS window_start,
 FROM events GROUP BY 1, 2
 """
 
-    o["spanmetrics_connector"] = """
-SELECT event_type, count(*) AS calls,
+    o["spanmetrics_connector"] = f"""
+SELECT 'spanmetrics' AS part, 'span.metrics' AS metric_name,
+  event_type, CAST(NULL AS VARCHAR) AS severity_text,
+  count(*) AS n,
   round(min(value), 4) AS min_value,
   round(max(value), 4) AS max_value,
   round(sum(value), 4) AS sum_value,
   round(avg(value), 4) AS avg_value
-FROM events GROUP BY 1
+FROM events GROUP BY event_type
+UNION ALL
+SELECT 'count' AS part, 'log.record.count' AS metric_name,
+  event_type, {_SEVERITY_CASE_TEXT} AS severity_text,
+  count(*) AS n,
+  CAST(NULL AS DOUBLE) AS min_value,
+  CAST(NULL AS DOUBLE) AS max_value,
+  CAST(NULL AS DOUBLE) AS sum_value,
+  CAST(count(*) AS DOUBLE) AS avg_value
+FROM events GROUP BY event_type, severity_text
 """
 
     o["sessionize_users"] = """

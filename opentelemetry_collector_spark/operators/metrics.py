@@ -101,6 +101,46 @@ def events_to_sum_points(
     return _sum_points(events, key_col, ts_col, value_col, width_seconds, metric_name)
 
 
+def count_connector(
+    records: DataFrame,
+    attrs: tuple[str, ...] = ("event_type",),
+    metric_name: str = "log.record.count",
+    condition: Column | None = None,
+) -> DataFrame:
+    """Connector matrix logs→metrics cell (connector/connector.go:324-391):
+    count log records per attribute set, emitted as monotonic Delta Sum
+    data points on the pmetric frame — the count-connector semantics
+    (default metric ``log.record.count``, optional match ``condition``
+    scoping which records count).
+
+    ONE hash aggregate over the grouping attrs (map-side partial combine;
+    key cardinality = attribute-set cardinality, tiny by construction);
+    the ``condition`` filter sits below the aggregate so it pushes to the
+    scan. Record count becomes ``point_count`` AND ``value_double`` —
+    the count connector's sum metric VALUE is the count.
+    """
+    if not attrs:
+        raise ValueError("count_connector: at least one grouping attribute")
+    src = records.where(condition) if condition is not None else records
+    attr_map = F.create_map(
+        *[c for a in attrs for c in (F.lit(a), F.col(a).cast("string"))]
+    )
+    return (
+        src.groupBy(*[F.col(a) for a in attrs])
+        .agg(F.count("*").alias("point_count"))
+        .select(
+            F.lit(metric_name).alias("metric_name"),
+            F.lit(METRIC_TYPE["Sum"]).alias("metric_type"),
+            F.lit(TEMPORALITY_DELTA).alias("aggregation_temporality"),
+            F.lit(True).alias("is_monotonic"),
+            attr_map.alias("attributes"),
+            *[F.col(a) for a in attrs],
+            F.col("point_count"),
+            F.col("point_count").cast("double").alias("value_double"),
+        )
+    )
+
+
 def _sum_points(
     events: DataFrame,
     key_col: str,

@@ -205,3 +205,51 @@ def test_spanmetrics_red_rollup(events):
     srv = out[("svc-1", tr.SPAN_KIND["Server"], tr.STATUS_CODE["Ok"])]
     assert srv["calls"] == 2
     assert srv["min_ms"] == 1.5 and srv["max_ms"] == 3.0 and srv["avg_ms"] == 2.25
+
+
+def test_count_connector_points(spark, events):
+    """Logs→metrics count connector: per-attribute-set counts as
+    monotonic Delta Sum points on the pmetric frame
+    (connector/connector.go:324-391 matrix cell)."""
+    from opentelemetry_collector_spark.sources.tables import events_to_records
+
+    pts = met.count_connector(
+        events_to_records(events), attrs=("event_type",)
+    ).collect()
+    got = {r["event_type"]: r for r in pts}
+    assert got["view"]["point_count"] == 2
+    assert got["view"]["value_double"] == 2.0
+    assert got["view"]["attributes"] == {"event_type": "view"}
+    r = got["error"]
+    assert r["metric_name"] == "log.record.count"
+    assert r["metric_type"] == met.METRIC_TYPE["Sum"]
+    assert r["aggregation_temporality"] == met.TEMPORALITY_DELTA
+    assert r["is_monotonic"] is True
+
+
+def test_count_connector_condition_and_multi_attr(spark, events):
+    from opentelemetry_collector_spark.sources.tables import events_to_records
+
+    recs = events_to_records(events)
+    pts = met.count_connector(
+        recs,
+        attrs=("event_type", "severity_text"),
+        metric_name="error.count",
+        condition=F.col("severity_number") >= 17,
+    ).collect()
+    assert len(pts) == 1
+    assert pts[0]["event_type"] == "error"
+    assert pts[0]["severity_text"] == "ERROR"
+    assert pts[0]["metric_name"] == "error.count"
+    assert pts[0]["attributes"] == {
+        "event_type": "error", "severity_text": "ERROR"
+    }
+
+
+def test_count_connector_empty_and_no_attrs(spark, events):
+    from opentelemetry_collector_spark.sources.tables import events_to_records
+
+    recs = events_to_records(events)
+    assert met.count_connector(recs.where(F.lit(False))).count() == 0
+    with pytest.raises(ValueError, match="grouping attribute"):
+        met.count_connector(recs, attrs=())

@@ -122,7 +122,8 @@ _PLAN_SHUFFLE_BUDGET = {
     "ottl_suite": 0,  # three narrow OTTL projections unioned, scan speed
     "batch_split_head": 1,  # per-partition candidates (balanced)
     "window_tumbling": 1,
-    "spanmetrics_connector": 1,
+    # 2-part connector union: spanmetrics agg + count-connector agg
+    "spanmetrics_connector": 2,
     "sessionize_users": 1,
     "metrics_temporality": 2,  # windowed agg + series window
     # merged 7-part pmetric JSON round-trip: sum(2) + gauge(2) +
