@@ -16,8 +16,11 @@ Tiers (all exact-math in double precision, engine-reproducible):
   derived from md5, bucket join on the signature prefix, exact re-rank of
   candidates. The 100 TB path: candidate generation is a hash join on
   fixed-width signatures.
-- ``ivf_topk``: IVF via pyspark.ml KMeans (seeded): probe the ``nprobe``
-  nearest centroids, exact re-rank inside probed cells.
+- ``ivf_topk``: IVF with faiss-style training: seeded driver-side
+  Lloyd's over a bounded hash-mod sample (index-training state is
+  metadata-sized at any corpus scale), then columnar argmin cell
+  assignment over literal centers; probe the ``nprobe`` nearest
+  centroids, exact re-rank inside probed cells.
 
 All hot-path math is built-in (zip_with/aggregate) — no Python UDFs.
 """
@@ -244,6 +247,42 @@ def rp_lsh_pairs(
 # IVF (inverted file) index via seeded KMeans
 # ---------------------------------------------------------------------------
 
+def _lloyds(pts, k: int, seed: int, max_iter: int):
+    """Deterministic kmeans++ init + Lloyd's iterations over a driver-side
+    sample (numpy). Bounded input by construction (≤ 256·k rows); empty
+    clusters are re-seeded with the currently-worst-fit point."""
+    import numpy as np
+
+    n = len(pts)
+    if n == 0:
+        raise ValueError("ivf_topk: empty corpus — nothing to index")
+    if n <= k:
+        return pts.copy()
+    rng = np.random.default_rng(seed)
+    centers = np.empty((k, pts.shape[1]), dtype=np.float64)
+    centers[0] = pts[int(rng.integers(n))]
+    d2 = ((pts - centers[0]) ** 2).sum(axis=1)
+    for i in range(1, k):
+        total = float(d2.sum())
+        idx = int(rng.choice(n, p=d2 / total)) if total > 0 else int(rng.integers(n))
+        centers[i] = pts[idx]
+        d2 = np.minimum(d2, ((pts - centers[i]) ** 2).sum(axis=1))
+    for _ in range(max_iter):
+        dists = ((pts[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        labels = dists.argmin(axis=1)
+        new = centers.copy()
+        for j in range(k):
+            mask = labels == j
+            if mask.any():
+                new[j] = pts[mask].mean(axis=0)
+            else:
+                new[j] = pts[int(dists.min(axis=1).argmax())]
+        if np.allclose(new, centers):
+            return new
+        centers = new
+    return centers
+
+
 def ivf_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -261,38 +300,60 @@ def ivf_topk(
     At scale the cell assignment partitions the corpus (write-time
     clustering), so a query touches nprobe/n_cells of the data. Recall is
     data-dependent; the pytest harness measures it against cosine_topk.
+
+    Centroid training is DRIVER-SIDE numpy Lloyd's over a bounded,
+    deterministic hash-mod sample (≤ 256·n_cells vectors — faiss trains
+    IVF on exactly this kind of cap because cell centers only need
+    approximate density structure). The index-training state is
+    metadata-sized at any corpus size, so collecting it is the honest
+    plan; the previous distributed KMeans fit spent ~10 Spark jobs of
+    pure scheduler overhead per invocation (measured 7.3 s fit / 0.36 s
+    assignment at sf0.1). Cell ASSIGNMENT — the part that scales with
+    the corpus — stays a columnar argmin over the broadcast-literal
+    centers at full scan parallelism, whole-stage codegen, zero Python.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    import numpy as np
 
     corpus = emb.select(
-        F.col(id_col), F.col(vec_col), array_to_vector(_dbl(F.col(vec_col))).alias("__fv")
+        F.col(id_col), F.col(vec_col)
     )
-    # cell centers only need APPROXIMATE density structure (faiss trains
-    # IVF on a sample with few iterations for the same reason), so the
-    # iteration budget is bounded and the training frame is cached once
-    # and coalesced: every KMeans iteration is a separate Spark job, so
-    # 20 default iterations over a wide-but-tiny frame is pure scheduler
-    # overhead. persist (not localCheckpoint) so the blocks can be
-    # RELEASED after the fit — the model is only centers from here on,
-    # and a pinned checkpoint would otherwise accumulate storage across
-    # repeated invocations in one session. Assignment (model.transform)
-    # still runs over the full corpus at its native parallelism.
-    train = corpus.select("__fv").coalesce(8).persist()
-    km = KMeans(
-        k=n_cells, seed=seed, maxIter=10, featuresCol="__fv", predictionCol="__cell"
+    # deterministic bounded sample: hash-mod on the id keeps every m-th
+    # vector; the collected sample is sorted by id so the fit does not
+    # depend on partition arrival order
+    cap = 256 * n_cells
+    n_total = corpus.select(id_col).count()
+    sample_df = corpus
+    if n_total > cap:
+        m = -(-n_total // cap)
+        sample_df = corpus.where(F.pmod(F.xxhash64(F.col(id_col)), F.lit(m)) == 0)
+    sample_rows = sorted(
+        sample_df.select(id_col, _dbl(F.col(vec_col)).alias("__v")).collect(),
+        key=lambda r: r[0],
     )
-    try:
-        model = km.fit(train)
-    finally:
-        train.unpersist()
-    assigned = model.transform(corpus).select(
-        id_col, vec_col, norm(F.col(vec_col)).alias("__n"), "__cell"
+    pts = np.asarray([r["__v"] for r in sample_rows], dtype=np.float64)
+    centers_np = _lloyds(pts, n_cells, seed=seed, max_iter=10)
+
+    # columnar assignment: squared distance to each center (literal
+    # vector), argmin with first-match (= lowest cell id) tie-break
+    def _d2_to(center: np.ndarray) -> Column:
+        cvec = F.array(*[F.lit(float(x)) for x in center])
+        return F.aggregate(
+            F.zip_with(_dbl(F.col(vec_col)), cvec, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    dists = F.array(*[_d2_to(c) for c in centers_np])
+    assigned = corpus.select(
+        id_col,
+        vec_col,
+        norm(F.col(vec_col)).alias("__n"),
+        (F.array_position(dists, F.array_min(dists)) - F.lit(1))
+        .cast("int")
+        .alias("__cell"),
     )
 
-    centers = [
-        (int(i), [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
-    ]
+    centers = [(int(i), [float(x) for x in c]) for i, c in enumerate(centers_np)]
     spark = emb.sparkSession
     centers_df = spark.createDataFrame(centers, ["__cell", "__center"])
 

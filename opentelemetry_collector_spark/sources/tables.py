@@ -129,3 +129,39 @@ def pages_from_documents(docs: DataFrame) -> DataFrame:
         F.col("text"),
         F.col("lang"),
     )
+
+
+def with_client_info(df: DataFrame, transport: str = "file") -> DataFrame:
+    """Attach the reference's ``client.Info`` analog (client/client.go:
+    Addr/Auth/Metadata propagated per request through the pipeline) as a
+    ``client`` struct column at the source boundary.
+
+    In a batch/streaming engine there is no live peer connection — the
+    "client" of a scan is the file that produced the bytes, so the
+    Spark-first mapping is file provenance: the hidden ``_metadata``
+    column a file source already carries (path, name, size, modification
+    time — zero cost, populated by the reader itself, no extra scan) plus
+    the declared transport. Downstream operators read it the way the
+    reference reads ``client.FromContext``: a column, flowing with every
+    row, surviving every transform that keeps it.
+
+    Only file-sourced frames carry ``_metadata``; on a derived frame this
+    raises rather than fabricating provenance.
+    """
+    try:
+        meta = df.select(F.col("_metadata")).schema
+    except Exception as exc:
+        raise ValueError(
+            "with_client_info: frame has no _metadata column — client "
+            "info exists only at a file-source boundary"
+        ) from exc
+    del meta
+    return df.withColumn(
+        "client",
+        F.struct(
+            F.lit(transport).alias("transport"),
+            F.col("_metadata.file_path").alias("addr"),
+            F.col("_metadata.file_name").alias("file_name"),
+            F.col("_metadata.file_size").alias("file_size"),
+        ),
+    )
