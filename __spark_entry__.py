@@ -1741,7 +1741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tie-breaks), so the boolean is stable.
         ivf = sim_ops.ivf_topk(emb, queries_df, k=5, nprobe=8)
         hit = exact.alias("e").join(
-            ivf.alias("i"),
+            F.broadcast(ivf).alias("i"),  # queries×k rows — never shuffle the gate
             (F.col("e.query_id") == F.col("i.query_id"))
             & (F.col("e.vec_id") == F.col("i.vec_id")),
             "left",
@@ -1760,7 +1760,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 (F.col("__hits") / F.lit(5.0) >= F.lit(0.5)).alias("recall_ok"),
             )
         )
-        return p_brute.unionAll(p_pairs).unionAll(p_lsh).unionAll(p_ivf)
+        # SQ8 scalar-quantized ANN (the scan-BANDWIDTH scale path: int8
+        # codes score candidates, float re-rank only touches the
+        # survivors). Both phases deterministic, but the int8 rounding is
+        # not SQL-replayable at hash precision, so — like IVF — the
+        # hash-checked output is the recall-vs-bruteforce gate: with a
+        # 4x re-rank margin the exact top-k must survive quantization
+        # (≥ 0.8 per query; the oracle expects true).
+        sq8 = sim_ops.sq8_topk(emb, queries_df, k=5, rerank_factor=4)
+        hit8 = exact.alias("e").join(
+            F.broadcast(sq8).alias("s"),  # queries×k rows — never shuffle the gate
+            (F.col("e.query_id") == F.col("s.query_id"))
+            & (F.col("e.vec_id") == F.col("s.vec_id")),
+            "left",
+        )
+        p_sq8 = (
+            hit8.groupBy(F.col("e.query_id").alias("query_id"))
+            .agg(
+                F.sum(F.when(F.col("s.vec_id").isNotNull(), 1).otherwise(0)).alias("__hits")
+            )
+            .select(
+                F.lit("sq8").alias("part"),
+                F.col("query_id").alias("id_a"),
+                F.lit(None).cast("long").alias("id_b"),
+                _I.alias("rank"),
+                _D.alias("sim"),
+                (F.col("__hits") / F.lit(5.0) >= F.lit(0.8)).alias("recall_ok"),
+            )
+        )
+        return (
+            p_brute.unionAll(p_pairs)
+            .unionAll(p_lsh)
+            .unionAll(p_ivf)
+            .unionAll(p_sq8)
+        )
 
     q["ann_suite"] = ann_suite
 
@@ -3105,6 +3138,11 @@ SELECT 'lsh' AS part, v1 AS id_a, v2 AS id_b, CAST(NULL AS INTEGER) AS rank,
 FROM ({_ann_lsh_sql()})
 UNION ALL
 SELECT 'ivf' AS part, vec_id AS id_a, CAST(NULL AS BIGINT) AS id_b,
+  CAST(NULL AS INTEGER) AS rank, CAST(NULL AS DOUBLE) AS sim,
+  true AS recall_ok
+FROM embeddings WHERE vec_id < 3
+UNION ALL
+SELECT 'sq8' AS part, vec_id AS id_a, CAST(NULL AS BIGINT) AS id_b,
   CAST(NULL AS INTEGER) AS rank, CAST(NULL AS DOUBLE) AS sim,
   true AS recall_ok
 FROM embeddings WHERE vec_id < 3

@@ -178,11 +178,14 @@ _PLAN_SHUFFLE_BUDGET = {
     # two visible: per-partition window + tiny totals agg (the range
     # exchange is materialized once behind the localCheckpoint pin)
     "pack_sequences": 2,
-    "ann_suite": 12,  # brute partial+final top-k (2, behind the
-    # localCheckpoint pin shared with the ivf recall gate) + exact-pairs
-    # broadcast cross join (0) + lsh band join (1) + the ivf part's
-    # KMeans pipeline + rank windows (8) + the small-scan fan-out
-    # round-robin (1, no-op at scale)
+    "ann_suite": 18,  # brute partial+final top-k (2, behind the
+    # localCheckpoint pin shared with the ivf/sq8 recall gates) +
+    # exact-pairs broadcast cross join (0) + lsh band join (1) + the
+    # ivf part's probe/rank windows + gate agg + the sq8 part's
+    # partial/final candidate top-k + re-rank window + gate agg (each
+    # gate join itself broadcast: queries×k rows) + one small-scan
+    # fan-out round-robin PER emb consumer subtree (no-op at scale;
+    # the plan printer repeats the reused exchange per consumer)
     "text_signals": 1,  # one narrow pass + small-scan fan-out (no-op at scale)
     "bpe_tokenize": 1,  # merge table folds into the expression tree + fan-out
     "winnowing_fingerprints": 1,  # narrow gram scan + small-scan fan-out

@@ -174,3 +174,55 @@ def test_lsh_cell_dedup_auto_planes_grow_with_corpus(spark):
     # 200/50 → 4 planes (16 possible cells); 3200/50 → 6 planes (64)
     assert n_cells_big > n_cells_small
     assert big.count() == 3200  # every vector still classified
+
+
+def test_sq8_quantization_shape(spark, emb):
+    from opentelemetry_collector_spark.operators.similarity import quantize_sq8
+
+    rows = emb.select(
+        "vec_id", quantize_sq8(F.col("embedding")).alias("q")
+    ).collect()
+    for r in rows:
+        assert max(abs(x) for x in r["q"]) == 127  # max component hits full scale
+        assert all(-127 <= x <= 127 for x in r["q"])
+    # all-zero vector → NULL codes, not a divide-by-zero abort
+    z = spark.createDataFrame(
+        [(99, [0.0] * DIM)], "vec_id long, embedding array<double>"
+    )
+    assert z.select(quantize_sq8(F.col("embedding")).alias("q")).first()["q"] == [
+        None
+    ] * DIM
+
+
+def test_sq8_topk_recall_and_rerank_exactness(emb):
+    from opentelemetry_collector_spark.operators.similarity import sq8_topk
+
+    queries = emb.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk(emb, queries, k=3).collect()
+    approx = sq8_topk(emb, queries, k=3, rerank_factor=4).collect()
+    e = {(r["query_id"], r["vec_id"]): r["sim"] for r in exact}
+    a = {(r["query_id"], r["vec_id"]): r["sim"] for r in approx}
+    recall = len(set(e) & set(a)) / len(e)
+    assert recall >= 2 / 3  # int8 on 8-dim gaussians keeps most of top-3
+    # survivors carry EXACT cosine (the re-rank is float, not quantized)
+    for key in set(e) & set(a):
+        assert a[key] == e[key]
+    assert (0, 1) in a  # planted near-dup survives quantization
+
+
+def test_sq8_topk_deterministic(emb):
+    from opentelemetry_collector_spark.operators.similarity import sq8_topk
+
+    queries = emb.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def run():
+        return sorted(
+            (r["query_id"], r["rank"], r["vec_id"])
+            for r in sq8_topk(emb, queries, k=3).collect()
+        )
+
+    assert run() == run()
