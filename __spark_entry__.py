@@ -872,7 +872,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # the count connector's Sum metric VALUE is the count
             F.col("value_double").alias("avg_value"),
         )
-        return p_span.unionByName(p_count)
+        # metrics→metrics cell: the same count connector over the pmetric
+        # frame itself — data POINTS per series key (attr_key carries the
+        # original event_type), the datapoint-count shape
+        p_points = met_ops.count_connector(
+            met_ops.events_to_sum_points(ev),
+            attrs=("attr_key",),
+            metric_name="metric.point.count",
+        ).select(
+            F.lit("count_points").alias("part"),
+            F.col("metric_name"),
+            F.col("attr_key").alias("event_type"),
+            F.lit(None).cast("string").alias("severity_text"),
+            F.col("point_count").alias("n"),
+            _D.alias("min_value"),
+            _D.alias("max_value"),
+            _D.alias("sum_value"),
+            F.col("value_double").alias("avg_value"),
+        )
+        return p_span.unionByName(p_count).unionByName(p_points)
 
     q["spanmetrics_connector"] = spanmetrics
 
@@ -2261,6 +2279,16 @@ SELECT 'count' AS part, 'log.record.count' AS metric_name,
   CAST(NULL AS DOUBLE) AS sum_value,
   CAST(count(*) AS DOUBLE) AS avg_value
 FROM events GROUP BY event_type, severity_text
+UNION ALL
+SELECT 'count_points' AS part, 'metric.point.count' AS metric_name,
+  event_type, CAST(NULL AS VARCHAR) AS severity_text,
+  count(*) AS n,
+  CAST(NULL AS DOUBLE) AS min_value,
+  CAST(NULL AS DOUBLE) AS max_value,
+  CAST(NULL AS DOUBLE) AS sum_value,
+  CAST(count(*) AS DOUBLE) AS avg_value
+FROM (SELECT DISTINCT event_type, floor(epoch(ts) / 300) AS w FROM events)
+GROUP BY event_type
 """
 
     o["sessionize_users"] = """

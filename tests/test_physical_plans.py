@@ -122,8 +122,9 @@ _PLAN_SHUFFLE_BUDGET = {
     "ottl_suite": 0,  # three narrow OTTL projections unioned, scan speed
     "batch_split_head": 1,  # per-partition candidates (balanced)
     "window_tumbling": 1,
-    # 2-part connector union: spanmetrics agg + count-connector agg
-    "spanmetrics_connector": 2,
+    # 3-part connector union: spanmetrics agg + count-connector agg +
+    # the datapoint-count cell (window agg feeding a second tiny agg)
+    "spanmetrics_connector": 4,
     "sessionize_users": 1,
     "metrics_temporality": 2,  # windowed agg + series window
     # merged 7-part pmetric JSON round-trip: sum(2) + gauge(2) +
