@@ -165,3 +165,32 @@ def with_client_info(df: DataFrame, transport: str = "file") -> DataFrame:
             F.col("_metadata.file_size").alias("file_size"),
         ),
     )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    n_buckets: int = 32,
+    sort_by: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Pre-shuffled storage: persist ``df`` hash-bucketed by ``key``
+    (optionally sorted within buckets) as a parquet table.
+
+    The 100 TB join strategy the one-shot ``repartition`` cannot give
+    you: bucketing pays the shuffle ONCE at write time, records it in
+    the table's metadata, and every later join / groupBy / dedup keyed
+    on ``key`` between same-bucketed tables reads co-located buckets —
+    Catalyst elides the exchange on both sides (and the sort too when
+    ``sort_by`` matches the join key). For the corpus tables here
+    (documents by doc_id, embeddings by vec_id) that turns the dedup
+    join-back and the enrichment spine from per-query shuffles of the
+    full corpus into local merge joins. ``n_buckets`` should be sized
+    like shuffle partitions at the target scale (buckets ≈ cores × a
+    small factor; each bucket well under executor memory).
+    """
+    w = df.write.format("parquet").mode(mode).bucketBy(n_buckets, key)
+    if sort_by is not None:
+        w = w.sortBy(sort_by)
+    w.saveAsTable(table)
