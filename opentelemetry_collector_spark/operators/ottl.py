@@ -329,7 +329,52 @@ _FUNCS: dict[str, Callable[..., Column]] = {
     # an oracle twin must floor likewise: t - ((t % s + s) % s))
     "TruncateTime": lambda t, d: _c(t).cast("long")
     - F.pmod(_c(t).cast("long"), F.lit(_parse_duration_ns(_lit_str(d)))),
+    # calendar extractors over the model's ns-epoch longs (ottlfuncs
+    # Year/Month/Day/Hour/Minute/Second over time.Time; session TZ is
+    # pinned UTC so these match Go's t.UTC() components)
+    "Year": lambda t: F.year(_ns_ts(t)),
+    "Month": lambda t: F.month(_ns_ts(t)),
+    "Day": lambda t: F.dayofmonth(_ns_ts(t)),
+    "Hour": lambda t: F.hour(_ns_ts(t)),
+    "Minute": lambda t: F.minute(_ns_ts(t)),
+    "Second": lambda t: F.second(_ns_ts(t)),
+    # Duration("1h30m") → ns long (the model's duration representation);
+    # the *s converters then read components back out of a duration
+    "Duration": lambda d: F.lit(_parse_duration_ns(_lit_str(d))),
+    "Nanoseconds": lambda d: _c(d).cast("long"),
+    "Microseconds": lambda d: _ns_div(_c(d), 1_000),
+    "Milliseconds": lambda d: _ns_div(_c(d), 1_000_000),
+    "Seconds": lambda d: _ns_div(_c(d), 1_000_000_000),
+    "Minutes": lambda d: _ns_div(_c(d), 60 * 10**9),
+    "Hours": lambda d: _ns_div(_c(d), 3600 * 10**9),
+    # Hex: Go %x renders lowercase
+    "Hex": lambda t: F.lower(F.hex(_c(t).cast("long"))),
+    "SHA512": lambda target: F.sha2(_c(target).cast("binary"), 512),
+    "Base64Decode": lambda t: F.unbase64(_c(t)).cast("string"),
+    # type predicates over the flat string model: IsString is
+    # non-NULL-ness (every stored scalar is a string here); Is{Int,
+    # Double} probe convertibility the same way Int()/Double() do;
+    # IsBool accepts the two JSON booleans case-insensitively
+    "IsString": lambda t: _c(t).isNotNull(),
+    "IsInt": lambda t: _c(t).try_cast("long").isNotNull(),
+    "IsDouble": lambda t: _c(t).try_cast("double").isNotNull(),
+    "IsBool": lambda t: F.lower(_c(t)).isin("true", "false"),
+    # map converters (pcommon.Map analogs on the attributes column)
+    "Keys": lambda m: F.map_keys(_c(m)),
+    "Values": lambda m: F.map_values(_c(m)),
+    # ParseKeyValue(target, kv_delimiter, pair_delimiter) — defaults per
+    # ottlfuncs: "=" between key and value, " " between pairs
+    "ParseKeyValue": lambda t, kv="=", pair=" ": F.str_to_map(
+        _c(t), F.lit(_lit_str(pair)), F.lit(_lit_str(kv))
+    ),
+    "Log": lambda t: F.log(_c(t).try_cast("double")),
+    "Sqrt": lambda t: F.sqrt(_c(t).try_cast("double")),
 }
+
+
+def _ns_ts(t) -> Column:
+    """ns-epoch long → timestamp (µs precision, UTC session)."""
+    return F.timestamp_micros(F.call_function("div", _c(t).cast("long"), F.lit(1_000)))
 
 
 def _ns_div(col: Column, divisor: int) -> Column:

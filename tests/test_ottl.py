@@ -250,3 +250,66 @@ def test_converter_errors():
         compile_statements(['set(x, ConvertCase(body, "studly"))'])
     with pytest.raises(OTTLSyntaxError, match="duration"):
         compile_statements(['set(x, TruncateTime(t, "1d"))'])
+
+
+def test_converter_functions_round5(spark):
+    df = spark.createDataFrame(
+        [
+            (
+                0,
+                (1704067200 + 3 * 3600 + 25 * 60 + 45) * 10**9 + 123456789,
+                "255",
+                "aGVsbG8=",
+                "k1=v1 k2=v2",
+                "12",
+                "12.5",
+                "TRUE",
+                {"a": "1", "b": "2"},
+            )
+        ],
+        "id long, t long, num string, b64 string, kv string, i string,"
+        " d string, bl string, attrs map<string,string>",
+    )
+    out = compile_statements(
+        [
+            "set(y, Year(t))",
+            "set(mo, Month(t))",
+            "set(dd, Day(t))",
+            "set(hh, Hour(t))",
+            "set(mi, Minute(t))",
+            "set(ss, Second(t))",
+            'set(dur, Duration("1h30m"))',
+            "set(mins, Minutes(dur))",
+            "set(hx, Hex(num))",
+            "set(dec, Base64Decode(b64))",
+            "set(pkv, ParseKeyValue(kv))",
+            "set(is_i, IsInt(i))",
+            "set(not_i, IsInt(d))",
+            "set(is_d, IsDouble(d))",
+            "set(is_b, IsBool(bl))",
+            "set(is_s, IsString(num))",
+            "set(ks, Keys(attrs))",
+            "set(vs, Values(attrs))",
+            "set(lg, Log(num))",
+            "set(sq, Sqrt(num))",
+            "set(h512, SHA512(num))",
+        ]
+    )(df)
+    r = out.collect()[0]
+    assert (r["y"], r["mo"], r["dd"]) == (2024, 1, 1)
+    assert (r["hh"], r["mi"], r["ss"]) == (3, 25, 45)
+    assert r["dur"] == 5400 * 10**9
+    assert r["mins"] == 90
+    assert r["hx"] == "ff"
+    assert r["dec"] == "hello"
+    assert r["pkv"] == {"k1": "v1", "k2": "v2"}
+    assert r["is_i"] is True and r["not_i"] is False
+    assert r["is_d"] is True and r["is_b"] is True and r["is_s"] is True
+    assert sorted(r["ks"]) == ["a", "b"] and sorted(r["vs"]) == ["1", "2"]
+    import math
+
+    assert math.isclose(r["lg"], math.log(255.0))
+    assert math.isclose(r["sq"], math.sqrt(255.0))
+    import hashlib
+
+    assert r["h512"] == hashlib.sha512(b"255").hexdigest()
