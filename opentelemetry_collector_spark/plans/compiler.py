@@ -159,6 +159,27 @@ class BatchPipelineRunner:
             frames[name] = df
         return frames
 
+    def _apply_connector(self, name: str, df: DataFrame) -> DataFrame:
+        """Connector factory at the pipeline bridge. ``forward`` passes
+        the frame through (forwardconnector/forward.go:75-88); ``count``
+        TRANSFORMS at the bridge the way a real connector is both an
+        exporter of pipeline A and a receiver of pipeline B with its own
+        signal type (connector/connector.go:324-391): records in, metric
+        points out."""
+        c = self.config.connectors[name]
+        if c.kind == "forward":
+            return df
+        if c.kind == "count":
+            from ..operators.metrics import count_connector
+
+            attrs = tuple(c.options.get("attributes") or ("event_type",))
+            return count_connector(
+                df,
+                attrs=attrs,
+                metric_name=c.options.get("metric_name", "log.record.count"),
+            )
+        raise ConfigError(f"unknown connector kind {c.kind!r}")
+
     def run(self, epoch_id: int = 0) -> RunResult:
         result = RunResult(telemetry=self.telemetry)
         receivers = self._receiver_frames()
@@ -206,7 +227,9 @@ class BatchPipelineRunner:
             routes: list[Route] = []
             for e in p.exporters:
                 if e in self.config.connectors:
-                    self._connector_frames.setdefault(e, []).append(df)
+                    self._connector_frames.setdefault(e, []).append(
+                        self._apply_connector(e, df)
+                    )
                     continue
                 c = self.config.exporters[e]
                 if c.options.get("all"):

@@ -440,3 +440,75 @@ service:
     )
     with pytest.raises(ConfigError, match="grok"):
         BatchPipelineRunner(spark, bad, str(tmp_path / "grok-bad")).run()
+
+
+def test_count_connector_in_graph(spark, tmp_path):
+    """T5 in the pipeline GRAPH: a count connector is the exporter end of
+    the logs pipeline and the receiver end of a metrics pipeline, with
+    its own signal transform at the bridge (connector/connector.go:
+    324-391) — records in, metric points out."""
+    cfg = load_config(
+        {
+            "receivers": {"pages_synthetic": {"n_rows": 120}},
+            "processors": {"parse": {}},
+            "connectors": {
+                "count": {"attributes": ["severity_text"], "metric_name": "rec.count"}
+            },
+            "exporters": {
+                "sink_logs": {"kind": "parquet", "all": True},
+                "sink_metrics": {"kind": "parquet", "all": True},
+            },
+            "service": {
+                "pipelines": {
+                    "logs": {
+                        "receivers": ["pages_synthetic"],
+                        "processors": ["parse"],
+                        "exporters": ["count", "sink_logs"],
+                    },
+                    "metrics": {
+                        "receivers": ["count"],
+                        "processors": [],
+                        "exporters": ["sink_metrics"],
+                    },
+                }
+            },
+        }
+    )
+    assert cfg.topo_order() == ["logs", "metrics"]
+    runner = BatchPipelineRunner(spark, cfg, str(tmp_path / "cnt"))
+    runner.run()
+    logs = runner.read_sink("logs", "sink_logs")
+    points = runner.read_sink("metrics", "sink_metrics")
+    got = {
+        r["severity_text"]: r["point_count"]
+        for r in points.select("severity_text", "point_count").collect()
+    }
+    want = {
+        r["severity_text"]: r["n"]
+        for r in logs.groupBy("severity_text").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == want
+    assert points.select("metric_name").distinct().collect()[0][0] == "rec.count"
+
+
+def test_unknown_connector_kind_rejected(spark, tmp_path):
+    cfg = load_config(
+        {
+            "receivers": {"pages_synthetic": {"n_rows": 10}},
+            "processors": {"parse": {}},
+            "connectors": {"teleport": {}},
+            "exporters": {"s": {"kind": "parquet", "all": True}},
+            "service": {
+                "pipelines": {
+                    "a": {
+                        "receivers": ["pages_synthetic"],
+                        "processors": ["parse"],
+                        "exporters": ["teleport"],
+                    },
+                    "b": {"receivers": ["teleport"], "processors": [], "exporters": ["s"]},
+                }
+            },
+        }
+    )
+    with pytest.raises(ConfigError, match="unknown connector kind"):
+        BatchPipelineRunner(spark, cfg, str(tmp_path / "bad")).run()
