@@ -825,7 +825,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("robots_blocked").cast("long").alias("k2"),
             _L.alias("k3"), _D.alias("d1"),
         )
-        return p_canon.unionAll(p_hosts).unionAll(p_rob)
+        # 'sketch': the 100 TB form of the hosts rollup — HLL distinct +
+        # approx median per host, ORACLE'D VIA GATES (sketch within 5% of
+        # the exact twin computed in the same aggregate; sketch VALUES
+        # are engine-specific, the error bound is not)
+        from opentelemetry_collector_spark.operators.urls import host_sketches
+
+        sk = host_sketches(pages_from_documents(_t(spark, sf, "documents")))
+        p_sketch = sk.select(
+            F.lit("sketch").alias("part"),
+            F.col("host").alias("s1"),
+            _S.alias("s2"),
+            F.col("exact_distinct").cast("long").alias("k1"),
+            F.col("distinct_ok").cast("long").alias("k2"),
+            F.col("median_ok").cast("long").alias("k3"),
+            _D.alias("d1"),
+        )
+        return p_canon.unionAll(p_hosts).unionAll(p_rob).unionAll(p_sketch)
 
     q["url_suite"] = url_suite
 
@@ -2249,6 +2265,17 @@ SELECT p.doc_id, p.url,
 FROM rpages p LEFT JOIN rrules r ON p.host = r.host
 GROUP BY p.doc_id, p.url
 )
+UNION ALL
+-- 'sketch': exact distinct per host + the two sketch-error GATES (the
+-- Spark side computes HLL/approx-percentile and checks them within 5%
+-- of the exact twins; the gate booleans are the cross-engine contract)
+SELECT 'sketch' AS part, host AS s1, CAST(NULL AS VARCHAR) AS s2,
+  count(DISTINCT digest)::BIGINT AS k1,
+  1::BIGINT AS k2, 1::BIGINT AS k3, CAST(NULL AS DOUBLE) AS d1
+FROM (
+  SELECT lower(source || '.example.com') AS host, md5(text) AS digest
+  FROM documents
+) GROUP BY host
 """
 
     o["batch_split_head"] = """

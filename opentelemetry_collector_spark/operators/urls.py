@@ -89,6 +89,62 @@ def host_stats(
     )
 
 
+def host_sketches(
+    pages: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    rel_tol: float = 0.05,
+) -> DataFrame:
+    """Per-host SKETCH rollup — the 100 TB form of :func:`host_stats`'
+    count-distincts: HyperLogLog++ approximate distinct texts and an
+    approximate median text length, each emitted alongside a boolean
+    gate that the sketch landed within ``rel_tol`` of the exact value
+    computed in the same aggregate.
+
+    Why sketches are the scale path: an exact count-distinct expands to
+    a two-phase distinct aggregate whose FIRST shuffle carries every
+    distinct (host, digest) pair — at 10¹² docs that is the corpus. The
+    HLL register array is constant-size per host and merges
+    commutatively, so the shuffle carries KB per host regardless of
+    corpus size (same story for the quantile summary vs an exact
+    percentile's per-group sort). The exact twins here exist to power
+    the gates; at production scale you would drop them and keep only
+    the sketches. Gates (not sketch values) are the cross-engine
+    contract: DuckDB's HLL is a different implementation, so the
+    VALUE is engine-specific but the error bound is not.
+    """
+    host = url_host(F.col(url_col))
+    n_len = F.length(F.col(text_col))
+    agg = (
+        pages.select(
+            host.alias("host"),
+            F.md5(F.col(text_col)).alias("digest"),
+            n_len.alias("n_chars"),
+        )
+        .groupBy("host")
+        .agg(
+            F.countDistinct("digest").alias("exact_distinct"),
+            F.approx_count_distinct("digest", rsd=0.02).alias("approx_distinct"),
+            F.expr("percentile(n_chars, 0.5)").alias("exact_median_chars"),
+            F.percentile_approx("n_chars", 0.5).alias("approx_median_chars"),
+        )
+    )
+    def _ok(approx, exact):
+        return (
+            F.abs(approx.cast("double") - exact.cast("double"))
+            <= F.lit(rel_tol) * exact.cast("double")
+        ).cast("boolean")
+
+    return agg.select(
+        "host",
+        F.col("exact_distinct").cast("long").alias("exact_distinct"),
+        _ok(F.col("approx_distinct"), F.col("exact_distinct")).alias("distinct_ok"),
+        _ok(F.col("approx_median_chars"), F.col("exact_median_chars")).alias(
+            "median_ok"
+        ),
+    )
+
+
 # tracking parameters dropped during canonicalization (the standard
 # click-ID inventory; extend per deployment)
 TRACKING_PARAM_RE = r"^(utm_[^=]*|gclid|fbclid|msclkid|ref)(=.*)?$"

@@ -171,8 +171,10 @@ _PLAN_SHUFFLE_BUDGET = {
     # host-stats count-distinct expands to two aggregates; canon part
     # narrow (2); robots part: hosts distinct + parser lag/running-sum
     # windows over robots LINES (a host-sized corpus, not pages) + the
-    # per-page longest-match agg (5)
-    "url_suite": 7,
+    # per-page longest-match agg (5); sketch part: ONE host-keyed agg
+    # whose count-distinct twin expands two-phase (2 — the HLL/quantile
+    # sketches themselves ride the same aggregate, constant size/host)
+    "url_suite": 9,
     # weights part (token agg ×2-phase) + the resample part re-derives
     # the same tiny weights aggregate for its broadcast (AQE reuses)
     "mixture_weights": 4,
