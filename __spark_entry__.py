@@ -1418,9 +1418,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_ngram_jaccard"] = dd_jaccard
 
     def dd_minhash(spark, sf):
-        return dedup_ops.minhash_lsh_pairs(
-            _t(spark, sf, "documents"), num_hashes=32, bands=16, threshold=0.8
+        # 2-part union: 'pairs' = batch-mode verified near-dup pairs;
+        # 'incremental' = the ingestion-time cross-corpus filter
+        # (minhash_filter_new): parity-split the corpus, keep the odd
+        # docs with no VERIFIED near-dup among the even docs. Exact
+        # verification makes band false-positives vanish, so the oracle
+        # is the exact cross-parity jaccard filter (band miss prob at
+        # r=2,b=16,j≥0.8 is ~8e-8 — w.h.p. identical).
+        docs = _t(spark, sf, "documents")
+        pairs = dedup_ops.minhash_lsh_pairs(
+            docs, num_hashes=32, bands=16, threshold=0.8
         )
+        _L = F.lit(None).cast("long")
+        _D = F.lit(None).cast("double")
+        p_pairs = pairs.select(
+            F.lit("pairs").alias("part"), "d1", "d2", "jaccard"
+        )
+        survivors = dedup_ops.minhash_filter_new(
+            docs.where(F.col("doc_id") % 2 == 1),
+            docs.where(F.col("doc_id") % 2 == 0),
+            num_hashes=32,
+            bands=16,
+            threshold=0.8,
+        )
+        p_inc = survivors.select(
+            F.lit("incremental").alias("part"),
+            F.col("doc_id").cast("long").alias("d1"),
+            _L.alias("d2"),
+            _D.alias("jaccard"),
+        )
+        return p_pairs.unionAll(p_inc)
 
     q["dedup_minhash_lsh"] = dd_minhash
 
@@ -2743,7 +2770,21 @@ FROM documents GROUP BY 2
     o["dedup_ngram_jaccard"] = _jaccard_pairs_sql(DEFAULT_MAX_SHINGLE_FREQ)
     # MinHash-LSH with verification converges to the exact (uncapped) pair
     # set (miss probability ≈ 1e-7 at j=0.8 with 16 bands × 2 rows)
-    o["dedup_minhash_lsh"] = _jaccard_pairs_sql(None)
+    # 'pairs': banding+verification ≡ the exact pair set w.h.p. (see the
+    # query comment); 'incremental': odd docs with no exact cross-parity
+    # near-dup — the same pair universe read as a filter
+    o["dedup_minhash_lsh"] = f"""
+SELECT 'pairs' AS part, d1, d2, jaccard FROM ({_jaccard_pairs_sql(None)})
+UNION ALL
+SELECT 'incremental' AS part, doc_id AS d1,
+  CAST(NULL AS BIGINT) AS d2, CAST(NULL AS DOUBLE) AS jaccard
+FROM documents
+WHERE doc_id % 2 = 1 AND doc_id NOT IN (
+  SELECT CASE WHEN d1 % 2 = 1 THEN d1 ELSE d2 END
+  FROM ({_jaccard_pairs_sql(None)})
+  WHERE (d1 % 2) <> (d2 % 2)
+)
+"""
     # transitive closure by recursive reachability; min reachable id per
     # node ≡ the min-label-propagation fixpoint on the Spark side
     o["dedup_clusters"] = f"""

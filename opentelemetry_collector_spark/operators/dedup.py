@@ -270,6 +270,23 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*aggs)
 
 
+def banded_keys(
+    sigs: DataFrame, id_col: str = "doc_id", num_hashes: int = 16, bands: int = 8
+) -> DataFrame:
+    """Signatures → ``(id, band, key)`` LSH band rows (one narrow explode;
+    ``bands`` rows per doc). The band key is the equi-join handle for both
+    the self-join (pair mining) and the cross-corpus anti-join
+    (ingestion-time filtering)."""
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"h{b * rows_per_band + r}").cast("string") for r in range(rows_per_band)]
+        band_cols.append(F.struct(F.lit(b).alias("band"), F.concat_ws("_", *parts).alias("key")))
+    return sigs.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame, id_col: str = "doc_id", num_hashes: int = 16, bands: int = 8
 ) -> DataFrame:
@@ -279,14 +296,7 @@ def lsh_candidate_pairs(
     Explode to (doc, band_idx, band_key) and self-join on the band key —
     each bucket joins only its own members (the whole point of LSH).
     """
-    rows_per_band = num_hashes // bands
-    band_cols = []
-    for b in range(bands):
-        parts = [F.col(f"h{b * rows_per_band + r}").cast("string") for r in range(rows_per_band)]
-        band_cols.append(F.struct(F.lit(b).alias("band"), F.concat_ws("_", *parts).alias("key")))
-    banded = sigs.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
-    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    banded = banded_keys(sigs, id_col, num_hashes, bands)
     a = banded.alias("a")
     b_ = banded.alias("b")
     return (
@@ -333,6 +343,60 @@ def minhash_lsh_pairs(
         .where(jac >= threshold)
         .select("d1", "d2", F.round(jac, 4).alias("jaccard"))
     )
+
+
+def minhash_filter_new(
+    batch: DataFrame,
+    seen: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Ingestion-time NEAR-dup filter: keep the ``batch`` docs that have
+    no verified near-duplicate in the accumulated ``seen`` corpus — the
+    :func:`dedup_incremental` analog at MinHash strength (exact-digest
+    snapshots miss a one-word edit; this doesn't).
+
+    Plan shape at 100 TB: both sides reduce to band rows (bounded:
+    ``bands`` rows × fixed-width keys per doc — the snapshot the
+    ingestion job actually persists is band rows, NOT text), candidates
+    come from ONE band equi-join (LSH bounds the matched set), and only
+    candidates fetch shingle arrays for exact-Jaccard verification, so
+    false band collisions cannot drop a document. Within-batch
+    duplicates are the batch operator's job (:func:`minhash_lsh_pairs`);
+    this filter is the cross-batch boundary.
+    """
+    sig_b = minhash_signatures(batch, id_col, text_col, n, num_hashes)
+    sig_s = minhash_signatures(seen, id_col, text_col, n, num_hashes)
+    bb = banded_keys(sig_b, id_col, num_hashes, bands).alias("nb")
+    bs = banded_keys(sig_s, id_col, num_hashes, bands).alias("sn")
+    cands = (
+        bb.join(bs, ["band", "key"])
+        .select(
+            F.col(f"nb.{id_col}").alias("__new_id"),
+            F.col(f"sn.{id_col}").alias("__seen_id"),
+        )
+        .distinct()
+    )
+    sh_b = batch.select(
+        F.col(id_col).alias("__new_id"), shingle_array(F.col(text_col), n).alias("sh1")
+    )
+    sh_s = seen.select(
+        F.col(id_col).alias("__seen_id"), shingle_array(F.col(text_col), n).alias("sh2")
+    )
+    inter = F.size(F.array_intersect(F.col("sh1"), F.col("sh2")))
+    union = F.size(F.col("sh1")) + F.size(F.col("sh2")) - inter
+    dup_ids = (
+        cands.join(sh_b, "__new_id")
+        .join(sh_s, "__seen_id")
+        .where(inter / union >= F.lit(threshold))
+        .select(F.col("__new_id").alias(id_col))
+        .distinct()
+    )
+    return batch.join(dup_ids, id_col, "left_anti")
 
 
 # ---------------------------------------------------------------------------

@@ -221,3 +221,32 @@ def test_incremental_dedup_replay_is_idempotent(spark):
     # against its own updated snapshot yields zero survivors
     replay, _ = dedup_incremental(batch, updated)
     assert replay.count() == 0
+
+
+def test_minhash_filter_new_drops_seen_neardups(spark, docs):
+    """Ingestion-time near-dup filter: a batch doc with a verified
+    near-dup in the seen corpus is dropped; fresh docs survive; the
+    filter catches EDITED text an exact-digest snapshot would miss."""
+    from opentelemetry_collector_spark.operators.dedup import minhash_filter_new
+
+    seen = docs.where(F.col("doc_id").isin(0, 2))
+    batch = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog"),  # exact vs 0
+            (11, "the quick brown fox jumps over the lazy cat"),  # near vs 0
+            (12, "some brand new text never seen before today ok"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in minhash_filter_new(batch, seen, threshold=0.5).collect()
+    )
+    assert got == [12]
+
+
+def test_minhash_filter_new_empty_seen_keeps_all(spark, docs):
+    from opentelemetry_collector_spark.operators.dedup import minhash_filter_new
+
+    seen = docs.where(F.lit(False))
+    assert minhash_filter_new(docs, seen).count() == docs.count()
