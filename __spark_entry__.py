@@ -1426,8 +1426,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # is the exact cross-parity jaccard filter (band miss prob at
         # r=2,b=16,j≥0.8 is ~8e-8 — w.h.p. identical).
         docs = _t(spark, sf, "documents")
+        # ONE signature aggregation (the dominant cost: the full shingle
+        # explode) pinned and shared by both parts — the filter's parity
+        # sides are cheap filters over the pinned 33-column frame
+        sigs = dedup_ops.minhash_signatures(
+            docs, num_hashes=32
+        ).localCheckpoint(eager=True)
         pairs = dedup_ops.minhash_lsh_pairs(
-            docs, num_hashes=32, bands=16, threshold=0.8
+            docs, num_hashes=32, bands=16, threshold=0.8, sigs=sigs
         )
         _L = F.lit(None).cast("long")
         _D = F.lit(None).cast("double")
@@ -1440,6 +1446,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             num_hashes=32,
             bands=16,
             threshold=0.8,
+            sig_batch=sigs.where(F.col("doc_id") % 2 == 1),
+            sig_seen=sigs.where(F.col("doc_id") % 2 == 0),
         )
         p_inc = survivors.select(
             F.lit("incremental").alias("part"),

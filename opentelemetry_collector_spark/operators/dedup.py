@@ -319,6 +319,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 8,
     threshold: float = 0.8,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs with exact Jaccard verification.
 
@@ -328,8 +329,13 @@ def minhash_lsh_pairs(
     candidate docs are materialized). With j ≥ 0.8, r=2, b=8 the miss
     probability per true pair is (1-0.8²)^8 ≈ 3e-4 — at the default
     threshold the verified output equals the exact pair set w.h.p.
+
+    Pass a precomputed (ideally pinned) ``sigs`` frame to share the
+    signature aggregation — the dominant cost, a full shingle explode —
+    with other consumers (e.g. :func:`minhash_filter_new`).
     """
-    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    if sigs is None:
+        sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
     cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
     sets_ = df.select(F.col(id_col), shingle_array(F.col(text_col), n).alias("sh"))
     s1 = sets_.select(F.col(id_col).alias("d1"), F.col("sh").alias("sh1"))
@@ -354,6 +360,8 @@ def minhash_filter_new(
     num_hashes: int = 16,
     bands: int = 8,
     threshold: float = 0.8,
+    sig_batch: DataFrame | None = None,
+    sig_seen: DataFrame | None = None,
 ) -> DataFrame:
     """Ingestion-time NEAR-dup filter: keep the ``batch`` docs that have
     no verified near-duplicate in the accumulated ``seen`` corpus — the
@@ -368,9 +376,22 @@ def minhash_filter_new(
     false band collisions cannot drop a document. Within-batch
     duplicates are the batch operator's job (:func:`minhash_lsh_pairs`);
     this filter is the cross-batch boundary.
+
+    ``sig_batch``/``sig_seen`` accept precomputed signature frames (the
+    real ingestion loop persists the seen side's signatures as its
+    snapshot, and a suite computing pairs anyway shares one pinned
+    full-corpus signature frame across both consumers).
     """
-    sig_b = minhash_signatures(batch, id_col, text_col, n, num_hashes)
-    sig_s = minhash_signatures(seen, id_col, text_col, n, num_hashes)
+    sig_b = (
+        sig_batch
+        if sig_batch is not None
+        else minhash_signatures(batch, id_col, text_col, n, num_hashes)
+    )
+    sig_s = (
+        sig_seen
+        if sig_seen is not None
+        else minhash_signatures(seen, id_col, text_col, n, num_hashes)
+    )
     bb = banded_keys(sig_b, id_col, num_hashes, bands).alias("nb")
     bs = banded_keys(sig_s, id_col, num_hashes, bands).alias("sn")
     cands = (

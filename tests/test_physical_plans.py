@@ -144,8 +144,9 @@ _PLAN_SHUFFLE_BUDGET = {
     # side + survivor groupBy (the batch side's digest agg reuses)
     "dedup_exact": 3,
     "dedup_ngram_jaccard": 7,  # freq cut + self-join + sizes (AQE reuses)
-    # pairs part (3) + the incremental cross-parity filter: two sig
-    # aggs inlined (AQE reuses the doc scan) + band join (5 total)
+    # pairs part (3) + the incremental cross-parity filter's band join
+    # (its signature sides are parity filters over the ONE pinned
+    # full-corpus signature frame, localCheckpointed in the query)
     "dedup_minhash_lsh": 5,
     "dedup_clusters": 3,  # per-round plans are checkpointed separately
     "dedup_simhash": 1,
