@@ -105,3 +105,115 @@ class StreamingDeduper:
             int(epoch_id),
         )
         return survivors
+
+
+class StreamingNearDeduper:
+    """Epoch-snapshot NEAR-dup filter for ``foreachBatch`` loops — the
+    MinHash-strength sibling of :class:`StreamingDeduper` (an exact
+    digest misses a one-word edit; this doesn't).
+
+    Persistent state per survivor is its FIXED-WIDTH MinHash signature
+    (``num_hashes`` longs — bytes per doc are constant regardless of
+    document size, unlike a shingle set), written with the same
+    epoch-idempotent two-step, so the replay argument is identical to
+    the exact deduper's: a replayed micro-batch reads only epochs < N
+    and its snapshot write is marker-skipped → bit-identical survivors.
+
+    Filter semantics: band collision against the accumulated signatures
+    proposes candidates (ONE band equi-join — LSH bounds the matched
+    set); a candidate is dropped when the signature-agreement estimate
+    of Jaccard — mean(h_i equal), the unbiased MinHash estimator, σ ≈
+    √(j(1−j)/num_hashes) — reaches ``threshold``. Estimator, not exact:
+    the snapshot deliberately does not retain document text, so this is
+    the ingestion-filter contract (tune num_hashes for tighter σ; the
+    batch operator ``minhash_filter_new`` is the exact-verified form
+    when both corpora are at hand).
+    """
+
+    def __init__(
+        self,
+        snapshot_root: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        n: int = 3,
+        num_hashes: int = 16,
+        bands: int = 8,
+        threshold: float = 0.8,
+    ):
+        self.sink = IdempotentParquetSink(snapshot_root, name="sig_snapshot")
+        self.id_col = id_col
+        self.text_col = text_col
+        self.n = n
+        self.num_hashes = num_hashes
+        self.bands = bands
+        self.threshold = threshold
+
+    def _sig_cols(self) -> list[str]:
+        return [f"h{i}" for i in range(self.num_hashes)]
+
+    def _seen_sigs(self, spark: SparkSession, epoch_id: int) -> DataFrame:
+        epochs = [e for e in self.sink.committed_epochs() if e < epoch_id]
+        schema = ", ".join([f"{self.id_col} long"] + [f"{c} long" for c in self._sig_cols()])
+        if not epochs:
+            return spark.createDataFrame([], schema)
+        paths = [os.path.join(self.sink.data_dir, f"epoch={e}") for e in epochs]
+        return spark.read.parquet(*paths)
+
+    def dedupe_batch_rows(self, df: DataFrame, epoch_id: int) -> DataFrame:
+        """Surviving ROWS of this micro-batch (every original column
+        intact), minus docs whose estimated Jaccard vs any prior
+        survivor reaches the threshold. Persists the survivors'
+        signatures as this epoch's snapshot slice. Returns a CACHED
+        frame — caller unpersists after its writes."""
+        from ..operators.dedup import banded_keys, minhash_signatures
+
+        spark = df.sparkSession
+        sigs = minhash_signatures(
+            df, self.id_col, self.text_col, self.n, self.num_hashes
+        ).persist()
+        try:
+            seen = self._seen_sigs(spark, int(epoch_id))
+            cand = (
+                banded_keys(sigs, self.id_col, self.num_hashes, self.bands)
+                .alias("nb")
+                .join(
+                    banded_keys(seen, self.id_col, self.num_hashes, self.bands).alias("sn"),
+                    ["band", "key"],
+                )
+                .select(
+                    F.col(f"nb.{self.id_col}").alias("__new_id"),
+                    F.col(f"sn.{self.id_col}").alias("__seen_id"),
+                )
+                .distinct()
+            )
+            sig_arr = F.array(*[F.col(c) for c in self._sig_cols()])
+            new_sigs = sigs.select(
+                F.col(self.id_col).alias("__new_id"), sig_arr.alias("__s1")
+            )
+            seen_sigs = seen.select(
+                F.col(self.id_col).alias("__seen_id"), sig_arr.alias("__s2")
+            )
+            agree = F.aggregate(
+                F.zip_with(
+                    F.col("__s1"),
+                    F.col("__s2"),
+                    lambda a, b: F.when(a == b, F.lit(1)).otherwise(F.lit(0)),
+                ),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            )
+            dup_ids = (
+                cand.join(new_sigs, "__new_id")
+                .join(seen_sigs, "__seen_id")
+                .where(agree / F.lit(float(self.num_hashes)) >= F.lit(self.threshold))
+                .select(F.col("__new_id").alias(self.id_col))
+                .distinct()
+            )
+            survivors = df.join(dup_ids, self.id_col, "left_anti").persist()
+            self.sink.write_epoch(
+                sigs.join(survivors.select(self.id_col), self.id_col),
+                int(epoch_id),
+            )
+            return survivors
+        finally:
+            sigs.unpersist()

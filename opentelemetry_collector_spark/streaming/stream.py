@@ -213,7 +213,7 @@ class StreamingPipeline:
                 # configured engine rather than silently dropping it
                 parse_engine = c.options.get("engine", "sql")
                 continue
-            if c.kind == "dedup":
+            if c.kind in ("dedup", "dedup_minhash"):
                 # epoch-aware cross-micro-batch dedup: snapshot state
                 # lives next to the sinks unless the config points it
                 # elsewhere; dedups the PARSED record stream on content
@@ -224,20 +224,33 @@ class StreamingPipeline:
                 # than silently reordering (config order IS the contract).
                 if stages:
                     raise ValueError(
-                        f"pipeline {pipeline!r}: 'dedup' processor "
+                        f"pipeline {pipeline!r}: {c.kind!r} processor "
                         f"{proc_name!r} must be declared before any other "
                         "(non-parse) processor — dedup always executes "
                         "first, on the parsed record stream"
                     )
-                from .dedup import StreamingDeduper
-
-                deduper = StreamingDeduper(
-                    c.options.get(
-                        "snapshot_dir", os.path.join(out_root, "_dedup_snapshot")
-                    ),
-                    id_col=c.options.get("id_col", "url"),
-                    text_col=c.options.get("text_col", "body"),
+                snapshot_dir = c.options.get(
+                    "snapshot_dir", os.path.join(out_root, "_dedup_snapshot")
                 )
+                if c.kind == "dedup":
+                    from .dedup import StreamingDeduper
+
+                    deduper = StreamingDeduper(
+                        snapshot_dir,
+                        id_col=c.options.get("id_col", "url"),
+                        text_col=c.options.get("text_col", "body"),
+                    )
+                else:  # dedup_minhash: NEAR-dup filter, signature snapshot
+                    from .dedup import StreamingNearDeduper
+
+                    deduper = StreamingNearDeduper(
+                        snapshot_dir,
+                        id_col=c.options.get("id_col", "url"),
+                        text_col=c.options.get("text_col", "body"),
+                        num_hashes=int(c.options.get("num_hashes", 16)),
+                        bands=int(c.options.get("bands", 8)),
+                        threshold=float(c.options.get("threshold", 0.8)),
+                    )
                 continue
             stages.append(_build_processor(spark, c.kind, c.options))
 

@@ -551,3 +551,46 @@ service:
         spark, load_config(ok), "logs", str(tmp_path / "sinks")
     )
     assert pipe.deduper is not None
+
+
+def test_streaming_near_deduper_catches_edits_and_replays(spark, tmp_path):
+    """StreamingNearDeduper drops an EDITED near-dup of a prior epoch's
+    survivor (exact digests would miss it), keeps fresh docs, and is
+    replay-idempotent with restart-surviving signature state."""
+    from opentelemetry_collector_spark.streaming.dedup import StreamingNearDeduper
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    edit = "the quick brown fox jumps over the lazy cat again and again"
+    root = str(tmp_path / "sig_snapshot")
+    dd = StreamingNearDeduper(root, threshold=0.5)
+    b0 = spark.createDataFrame(
+        [(1, base), (2, "completely unrelated text about streaming state")],
+        "doc_id long, text string",
+    )
+    s0 = dd.dedupe_batch_rows(b0, 0)
+    assert {r["doc_id"] for r in s0.collect()} == {1, 2}
+    s0.unpersist()
+
+    b1 = spark.createDataFrame(
+        [(10, edit), (11, "yet another brand new document body entirely")],
+        "doc_id long, text string",
+    )
+    s1 = dd.dedupe_batch_rows(b1, 1)
+    assert {r["doc_id"] for r in s1.collect()} == {11}  # the edit is caught
+    s1.unpersist()
+
+    # replay: same epoch id → identical survivors, snapshot unchanged
+    replay = dd.dedupe_batch_rows(b1, 1)
+    assert {r["doc_id"] for r in replay.collect()} == {11}
+    replay.unpersist()
+    assert dd.sink.committed_epochs() == [0, 1]
+
+    # restart over the same snapshot root: state survives the process
+    dd2 = StreamingNearDeduper(root, threshold=0.5)
+    b2 = spark.createDataFrame(
+        [(20, base), (21, "one more genuinely novel body of words here")],
+        "doc_id long, text string",
+    )
+    s2 = dd2.dedupe_batch_rows(b2, 2)
+    assert {r["doc_id"] for r in s2.collect()} == {21}
+    s2.unpersist()
