@@ -72,6 +72,19 @@ GROK_PATTERNS: dict[str, str] = {
     "HTTPDATE": r"\d{2}/\w{3}/\d{4}:\d{2}:\d{2}:\d{2} [+-]\d{4}",
     "MONTH": r"(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)",
     "HTTPMETHOD": r"(?:GET|POST|PUT|DELETE|HEAD|OPTIONS|PATCH|TRACE|CONNECT)",
+    "BASE10NUM": r"[+-]?(?:\d+(?:\.\d+)?|\.\d+)",
+    "YEAR": r"(?:\d\d){1,2}",
+    "MONTHNUM": r"(?:0?[1-9]|1[0-2])",
+    "MONTHDAY": r"(?:0?[1-9]|[12]\d|3[01])",
+    "TIME": r"(?:2[0123]|[01]?\d):[0-5]\d:(?:[0-5]\d)(?:\.\d+)?",
+    "MAC": r"(?:[0-9a-fA-F]{2}:){5}[0-9a-fA-F]{2}",
+    "EMAILADDRESS": r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}",
+    # syslog's classic "Jan  2 15:04:05" (day may be space-padded)
+    "SYSLOGTIMESTAMP": (
+        r"(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)"
+        r" +(?:0?[1-9]|[12]\d|3[01]) (?:2[0123]|[01]?\d):[0-5]\d:[0-5]\d"
+    ),
+    "SYSLOGPROG": r"[\w._/-]+(?:\[\d+\])?",
 }
 
 _CASTS = {"int": "long", "long": "long", "float": "double", "double": "double"}

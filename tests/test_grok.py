@@ -105,3 +105,33 @@ def test_user_capturing_groups_do_not_shift_field_binding():
     m = _re.fullmatch(regex, "12-abc x7", _re.ASCII)
     assert m is not None
     assert m.group(1) == "abc" and m.group(2) == "7"
+
+
+def test_round5_pattern_additions(spark):
+    """The syslog family + common scalars parse real lines in BOTH
+    engines' regex subset (the whole pattern library is RE2∩Java)."""
+    from opentelemetry_collector_spark.operators.grok import grok_extract
+
+    df = spark.createDataFrame(
+        [
+            (
+                "Jan  2 15:04:05 myhost sshd[4242]: "
+                "Accepted publickey for admin from 10.0.0.7 "
+                "mac aa:bb:cc:dd:ee:ff mail ops@example.com v -3.25",
+            )
+        ],
+        "line string",
+    )
+    pat = (
+        "%{SYSLOGTIMESTAMP:ts} %{HOSTNAME:host} %{SYSLOGPROG:prog}: "
+        "Accepted publickey for %{USERNAME:user} from %{IP:ip} "
+        "mac %{MAC:mac} mail %{EMAILADDRESS:mail} v %{BASE10NUM:v:double}"
+    )
+    r = grok_extract(df, pat, text_col="line").collect()[0]
+    assert r["ts"] == "Jan  2 15:04:05"
+    assert r["host"] == "myhost"
+    assert r["prog"] == "sshd[4242]"
+    assert r["user"] == "admin" and r["ip"] == "10.0.0.7"
+    assert r["mac"] == "aa:bb:cc:dd:ee:ff"
+    assert r["mail"] == "ops@example.com"
+    assert r["v"] == -3.25
