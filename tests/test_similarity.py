@@ -226,3 +226,49 @@ def test_sq8_topk_deterministic(emb):
         )
 
     assert run() == run()
+
+
+def test_lloyds_properties():
+    """Driver-side KMeans: deterministic under a fixed seed, returns k
+    centers, and separates well-separated clusters."""
+    import numpy as np
+
+    from opentelemetry_collector_spark.operators.similarity import _lloyds
+
+    rng = np.random.RandomState(3)
+    blobs = np.concatenate(
+        [rng.randn(80, 4) + off for off in (0.0, 20.0, -20.0, 40.0)]
+    )
+    c1 = _lloyds(blobs, 4, seed=42, max_iter=10)
+    c2 = _lloyds(blobs, 4, seed=42, max_iter=10)
+    assert np.array_equal(c1, c2)  # bit-deterministic
+    assert c1.shape == (4, 4)
+    # each true blob center has a fitted center within 2.0
+    for off in (0.0, 20.0, -20.0, 40.0):
+        d = np.linalg.norm(c1 - off, axis=1).min()
+        assert d < 2.0, (off, d)
+    # degenerate inputs
+    few = blobs[:3]
+    assert _lloyds(few, 8, seed=1, max_iter=5).shape == (3, 4)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="empty corpus"):
+        _lloyds(blobs[:0], 4, seed=1, max_iter=5)
+
+
+def test_sq8_quantization_error_bound(spark):
+    """|x − q·scale| ≤ scale/2 per component (round-to-nearest on the
+    symmetric grid) — the estimator error the re-rank absorbs."""
+    import numpy as np
+
+    from opentelemetry_collector_spark.operators.similarity import quantize_sq8
+
+    rng = np.random.RandomState(11)
+    rows = [(i, [float(x) for x in rng.randn(16)]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = df.select("embedding", quantize_sq8(F.col("embedding")).alias("q")).collect()
+    for r in got:
+        x = np.asarray(r["embedding"])
+        q = np.asarray(r["q"], dtype=np.float64)
+        scale = np.abs(x).max() / 127.0
+        assert np.all(np.abs(x - q * scale) <= scale / 2 + 1e-12)
