@@ -1471,8 +1471,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_simhash"] = dd_simhash
 
-    def chunk_dedup_q(spark, sf):  # chunk-level exact dedup (substring approx)
-        return dedup_ops.chunk_dedup(_t(spark, sf, "documents"), k=8)
+    def chunk_dedup_q(spark, sf):
+        # substring dedup at two granularities over the same corpus:
+        # 'chunk' = non-overlapping k-word chunks, first-occurrence rule
+        # (chunk_dedup); 'span' = OVERLAPPING k-word windows with
+        # merged-interval token coverage (span_dedup — the Lee et al.
+        # exact-substring formulation; boundary-straddling passages the
+        # chunk part misses are caught here)
+        docs = _t(spark, sf, "documents")
+        chunk = dedup_ops.chunk_dedup(docs, k=8).select(
+            F.lit("chunk").alias("part"),
+            "doc_id",
+            F.col("n_chunks").alias("n_units"),
+            F.col("n_dup_chunks").alias("n_dup"),
+            F.lit(0).cast("long").alias("covered_tokens"),
+            F.col("dup_frac").alias("frac"),
+        )
+        span = dedup_ops.span_dedup(docs, k=8).select(
+            F.lit("span").alias("part"),
+            "doc_id",
+            F.col("n_windows").alias("n_units"),
+            F.col("n_dup_windows").alias("n_dup"),
+            "covered_tokens",
+            F.col("coverage_frac").alias("frac"),
+        )
+        return chunk.unionByName(span)
 
     q["chunk_dedup"] = chunk_dedup_q
 
@@ -2813,7 +2836,12 @@ FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
 
     o["dedup_simhash"] = _simhash_sql(32)
 
-    # chunk-level exact dedup: identical chunking + first-occurrence rank
+    # substring dedup union: 'chunk' = identical chunking +
+    # first-occurrence rank; 'span' = overlapping 8-word windows, window
+    # duplicated when in ≥2 distinct docs, token coverage computed by
+    # exploding each dup window to its token positions and counting
+    # DISTINCT positions — the set-union ground truth the Spark side's
+    # one-pass sorted-interval fold must equal exactly
     o["chunk_dedup"] = """
 WITH w AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS ws FROM documents),
 c AS (
@@ -2822,11 +2850,34 @@ c AS (
   FROM w, unnest(generate_series(0, (len(ws)//8)::BIGINT - 1)) AS t(i)
 ),
 r AS (SELECT doc_id, chunk_idx, h,
-        row_number() OVER (PARTITION BY h ORDER BY doc_id, chunk_idx) AS rn FROM c)
-SELECT doc_id, count(*)::BIGINT AS n_chunks,
-  sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_chunks,
-  round(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 4) AS dup_frac
+        row_number() OVER (PARTITION BY h ORDER BY doc_id, chunk_idx) AS rn FROM c),
+wnn AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS ws
+        FROM documents WHERE text IS NOT NULL),
+wins AS (
+  SELECT doc_id, i AS pos,
+    md5(array_to_string(ws[(i+1)::BIGINT:(i+8)::BIGINT], ' ')) AS h
+  FROM wnn, unnest(generate_series(0, len(ws)::BIGINT - 8)) AS t(i)
+),
+dup AS (SELECT h FROM wins GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+d AS (SELECT wins.doc_id, wins.pos FROM wins JOIN dup USING (h)),
+cov AS (
+  SELECT doc_id, count(DISTINCT pos)::BIGINT AS n_dup,
+         count(DISTINCT tp)::BIGINT AS covered
+  FROM (SELECT doc_id, pos, unnest(generate_series(pos, pos + 7)) AS tp FROM d)
+  GROUP BY doc_id
+)
+SELECT 'chunk' AS part, doc_id, count(*)::BIGINT AS n_units,
+  sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup,
+  0::BIGINT AS covered_tokens,
+  round(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 4) AS frac
 FROM r GROUP BY doc_id
+UNION ALL
+SELECT 'span' AS part, wnn.doc_id,
+  greatest(len(ws)::BIGINT - 7, 0)::BIGINT AS n_units,
+  coalesce(cov.n_dup, 0)::BIGINT AS n_dup,
+  coalesce(cov.covered, 0)::BIGINT AS covered_tokens,
+  round(coalesce(cov.covered, 0)::DOUBLE / nullif(len(ws), 0), 4) AS frac
+FROM wnn LEFT JOIN cov USING (doc_id)
 """
 
     # paragraph_dedup: same planted page (banner / text / promo-or-unique

@@ -717,3 +717,123 @@ def paragraph_dedup(
             ).alias("clean_text"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Overlapping-window exact substring dedup (span coverage)
+# ---------------------------------------------------------------------------
+
+def span_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact substring dedup over OVERLAPPING ``k``-word windows — the
+    suffix-array-free Spark formulation of Lee et al.'s "Deduplicating
+    Training Data Makes Language Models Better": a window is duplicated
+    when its exact k-word content appears in ≥ ``min_docs`` DISTINCT
+    documents, and a document's duplication is measured as the fraction
+    of its TOKENS covered by at least one duplicated window (overlapping
+    windows merged, so a long shared passage counts its length once, not
+    once per window). This is strictly finer than :func:`chunk_dedup`:
+    fixed chunk boundaries miss a duplicated passage that straddles a
+    boundary; overlapping windows cannot (reference analog: the batch
+    splitter's fixed units vs the receiver's boundary-free byte stream,
+    splitlogs.go:22-76).
+
+    Output: one row per non-null-text document —
+    ``(doc_id, n_tokens, n_windows, n_dup_windows, covered_tokens,
+    coverage_frac)``; documents shorter than ``k`` tokens have zero
+    windows and zero coverage.
+
+    Scale shape: the window expansion is narrow (k× rows, computed
+    map-side from ONE bound token array — no CSE across lambda scopes,
+    so the array is bound via the single-element-transform idiom); the
+    duplicated-window set is ONE groupBy on the 32-hex window hash
+    (map-side partials, uniform keys) and is corpus-sized, so it joins
+    back on the same key as a SHUFFLE join — broadcast would be the bug
+    at 100 TB. Interval merging is a per-doc sort_array + aggregate fold
+    over that doc's duplicated window starts (document-sized, never
+    corpus-sized): sorted fixed-length intervals union in one pass as
+    Σ min(k, pos + k − prev_end). Zero Python anywhere.
+    """
+    words_expr = tokenize(F.col(text_col))
+    kL = F.lit(k).cast("long")
+
+    def per_doc(w: Column) -> Column:
+        last = F.size(w) - F.lit(k)  # last 0-based window start
+        make = F.transform(
+            F.sequence(F.lit(0), last),
+            lambda i: F.struct(
+                i.cast("long").alias("pos"),
+                F.md5(
+                    F.array_join(F.slice(w, i + F.lit(1), k), " ")
+                ).alias("h"),
+            ),
+        )
+        # sequence(0, -1) would infer a NEGATIVE step — guard short docs
+        return F.when(last >= 0, make).otherwise(
+            F.array().cast("array<struct<pos:long,h:string>>")
+        )
+
+    docs = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.size(words_expr).cast("long").alias("n_tokens"),
+        F.element_at(F.transform(F.array(words_expr), per_doc), 1).alias("__wins"),
+    )
+    wins = docs.select(
+        F.col(id_col), F.explode("__wins").alias("w")
+    ).select(id_col, F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
+    dup = (
+        wins.groupBy("h")
+        .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+        .where(F.col("__nd") >= min_docs)
+        .select("h")
+    )
+    # sorted duplicated-window starts per doc, then one-pass interval union
+    covered = F.aggregate(
+        F.col("__ps"),
+        F.struct(
+            F.lit(0).cast("long").alias("cov"),
+            (-kL - F.lit(1)).alias("pe"),  # sentinel: first window never clips
+        ),
+        lambda acc, p: F.struct(
+            (acc["cov"] + F.least(kL, p + kL - acc["pe"])).alias("cov"),
+            (p + kL).alias("pe"),
+        ),
+        lambda acc: acc["cov"],
+    )
+    per_doc_cov = (
+        wins.join(dup, "h")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("pos")).alias("__ps"))
+        .select(
+            F.col(id_col),
+            F.size("__ps").cast("long").alias("n_dup_windows"),
+            covered.alias("covered_tokens"),
+        )
+    )
+    return (
+        docs.select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            F.greatest(F.col("n_tokens") - kL + F.lit(1), F.lit(0).cast("long")).alias(
+                "n_windows"
+            ),
+        )
+        .join(per_doc_cov, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            "n_windows",
+            F.coalesce("n_dup_windows", F.lit(0).cast("long")).alias("n_dup_windows"),
+            F.coalesce("covered_tokens", F.lit(0).cast("long")).alias("covered_tokens"),
+            F.round(
+                F.coalesce("covered_tokens", F.lit(0).cast("long"))
+                / F.when(F.col("n_tokens") > 0, F.col("n_tokens")),
+                4,
+            ).alias("coverage_frac"),
+        )
+    )

@@ -250,3 +250,75 @@ def test_minhash_filter_new_empty_seen_keeps_all(spark, docs):
 
     seen = docs.where(F.lit(False))
     assert minhash_filter_new(docs, seen).count() == docs.count()
+
+
+def test_span_dedup_merges_overlapping_windows(spark):
+    """A 10-token passage shared by two docs yields 3 duplicated 8-word
+    windows whose merged interval covers exactly 10 tokens — the fold
+    must union overlaps, not sum window lengths (3×8=24 would be the
+    bug)."""
+    from opentelemetry_collector_spark.operators.dedup import span_dedup
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliett"
+    df = spark.createDataFrame(
+        [
+            (1, shared + " one two three"),
+            (2, "zzz " + shared + " qqq"),
+            (3, "totally unique words here nothing shared at all with others"),
+            (4, "tiny doc"),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in span_dedup(df, k=8).collect()}
+    assert got[1]["n_dup_windows"] == 3 and got[1]["covered_tokens"] == 10
+    assert got[1]["coverage_frac"] == round(10 / 13, 4)
+    assert got[2]["n_dup_windows"] == 3 and got[2]["covered_tokens"] == 10
+    assert got[3]["n_dup_windows"] == 0 and got[3]["coverage_frac"] == 0.0
+    assert got[4]["n_windows"] == 0 and got[4]["covered_tokens"] == 0
+    assert 5 not in got  # null text excluded, matching the oracle
+
+
+def test_span_dedup_catches_chunk_boundary_straddle(spark):
+    """A duplicated passage straddling the fixed k-chunk boundary is
+    invisible to chunk_dedup but fully covered by span_dedup — the
+    reason overlapping windows exist."""
+    from opentelemetry_collector_spark.operators.dedup import (
+        chunk_dedup,
+        span_dedup,
+    )
+
+    # 8 tokens of unique prefix push the shared 8-token run across the
+    # doc-2 chunk boundary (chunks [0:8) and [8:16) each mix unique+shared)
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8"
+    df = spark.createDataFrame(
+        [
+            (1, shared),
+            (2, "u1 u2 u3 u4 " + shared + " v1 v2 v3 v4"),
+        ],
+        "doc_id long, text string",
+    )
+    chunks = {r["doc_id"]: r for r in chunk_dedup(df, k=8).collect()}
+    assert chunks[2]["n_dup_chunks"] == 0  # straddle: chunks see nothing
+    spans = {r["doc_id"]: r for r in span_dedup(df, k=8).collect()}
+    assert spans[2]["n_dup_windows"] == 1 and spans[2]["covered_tokens"] == 8
+    assert spans[1]["covered_tokens"] == 8 and spans[1]["coverage_frac"] == 1.0
+
+
+def test_span_dedup_disjoint_spans_sum(spark):
+    """Two disjoint duplicated passages in one doc each contribute their
+    full length (no spurious merge across the gap)."""
+    from opentelemetry_collector_spark.operators.dedup import span_dedup
+
+    a = "a1 a2 a3 a4 a5 a6 a7 a8"
+    b = "b1 b2 b3 b4 b5 b6 b7 b8"
+    df = spark.createDataFrame(
+        [
+            (1, a + " gap1 gap2 gap3 " + b),
+            (2, a),
+            (3, b),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in span_dedup(df, k=8).collect()}
+    assert got[1]["covered_tokens"] == 16 and got[1]["n_dup_windows"] == 2

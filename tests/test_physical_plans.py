@@ -150,7 +150,11 @@ _PLAN_SHUFFLE_BUDGET = {
     "dedup_minhash_lsh": 5,
     "dedup_clusters": 3,  # per-round plans are checkpointed separately
     "dedup_simhash": 1,
-    "chunk_dedup": 2,  # first-occurrence window on chunk hash + per-doc agg
+    # chunk part: first-occurrence window on chunk hash + per-doc agg (2);
+    # span part: dup-window count-distinct agg (two-phase, 2) + per-doc
+    # interval-fold agg (1); both join-backs are size-picked (broadcast
+    # here, keyed SMJ at corpus scale — the dup set is corpus-sized)
+    "chunk_dedup": 5,
     "paragraph_dedup": 3,  # para-hash agg + keyed join back + per-doc reassembly
     "doc_signals": 1,  # small-scan fan-out (round-robin; no-op at scale)
     "cleanup_suite": 0,  # pii scrub + c4 line edit + badwords flag, all narrow scan-speed
