@@ -1399,8 +1399,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         seen = docs.where(F.col("doc_id") % 3 == 0).select(
             F.md5("text").alias("digest")
         )
-        survivors, _snapshot = dedup_ops.dedup_incremental(
-            docs.where(F.col("doc_id") % 3 != 0), seen
+        # the BLOOM-GATED scale path (same results as dedup_incremental
+        # for every m/k — no false negatives; the gate only shrinks the
+        # anti-join input), so the driver oracle verifies the 100 TB form
+        survivors, _snapshot = dedup_ops.dedup_incremental_bloom(
+            docs.where(F.col("doc_id") % 3 != 0), seen, m_bits=1 << 16, k=5
         )
         inc = survivors.select(
             F.lit("incremental").alias("part"), "digest", "doc_id", "n_copies"

@@ -837,3 +837,138 @@ def span_dedup(
             ).alias("coverage_frac"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed columnar Bloom filter (membership gate for incremental dedup)
+# ---------------------------------------------------------------------------
+
+def bloom_build(
+    seen: DataFrame, col: str = "digest", m_bits: int = 1 << 20, k: int = 5
+) -> DataFrame:
+    """Build a Bloom filter over ``seen[col]`` entirely in DataFrame
+    expressions — no driver collect, no JVM sketch object, no UDF. The
+    k bit positions per value are ``pmod(xxhash64(value, i), m_bits)``
+    (the seed rides as a second hashed column — xxhash64 takes no seed
+    parameter); set bits are OR-folded per 64-bit word with one
+    ``bit_or`` groupBy, then scattered into ONE dense ``array<long>``
+    row of ``m_bits/64`` words (reference analog: the exporter batcher's
+    shared accumulated state, batch_sender.go — built once, consulted
+    per item).
+
+    Returns a single-row frame ``(m_bits int, k int, words array<long>)``
+    sized ``m_bits/8`` bytes — broadcastable while m is sized for the
+    target false-positive rate p ≈ (1 − e^(−k·n/m))^k. At 100 TB the
+    snapshot n may exceed what one broadcast cell should hold (~2^31
+    bits); shard by digest prefix and gate each shard with its own
+    filter — the gate is correctness-neutral either way (see
+    :func:`dedup_incremental_bloom`).
+    """
+    if m_bits % 64:
+        raise ValueError(f"m_bits must be a multiple of 64, got {m_bits}")
+    n_words = m_bits // 64
+    positions = [
+        F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(m_bits)).alias("p")
+        for i in range(k)
+    ]
+    words = (
+        seen.select(F.explode(F.array(*positions)).alias("p"))
+        .select(
+            F.shiftright(F.col("p"), 6).cast("int").alias("widx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(p, 64) AS INT))").alias(
+                "mask"
+            ),
+        )
+        .groupBy("widx")
+        .agg(F.bit_or("mask").alias("word"))
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(n_words - 1)),
+        lambda i: F.coalesce(
+            F.element_at(F.col("__m"), i), F.lit(0).cast("long")
+        ),
+    )
+    return (
+        words.agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("widx"), F.col("word")))
+            ).alias("__m")
+        )
+        .select(
+            F.lit(m_bits).alias("m_bits"),
+            F.lit(k).alias("k"),
+            dense.alias("words"),
+        )
+    )
+
+
+def bloom_might_contain(col: Column, m_bits: int, k: int) -> Column:
+    """Membership predicate against a broadcast bloom row's ``words``
+    column (cross-joined alongside ``col``): true iff all k bits are
+    set. No false negatives ever; false positives at the designed rate.
+    Pure codegen — bit_get with a column position, zero Python."""
+    return F.forall(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: F.bit_get(
+            F.element_at(
+                F.col("words"),
+                (
+                    F.shiftright(F.pmod(F.xxhash64(col, i), F.lit(m_bits)), 6)
+                    + F.lit(1)
+                ).cast("int"),
+            ),
+            F.pmod(F.pmod(F.xxhash64(col, i), F.lit(m_bits)), F.lit(64)),
+        )
+        == 1,
+    )
+
+
+def dedup_incremental_bloom(
+    new_docs: DataFrame,
+    seen_digests: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    m_bits: int = 1 << 20,
+    k: int = 5,
+) -> tuple[DataFrame, DataFrame]:
+    """:func:`dedup_incremental` with a Bloom-filter gate in front of the
+    exact anti-join — the 100 TB scale path for continuous-crawl dedup.
+
+    The bloom (built from the snapshot, broadcast as one m/8-byte cell)
+    splits the batch map-side: definite-new rows (any unset bit — no
+    false negatives) BYPASS the anti-join entirely; only maybe-seen rows
+    (true membership plus the designed false-positive trickle) pay the
+    corpus-sized keyed join. With a fresh-crawl batch that is mostly new
+    content, the join input shrinks to roughly (dup_rate + p)·batch —
+    the join's shuffle becomes proportional to the duplicate rate, not
+    the batch size, while the snapshot side still prunes via the join
+    key. Results are EXACTLY :func:`dedup_incremental`'s for every
+    m_bits/k — an undersized filter degrades only the bypass rate, never
+    correctness (property-tested).
+
+    Same contract as :func:`dedup_incremental`: returns ``(survivors,
+    updated_snapshot)``, same distinct-snapshot precondition.
+    """
+    bloom = bloom_build(seen_digests, "digest", m_bits=m_bits, k=k)
+    hashed = new_docs.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("digest")
+    )
+    gated = hashed.crossJoin(F.broadcast(bloom)).withColumn(
+        "__maybe", bloom_might_contain(F.col("digest"), m_bits, k)
+    )
+    definite_new = gated.where(~F.col("__maybe")).select(id_col, "digest")
+    suspects = gated.where(F.col("__maybe")).select(id_col, "digest")
+    fresh = definite_new.unionAll(
+        # USING-join moves the key column first — re-pin the order, the
+        # union is positional
+        suspects.join(
+            seen_digests.select("digest"), "digest", "left_anti"
+        ).select(id_col, "digest")
+    )
+    survivors = fresh.groupBy("digest").agg(
+        F.min(id_col).alias(id_col), F.count("*").alias("n_copies")
+    )
+    updated = seen_digests.select("digest").unionAll(
+        survivors.select("digest")
+    )
+    return survivors, updated

@@ -322,3 +322,104 @@ def test_span_dedup_disjoint_spans_sum(spark):
     )
     got = {r["doc_id"]: r for r in span_dedup(df, k=8).collect()}
     assert got[1]["covered_tokens"] == 16 and got[1]["n_dup_windows"] == 2
+
+
+# ---------------------------------------------------------------------------
+# Bloom-gated incremental dedup
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_gate_is_exact_for_every_size(spark):
+    """The bloom gate must never change RESULTS — only the anti-join
+    input size. Survivors and snapshot equal the ungated path for a
+    well-sized filter, an absurdly small one (false positives on nearly
+    every row), and k=1."""
+    from opentelemetry_collector_spark.operators.dedup import (
+        dedup_incremental,
+        dedup_incremental_bloom,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}" if i % 5 else "common dup text") for i in range(300)],
+        "doc_id long, text string",
+    )
+    seen = (
+        docs.where(F.col("doc_id") % 3 == 0)
+        .select(F.md5("text").alias("digest"))
+        .distinct()
+    )
+    batch = docs.where(F.col("doc_id") % 3 != 0)
+    ref, ref_snap = dedup_incremental(batch, seen)
+    want = sorted(map(tuple, ref.collect()))
+    want_snap = sorted(r["digest"] for r in ref_snap.collect())
+    for m_bits, k in ((1 << 16, 5), (64, 2), (128, 1)):
+        got, snap = dedup_incremental_bloom(batch, seen, m_bits=m_bits, k=k)
+        assert sorted(map(tuple, got.collect())) == want, (m_bits, k)
+        assert sorted(r["digest"] for r in snap.collect()) == want_snap
+
+
+def test_bloom_gate_bypasses_definite_new_rows(spark):
+    """On a mostly-new batch a well-sized filter routes ~(dup_rate + p)
+    of rows into the exact join; the rest bypass map-side."""
+    from opentelemetry_collector_spark.operators.dedup import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}" if i % 5 else "common dup text") for i in range(500)],
+        "doc_id long, text string",
+    )
+    seen = (
+        docs.where(F.col("doc_id") % 3 == 0)
+        .select(F.md5("text").alias("digest"))
+        .distinct()
+    )
+    batch = docs.where(F.col("doc_id") % 3 != 0)
+    bl = bloom_build(seen, m_bits=1 << 16, k=5)
+    gated = (
+        batch.select(F.md5("text").alias("digest"))
+        .crossJoin(F.broadcast(bl))
+        .select(bloom_might_contain(F.col("digest"), 1 << 16, 5).alias("m"))
+    )
+    maybe_frac = gated.where("m").count() / gated.count()
+    # true dup rate of the batch vs seen is 1/5; FPR at n=101,m=65536,k=5
+    # is ~1e-9 — anything beyond 25% means the gate is broken
+    assert 0.15 <= maybe_frac <= 0.25, maybe_frac
+
+
+def test_bloom_build_no_false_negatives_and_plan_is_jvm(spark):
+    """Every inserted digest must test positive (no false negatives —
+    the exactness proof's load-bearing half), and both build and gate
+    stay in JVM expressions (no Python eval nodes)."""
+    from opentelemetry_collector_spark.operators.dedup import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    seen = spark.createDataFrame(
+        [(f"item number {i}",) for i in range(137)], "v string"
+    ).select(F.md5("v").alias("digest"))
+    bl = bloom_build(seen, m_bits=1 << 12, k=3)
+    checked = (
+        seen.crossJoin(F.broadcast(bl))
+        .select(bloom_might_contain(F.col("digest"), 1 << 12, 3).alias("m"))
+    )
+    assert checked.where(~F.col("m")).count() == 0
+    plan = checked._jdf.queryExecution().executedPlan().toString()
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan
+    # empty seen set: filter of all-zero words, every probe is definite-new
+    empty = bloom_build(seen.where(F.lit(False)), m_bits=1 << 12, k=3)
+    gated = (
+        seen.crossJoin(F.broadcast(empty))
+        .select(bloom_might_contain(F.col("digest"), 1 << 12, 3).alias("m"))
+    )
+    assert gated.where("m").count() == 0
+
+
+def test_bloom_build_rejects_bad_m():
+    from opentelemetry_collector_spark.operators.dedup import bloom_build
+
+    with pytest.raises(ValueError):
+        bloom_build(None, m_bits=100, k=3)

@@ -141,8 +141,11 @@ _PLAN_SHUFFLE_BUDGET = {
     "q1_pricing_rollup": 1,
     "q3_revenue_topk": 2,  # fact join + agg (customer broadcast)
     # 'full' digest groupBy + the 'incremental' part's snapshot anti join
-    # side + survivor groupBy (the batch side's digest agg reuses)
-    "dedup_exact": 3,
+    # side + survivor groupBy (the batch side's digest agg reuses) + the
+    # bloom gate's build aggs: bit_or per word (1) + the dense-scatter
+    # global agg (SinglePartition, uncounted); the gate itself is a
+    # broadcast cross join of the one-row filter — zero batch-side shuffle
+    "dedup_exact": 5,
     "dedup_ngram_jaccard": 7,  # freq cut + self-join + sizes (AQE reuses)
     # pairs part (3) + the incremental cross-parity filter's band join
     # (its signature sides are parity filters over the ONE pinned
