@@ -942,6 +942,7 @@ def dedup_incremental_bloom(
     text_col: str = "text",
     m_bits: int = 1 << 20,
     k: int = 5,
+    bloom: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """:func:`dedup_incremental` with a Bloom-filter gate in front of the
     exact anti-join — the 100 TB scale path for continuous-crawl dedup.
@@ -960,8 +961,17 @@ def dedup_incremental_bloom(
 
     Same contract as :func:`dedup_incremental`: returns ``(survivors,
     updated_snapshot)``, same distinct-snapshot precondition.
+
+    ``bloom`` short-circuits the build: pass a prebuilt filter row (same
+    m_bits/k) when the caller maintains it incrementally — the streaming
+    deduper ORs per-epoch blooms (:func:`bloom_union`) instead of
+    re-scanning the whole snapshot every micro-batch. The filter must
+    cover AT LEAST ``seen_digests`` (extra set bits only add false
+    positives, which the exact join absorbs; a MISSING digest would be a
+    false negative and break exactness — the caller's invariant).
     """
-    bloom = bloom_build(seen_digests, "digest", m_bits=m_bits, k=k)
+    if bloom is None:
+        bloom = bloom_build(seen_digests, "digest", m_bits=m_bits, k=k)
     hashed = new_docs.select(
         F.col(id_col), F.md5(F.col(text_col)).alias("digest")
     )
@@ -984,3 +994,38 @@ def dedup_incremental_bloom(
         survivors.select("digest")
     )
     return survivors, updated
+
+def bloom_union(blooms: DataFrame) -> DataFrame:
+    """Element-wise OR of Bloom filter rows (same m_bits/k) into one —
+    how an accumulated filter is maintained INCREMENTALLY: each epoch
+    persists the bloom of ITS OWN survivors, and the reader ORs the
+    committed epochs instead of re-scanning the corpus-sized digest
+    snapshot (Bloom filters are closed under union: bits(A∪B) =
+    bits(A)|bits(B), exactly — no approximation stacking).
+
+    One posexplode + groupBy over n_epochs·m/64 word rows — epoch-count
+    sized, never corpus sized. Mixed m_bits/k inputs raise at execution
+    (assert_true): ORing differently-sized filters would silently create
+    false negatives, the one error class the gate must never have.
+    """
+    words = blooms.select(
+        "m_bits", "k", F.posexplode("words").alias("i", "w")
+    )
+    merged = words.groupBy("i").agg(F.bit_or("w").alias("w"))
+    dense = (
+        merged.agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("i"), F.col("w")))
+            ).alias("s")
+        )
+        .select(F.transform("s", lambda x: x["w"]).alias("words"))
+    )
+    meta = blooms.agg(
+        F.first("m_bits").alias("m_bits"),
+        F.first("k").alias("k"),
+        F.assert_true(
+            (F.count_distinct("m_bits") == 1) & (F.count_distinct("k") == 1),
+            F.lit("bloom_union: mixed m_bits/k inputs"),
+        ).alias("__ok"),
+    )
+    return meta.crossJoin(dense).select("m_bits", "k", "words")

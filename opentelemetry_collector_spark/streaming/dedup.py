@@ -34,17 +34,53 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..operators.dedup import dedup_incremental
+from ..operators.dedup import (
+    bloom_build,
+    bloom_union,
+    dedup_incremental,
+    dedup_incremental_bloom,
+)
 from .sinks import IdempotentParquetSink
 
 
 class StreamingDeduper:
-    """Epoch-snapshot exact dedup for ``foreachBatch`` loops."""
+    """Epoch-snapshot exact dedup for ``foreachBatch`` loops.
 
-    def __init__(self, snapshot_root: str, id_col: str = "doc_id", text_col: str = "text"):
+    ``bloom_m_bits`` (optional) enables the Bloom-gated membership path:
+    each epoch additionally persists the Bloom filter of ITS OWN
+    survivors' digests (one m/8-byte row, same idempotent two-step
+    under ``<root>/bloom``), and each batch gates the corpus-sized
+    anti join behind the OR of the committed per-epoch filters
+    (:func:`~..operators.dedup.bloom_union` — filters are closed under
+    union, so the accumulated filter is maintained in epoch-count work,
+    never a corpus re-scan). Definite-new rows bypass the join
+    map-side; results are bit-identical to the ungated path for every
+    filter size (no false negatives). A digest epoch whose bloom slice
+    is missing (legacy snapshot, or a crash between the digest commit
+    and the bloom commit) is rebuilt on the fly from its digests —
+    correctness never depends on the bloom artifact being present.
+    """
+
+    def __init__(
+        self,
+        snapshot_root: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        bloom_m_bits: int | None = None,
+        bloom_k: int = 5,
+    ):
         self.sink = IdempotentParquetSink(snapshot_root, name="digest_snapshot")
         self.id_col = id_col
         self.text_col = text_col
+        self.bloom_m_bits = bloom_m_bits
+        self.bloom_k = bloom_k
+        self.bloom_sink = (
+            IdempotentParquetSink(
+                os.path.join(snapshot_root, "bloom"), name="bloom_snapshot"
+            )
+            if bloom_m_bits
+            else None
+        )
 
     def _seen_before(self, spark: SparkSession, epoch_id: int) -> DataFrame:
         """Digests of committed epochs strictly before ``epoch_id`` —
@@ -55,6 +91,44 @@ class StreamingDeduper:
             return spark.createDataFrame([], "digest string")
         paths = [os.path.join(self.sink.data_dir, f"epoch={e}") for e in epochs]
         return spark.read.parquet(*paths).select("digest")
+
+    def _bloom_before(self, spark: SparkSession, epoch_id: int) -> DataFrame | None:
+        """OR of the per-epoch blooms covering every committed DIGEST
+        epoch < epoch_id; epochs missing their bloom slice are rebuilt
+        from their digests (exactness requires the accumulated filter to
+        cover the whole seen set — extra bits are harmless, missing bits
+        are not). Returns None when there is no prior epoch."""
+        epochs = [e for e in self.sink.committed_epochs() if e < epoch_id]
+        if not epochs:
+            return None
+        have = set(self.bloom_sink.committed_epochs())
+        parts = []
+        with_bloom = [e for e in epochs if e in have]
+        if with_bloom:
+            parts.append(
+                spark.read.parquet(
+                    *[
+                        os.path.join(self.bloom_sink.data_dir, f"epoch={e}")
+                        for e in with_bloom
+                    ]
+                ).select("m_bits", "k", "words")
+            )
+        missing = [e for e in epochs if e not in have]
+        if missing:
+            digests = spark.read.parquet(
+                *[os.path.join(self.sink.data_dir, f"epoch={e}") for e in missing]
+            ).select("digest")
+            parts.append(
+                bloom_build(
+                    digests, "digest", m_bits=self.bloom_m_bits, k=self.bloom_k
+                )
+            )
+        rows = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+        # ALWAYS reduce to one row — the per-epoch read yields one row
+        # per epoch, and a multi-row frame would fan out the gate's
+        # cross join. One tiny row consumed by the gate's broadcast —
+        # pin it so the union/build runs once.
+        return bloom_union(rows).localCheckpoint(eager=True)
 
     def dedupe_batch(self, df: DataFrame, epoch_id: int) -> DataFrame:
         """Survivors of this micro-batch: first occurrence within the
@@ -67,12 +141,30 @@ class StreamingDeduper:
         the epoch's writes are done (the foreachBatch persist pattern,
         stream.py process_batch)."""
         spark = df.sparkSession
-        survivors, _ = dedup_incremental(
-            df, self._seen_before(spark, int(epoch_id)),
-            id_col=self.id_col, text_col=self.text_col,
-        )
+        seen = self._seen_before(spark, int(epoch_id))
+        if self.bloom_m_bits:
+            survivors, _ = dedup_incremental_bloom(
+                df, seen,
+                id_col=self.id_col, text_col=self.text_col,
+                m_bits=self.bloom_m_bits, k=self.bloom_k,
+                bloom=self._bloom_before(spark, int(epoch_id)),
+            )
+        else:
+            survivors, _ = dedup_incremental(
+                df, seen, id_col=self.id_col, text_col=self.text_col
+            )
         survivors = survivors.persist()
         self.sink.write_epoch(survivors.select("digest"), int(epoch_id))
+        if self.bloom_sink is not None:
+            self.bloom_sink.write_epoch(
+                bloom_build(
+                    survivors.select("digest"),
+                    "digest",
+                    m_bits=self.bloom_m_bits,
+                    k=self.bloom_k,
+                ),
+                int(epoch_id),
+            )
         return survivors
 
     def dedupe_batch_rows(self, df: DataFrame, epoch_id: int) -> DataFrame:

@@ -594,3 +594,51 @@ def test_streaming_near_deduper_catches_edits_and_replays(spark, tmp_path):
     s2 = dd2.dedupe_batch_rows(b2, 2)
     assert {r["doc_id"] for r in s2.collect()} == {21}
     s2.unpersist()
+
+
+def test_streaming_deduper_bloom_gated_matches_plain(spark, tmp_path):
+    """The bloom-gated deduper yields bit-identical survivors to the
+    plain path across epochs, replays idempotently, and persists one
+    bloom slice per epoch; a digest epoch whose bloom slice is missing
+    (legacy snapshot / crash between the two commits) is rebuilt from
+    its digests, so exactness never depends on the bloom artifact."""
+    import shutil
+
+    from opentelemetry_collector_spark.streaming.dedup import StreamingDeduper
+
+    batches = [
+        [(1, "page alpha"), (2, "page beta"), (3, "page alpha")],
+        [(10, "page alpha"), (11, "page gamma")],
+        [(20, "page gamma"), (21, "page delta"), (22, "page beta")],
+    ]
+    plain = StreamingDeduper(str(tmp_path / "plain"))
+    gated = StreamingDeduper(
+        str(tmp_path / "gated"), bloom_m_bits=1 << 12, bloom_k=3
+    )
+    for e, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        sp = plain.dedupe_batch(df, e)
+        sg = gated.dedupe_batch(df, e)
+        assert sorted(map(tuple, sp.collect())) == sorted(map(tuple, sg.collect())), e
+        sp.unpersist(), sg.unpersist()
+    assert gated.bloom_sink.committed_epochs() == [0, 1, 2]
+
+    # replay epoch 2: same survivors, no new slices
+    df = spark.createDataFrame(batches[2], "doc_id long, text string")
+    replay = gated.dedupe_batch(df, 2)
+    assert {r["doc_id"] for r in replay.collect()} == {21}
+    replay.unpersist()
+    assert gated.sink.committed_epochs() == [0, 1, 2]
+
+    # knock out epoch 1's bloom slice: epoch 3 must still be exact
+    # (missing bloom rebuilt from the epoch's digests on the fly)
+    os.remove(gated.bloom_sink._marker(1))
+    shutil.rmtree(
+        os.path.join(gated.bloom_sink.data_dir, "epoch=1"), ignore_errors=True
+    )
+    b3 = spark.createDataFrame(
+        [(30, "page gamma"), (31, "page epsilon")], "doc_id long, text string"
+    )
+    s3 = gated.dedupe_batch(b3, 3)
+    assert {r["doc_id"] for r in s3.collect()} == {31}
+    s3.unpersist()
