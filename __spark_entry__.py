@@ -1489,14 +1489,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("n_dup_chunks").alias("n_dup"),
             F.lit(0).cast("long").alias("covered_tokens"),
             F.col("dup_frac").alias("frac"),
+            F.lit("").alias("clean_md5"),
         )
-        span = dedup_ops.span_dedup(docs, k=8).select(
+        # clean=True exercises the REMOVAL action (Lee et al.), not just
+        # the coverage measurement — the md5 of the reassembled text is
+        # value-checked against the oracle's token-filter reconstruction
+        span = dedup_ops.span_dedup(docs, k=8, clean=True).select(
             F.lit("span").alias("part"),
             "doc_id",
             F.col("n_windows").alias("n_units"),
             F.col("n_dup_windows").alias("n_dup"),
             "covered_tokens",
             F.col("coverage_frac").alias("frac"),
+            F.md5("clean_text").alias("clean_md5"),
         )
         return chunk.unionByName(span)
 
@@ -2872,15 +2877,29 @@ cov AS (
 SELECT 'chunk' AS part, doc_id, count(*)::BIGINT AS n_units,
   sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup,
   0::BIGINT AS covered_tokens,
-  round(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 4) AS frac
+  round(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 4) AS frac,
+  '' AS clean_md5
 FROM r GROUP BY doc_id
 UNION ALL
 SELECT 'span' AS part, wnn.doc_id,
   greatest(len(ws)::BIGINT - 7, 0)::BIGINT AS n_units,
   coalesce(cov.n_dup, 0)::BIGINT AS n_dup,
   coalesce(cov.covered, 0)::BIGINT AS covered_tokens,
-  round(coalesce(cov.covered, 0)::DOUBLE / nullif(len(ws), 0), 4) AS frac
+  round(coalesce(cov.covered, 0)::DOUBLE / nullif(len(ws), 0), 4) AS frac,
+  coalesce(cl.clean_md5, md5('')) AS clean_md5
 FROM wnn LEFT JOIN cov USING (doc_id)
+LEFT JOIN (
+  SELECT t.doc_id,
+    md5(coalesce(string_agg(t.tok, ' ' ORDER BY t.ti), '')) AS clean_md5
+  FROM (SELECT doc_id, i - 1 AS ti, ws[i] AS tok
+        FROM wnn, unnest(generate_series(1, len(ws))) AS g(i)) t
+  LEFT JOIN (SELECT DISTINCT doc_id, tp
+             FROM (SELECT doc_id, unnest(generate_series(pos, pos + 7)) AS tp
+                   FROM d)) c
+    ON t.doc_id = c.doc_id AND t.ti = c.tp
+  WHERE c.tp IS NULL
+  GROUP BY t.doc_id
+) cl ON wnn.doc_id = cl.doc_id
 """
 
     # paragraph_dedup: same planted page (banner / text / promo-or-unique

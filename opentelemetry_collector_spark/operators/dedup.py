@@ -729,6 +729,7 @@ def span_dedup(
     text_col: str = "text",
     k: int = 8,
     min_docs: int = 2,
+    clean: bool = False,
 ) -> DataFrame:
     """Exact substring dedup over OVERLAPPING ``k``-word windows — the
     suffix-array-free Spark formulation of Lee et al.'s "Deduplicating
@@ -746,7 +747,12 @@ def span_dedup(
     Output: one row per non-null-text document —
     ``(doc_id, n_tokens, n_windows, n_dup_windows, covered_tokens,
     coverage_frac)``; documents shorter than ``k`` tokens have zero
-    windows and zero coverage.
+    windows and zero coverage. With ``clean=True`` the row additionally
+    carries ``clean_text`` — the document with every covered token
+    REMOVED (Lee et al.'s dedup action, not just its measurement):
+    tokens are filtered by index against the doc's MERGED duplicate
+    intervals, so the per-token test is over the handful of merged
+    spans, not the raw window list.
 
     Scale shape: the window expansion is narrow (k× rows, computed
     map-side from ONE bound token array — no CSE across lambda scopes,
@@ -790,11 +796,14 @@ def span_dedup(
             F.array().cast("array<struct<pos:long,h:bigint>>")
         )
 
-    docs = df.where(F.col(text_col).isNotNull()).select(
+    doc_cols = [
         F.col(id_col),
         F.size(words_expr).cast("long").alias("n_tokens"),
         F.element_at(F.transform(F.array(words_expr), per_doc), 1).alias("__wins"),
-    )
+    ]
+    if clean:
+        doc_cols.append(words_expr.alias("__toks"))
+    docs = df.where(F.col(text_col).isNotNull()).select(*doc_cols)
     wins = docs.select(
         F.col(id_col), F.explode("__wins").alias("w")
     ).select(id_col, F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
@@ -804,18 +813,31 @@ def span_dedup(
         .where(F.col("__nd") >= min_docs)
         .select("h")
     )
-    # sorted duplicated-window starts per doc, then one-pass interval union
-    covered = F.aggregate(
+    # sorted duplicated-window starts per doc → MERGED intervals in one
+    # fold (sorted fixed-width windows: merge while pos ≤ previous end)
+    iv_type = "array<struct<s:bigint,e:bigint>>"
+    intervals = F.aggregate(
         F.col("__ps"),
-        F.struct(
-            F.lit(0).cast("long").alias("cov"),
-            (-kL - F.lit(1)).alias("pe"),  # sentinel: first window never clips
+        F.array().cast(iv_type),
+        lambda acc, p: F.when(
+            (F.size(acc) > 0) & (p <= F.element_at(acc, -1)["e"]),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        F.element_at(acc, -1)["s"].alias("s"),
+                        (p + kL).alias("e"),
+                    )
+                ),
+            ),
+        ).otherwise(
+            F.concat(acc, F.array(F.struct(p.alias("s"), (p + kL).alias("e"))))
         ),
-        lambda acc, p: F.struct(
-            (acc["cov"] + F.least(kL, p + kL - acc["pe"])).alias("cov"),
-            (p + kL).alias("pe"),
-        ),
-        lambda acc: acc["cov"],
+    )
+    covered = F.aggregate(
+        F.col("__ivs"),
+        F.lit(0).cast("long"),
+        lambda acc, iv: acc + iv["e"] - iv["s"],
     )
     per_doc_cov = (
         wins.join(dup, "h")
@@ -824,31 +846,49 @@ def span_dedup(
         .select(
             F.col(id_col),
             F.size("__ps").cast("long").alias("n_dup_windows"),
+            intervals.alias("__ivs"),
+        )
+        .select(
+            F.col(id_col),
+            "n_dup_windows",
             covered.alias("covered_tokens"),
+            "__ivs",
         )
     )
-    return (
+    keep_cols = [F.col(id_col), "n_tokens"]
+    if clean:
+        keep_cols.append(F.col("__toks"))
+    out = (
         docs.select(
-            F.col(id_col),
-            F.col("n_tokens"),
+            *keep_cols,
             F.greatest(F.col("n_tokens") - kL + F.lit(1), F.lit(0).cast("long")).alias(
                 "n_windows"
             ),
         )
         .join(per_doc_cov, id_col, "left")
-        .select(
-            F.col(id_col),
-            "n_tokens",
-            "n_windows",
-            F.coalesce("n_dup_windows", F.lit(0).cast("long")).alias("n_dup_windows"),
-            F.coalesce("covered_tokens", F.lit(0).cast("long")).alias("covered_tokens"),
-            F.round(
-                F.coalesce("covered_tokens", F.lit(0).cast("long"))
-                / F.when(F.col("n_tokens") > 0, F.col("n_tokens")),
-                4,
-            ).alias("coverage_frac"),
-        )
     )
+    final_cols = [
+        F.col(id_col),
+        "n_tokens",
+        "n_windows",
+        F.coalesce("n_dup_windows", F.lit(0).cast("long")).alias("n_dup_windows"),
+        F.coalesce("covered_tokens", F.lit(0).cast("long")).alias("covered_tokens"),
+        F.round(
+            F.coalesce("covered_tokens", F.lit(0).cast("long"))
+            / F.when(F.col("n_tokens") > 0, F.col("n_tokens")),
+            4,
+        ).alias("coverage_frac"),
+    ]
+    if clean:
+        ivs = F.coalesce(F.col("__ivs"), F.array().cast(iv_type))
+        kept = F.filter(
+            F.col("__toks"),
+            lambda t, i: ~F.exists(
+                ivs, lambda iv: (iv["s"] <= i.cast("long")) & (i.cast("long") < iv["e"])
+            ),
+        )
+        final_cols.append(F.array_join(kept, " ").alias("clean_text"))
+    return out.select(*final_cols)
 
 
 # ---------------------------------------------------------------------------

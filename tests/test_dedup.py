@@ -423,3 +423,28 @@ def test_bloom_build_rejects_bad_m():
 
     with pytest.raises(ValueError):
         bloom_build(None, m_bits=100, k=3)
+
+
+def test_span_dedup_clean_removes_covered_tokens(spark):
+    """clean=True removes exactly the covered tokens, preserving the
+    order of survivors; a fully-duplicated doc survives with empty
+    text (not dropped)."""
+    from opentelemetry_collector_spark.operators.dedup import span_dedup
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliett"
+    df = spark.createDataFrame(
+        [
+            (1, shared + " one two three"),
+            (2, "zzz " + shared + " qqq"),
+            (3, shared),  # fully covered → empty clean_text
+            (4, "all original words kept intact here none are shared"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in span_dedup(df, k=8, clean=True).collect()}
+    assert got[1]["clean_text"] == "one two three"
+    assert got[2]["clean_text"] == "zzz qqq"
+    assert got[3]["clean_text"] == "" and got[3]["coverage_frac"] == 1.0
+    assert got[4]["clean_text"] == "all original words kept intact here none are shared"
+    # clean=False output is the measurement-only schema, unchanged
+    assert "clean_text" not in span_dedup(df, k=8).columns
