@@ -36,6 +36,7 @@ from pyspark.sql.window import Window
 
 from ..operators.dedup import (
     bloom_build,
+    bloom_might_contain,
     bloom_union,
     dedup_incremental,
     dedup_incremental_bloom,
@@ -178,9 +179,28 @@ class StreamingDeduper:
         spark = df.sparkSession
         hashed = df.withColumn("__digest", F.md5(F.col(self.text_col)))
         seen = self._seen_before(spark, int(epoch_id))
-        fresh = hashed.join(
-            seen.withColumnRenamed("digest", "__digest"), "__digest", "left_anti"
+        bloom = (
+            self._bloom_before(spark, int(epoch_id))
+            if self.bloom_m_bits
+            else None
         )
+        seen_k = seen.withColumnRenamed("digest", "__digest")
+        if bloom is not None:
+            # gate the anti join: definite-new rows bypass it map-side
+            gated = hashed.crossJoin(F.broadcast(bloom)).withColumn(
+                "__maybe",
+                bloom_might_contain(
+                    F.col("__digest"), self.bloom_m_bits, self.bloom_k
+                ),
+            )
+            gate_cols = ["m_bits", "k", "words", "__maybe"]
+            fresh = gated.where(~F.col("__maybe")).drop(*gate_cols).unionByName(
+                gated.where(F.col("__maybe"))
+                .drop(*gate_cols)
+                .join(seen_k, "__digest", "left_anti")
+            )
+        else:
+            fresh = hashed.join(seen_k, "__digest", "left_anti")
         w = Window.partitionBy("__digest").orderBy(self.id_col)
         survivors = (
             fresh.withColumn("__rk", F.row_number().over(w))
@@ -196,6 +216,18 @@ class StreamingDeduper:
             survivors.select(F.md5(F.col(self.text_col)).alias("digest")),
             int(epoch_id),
         )
+        if self.bloom_sink is not None:
+            self.bloom_sink.write_epoch(
+                bloom_build(
+                    survivors.select(
+                        F.md5(F.col(self.text_col)).alias("digest")
+                    ),
+                    "digest",
+                    m_bits=self.bloom_m_bits,
+                    k=self.bloom_k,
+                ),
+                int(epoch_id),
+            )
         return survivors
 
 

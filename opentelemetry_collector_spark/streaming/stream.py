@@ -235,10 +235,17 @@ class StreamingPipeline:
                 if c.kind == "dedup":
                     from .dedup import StreamingDeduper
 
+                    # bloom_m_bits opts into the Bloom-gated membership
+                    # path (per-epoch filter slices, OR-accumulated) —
+                    # bit-identical survivors, anti-join input scaled by
+                    # the duplicate rate instead of the batch size
+                    bloom_m = c.options.get("bloom_m_bits")
                     deduper = StreamingDeduper(
                         snapshot_dir,
                         id_col=c.options.get("id_col", "url"),
                         text_col=c.options.get("text_col", "body"),
+                        bloom_m_bits=int(bloom_m) if bloom_m else None,
+                        bloom_k=int(c.options.get("bloom_k", 5)),
                     )
                 else:  # dedup_minhash: NEAR-dup filter, signature snapshot
                     from .dedup import StreamingNearDeduper

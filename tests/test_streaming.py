@@ -642,3 +642,65 @@ def test_streaming_deduper_bloom_gated_matches_plain(spark, tmp_path):
     s3 = gated.dedupe_batch(b3, 3)
     assert {r["doc_id"] for r in s3.collect()} == {31}
     s3.unpersist()
+
+
+def test_config_declared_bloom_dedup_matches_plain(spark, tmp_path):
+    """`dedup: {bloom_m_bits: ...}` runs the Bloom-gated rows path with
+    the same sink totals as the ungated config — and persists per-epoch
+    bloom slices alongside the digest snapshot."""
+    from opentelemetry_collector_spark.plans.config import load_config
+
+    src = str(tmp_path / "pages_dup")
+    ids = np.arange(0, 40, dtype=np.uint64)
+    for _ in range(2):
+        pdf = generate_pages_pandas(ids)
+        spark.createDataFrame(pdf, PAGES_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    cfg = f"""
+receivers:
+  pages: {{kind: pages_parquet, path: {src}, max_files_per_trigger: 1}}
+processors:
+  dedup: {{bloom_m_bits: 4096, bloom_k: 3}}
+exporters:
+  audit: {{kind: parquet, all: true}}
+service:
+  pipelines:
+    logs: {{receivers: [pages], processors: [dedup], exporters: [audit]}}
+"""
+    out = str(tmp_path / "sinks")
+    pipe = StreamingPipeline.from_config(spark, load_config(cfg), "logs", out)
+    assert pipe.deduper is not None and pipe.deduper.bloom_m_bits == 4096
+    q = pipe.start(checkpoint_dir=str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+    assert len(pipe.epochs_seen) >= 2
+    once = parse_pages(
+        spark.createDataFrame(generate_pages_pandas(ids), PAGES_SCHEMA)
+    ).count()
+    assert pipe.sink_counts()["audit"] == once
+    assert pipe.deduper.bloom_sink.committed_epochs() == sorted(
+        pipe.deduper.sink.committed_epochs()
+    )
+
+
+def test_dedupe_batch_rows_bloom_gated_matches_plain(spark, tmp_path):
+    """The rows-preserving dedup path yields identical survivor rows
+    with and without the gate, including under a filter so small that
+    most probes are false positives."""
+    from opentelemetry_collector_spark.streaming.dedup import StreamingDeduper
+
+    batches = [
+        [(1, "page alpha"), (2, "page beta"), (3, "page alpha")],
+        [(10, "page alpha"), (11, "page gamma")],
+        [(20, "page gamma"), (21, "page delta"), (22, "page beta")],
+    ]
+    plain = StreamingDeduper(str(tmp_path / "p"))
+    gated = StreamingDeduper(str(tmp_path / "g"), bloom_m_bits=64, bloom_k=2)
+    for e, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        sp = plain.dedupe_batch_rows(df, e)
+        sg = gated.dedupe_batch_rows(df, e)
+        assert sorted(map(tuple, sp.collect())) == sorted(
+            map(tuple, sg.collect())
+        ), e
+        sp.unpersist(), sg.unpersist()
