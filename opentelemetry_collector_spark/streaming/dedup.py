@@ -83,14 +83,75 @@ class StreamingDeduper:
             else None
         )
 
+    # -- compaction bookkeeping (WAL-truncation analog) ------------------
+    # a compaction artifact is <root>/data/compact=<C> (merged digests of
+    # every epoch ≤ C at compact time) published by the atomic marker
+    # <root>/_compactions/<C>.json; readers take the LARGEST marker and
+    # read only epoch dirs ABOVE it, so thousands of micro-batch slices
+    # collapse into one merged file set. Reference analog: the persistent
+    # queue deletes exported items instead of replaying the whole WAL
+    # forever (persistent_storage.go item cleanup).
+
+    def _compactions_dir(self, sink: IdempotentParquetSink) -> str:
+        return os.path.join(sink.root, "_compactions")
+
+    def _latest_compaction(self, sink: IdempotentParquetSink) -> int | None:
+        d = self._compactions_dir(sink)
+        if not os.path.isdir(d):
+            return None
+        ids = sorted(
+            int(f.split(".")[0]) for f in os.listdir(d) if f.endswith(".json")
+        )
+        return ids[-1] if ids else None
+
+    def _publish_compaction(
+        self, sink: IdempotentParquetSink, cid: int, meta: dict
+    ) -> None:
+        import json
+
+        d = self._compactions_dir(sink)
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, f"{cid}.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.rename(tmp, os.path.join(d, f"{cid}.json"))  # atomic publish
+
+    def _digest_paths_before(self, epoch_id: int) -> tuple[list[str], list[int]]:
+        """(paths, live_epochs) covering every digest committed in epochs
+        strictly before ``epoch_id`` — the newest compaction artifact
+        stands in for everything at or below its id."""
+        comp = self._latest_compaction(self.sink)
+        paths = []
+        if comp is not None:
+            if comp >= epoch_id:
+                # a compaction may never absorb an epoch that could still
+                # replay — compact() enforces it; a marker violating it
+                # means the state dir was corrupted out-of-band
+                raise ValueError(
+                    f"compaction {comp} covers epoch {epoch_id} whose "
+                    "replay view it would change"
+                )
+            paths.append(os.path.join(self.sink.data_dir, f"compact={comp}"))
+        live = [
+            e
+            for e in self.sink.committed_epochs()
+            if e < epoch_id and (comp is None or e > comp)
+        ]
+        paths.extend(
+            os.path.join(self.sink.data_dir, f"epoch={e}") for e in live
+        )
+        return paths, live
+
     def _seen_before(self, spark: SparkSession, epoch_id: int) -> DataFrame:
         """Digests of committed epochs strictly before ``epoch_id`` —
         excluding the current epoch keeps a replayed batch's view
-        identical to its original run."""
-        epochs = [e for e in self.sink.committed_epochs() if e < epoch_id]
-        if not epochs:
+        identical to its original run. Compaction preserves the view:
+        survivor computation depends only on the digest SET (anti join +
+        within-batch groupBy), and the merged artifact carries exactly
+        the union of the epochs it absorbed."""
+        paths, _ = self._digest_paths_before(epoch_id)
+        if not paths:
             return spark.createDataFrame([], "digest string")
-        paths = [os.path.join(self.sink.data_dir, f"epoch={e}") for e in epochs]
         return spark.read.parquet(*paths).select("digest")
 
     def _bloom_before(self, spark: SparkSession, epoch_id: int) -> DataFrame | None:
@@ -98,27 +159,43 @@ class StreamingDeduper:
         epoch < epoch_id; epochs missing their bloom slice are rebuilt
         from their digests (exactness requires the accumulated filter to
         cover the whole seen set — extra bits are harmless, missing bits
-        are not). Returns None when there is no prior epoch."""
-        epochs = [e for e in self.sink.committed_epochs() if e < epoch_id]
-        if not epochs:
+        are not). A bloom compaction artifact stands in for the slices
+        at or below its id. Returns None when there is no prior epoch."""
+        digest_paths, live = self._digest_paths_before(epoch_id)
+        if not digest_paths:
             return None
         have = set(self.bloom_sink.committed_epochs())
+        bcomp = self._latest_compaction(self.bloom_sink)
+        dcomp = self._latest_compaction(self.sink)
+        bloom_paths = []
+        missing_paths = []
+        if dcomp is not None:
+            if bcomp == dcomp:
+                bloom_paths.append(
+                    os.path.join(self.bloom_sink.data_dir, f"compact={bcomp}")
+                )
+            else:  # digest state compacted but bloom artifact absent —
+                # rebuild that span from the merged digests
+                missing_paths.append(
+                    os.path.join(self.sink.data_dir, f"compact={dcomp}")
+                )
+        bloom_paths.extend(
+            os.path.join(self.bloom_sink.data_dir, f"epoch={e}")
+            for e in live
+            if e in have
+        )
+        missing_paths.extend(
+            os.path.join(self.sink.data_dir, f"epoch={e}")
+            for e in live
+            if e not in have
+        )
         parts = []
-        with_bloom = [e for e in epochs if e in have]
-        if with_bloom:
+        if bloom_paths:
             parts.append(
-                spark.read.parquet(
-                    *[
-                        os.path.join(self.bloom_sink.data_dir, f"epoch={e}")
-                        for e in with_bloom
-                    ]
-                ).select("m_bits", "k", "words")
+                spark.read.parquet(*bloom_paths).select("m_bits", "k", "words")
             )
-        missing = [e for e in epochs if e not in have]
-        if missing:
-            digests = spark.read.parquet(
-                *[os.path.join(self.sink.data_dir, f"epoch={e}") for e in missing]
-            ).select("digest")
+        if missing_paths:
+            digests = spark.read.parquet(*missing_paths).select("digest")
             parts.append(
                 bloom_build(
                     digests, "digest", m_bits=self.bloom_m_bits, k=self.bloom_k
@@ -130,6 +207,100 @@ class StreamingDeduper:
         # cross join. One tiny row consumed by the gate's broadcast —
         # pin it so the union/build runs once.
         return bloom_union(rows).localCheckpoint(eager=True)
+
+    def compact(self, spark: SparkSession, upto_epoch: int) -> int:
+        """Merge every committed snapshot slice at or below ``upto_epoch``
+        (including a prior compaction artifact) into ONE artifact, then
+        delete the absorbed slices — the WAL-truncation analog that keeps
+        per-batch state reads epoch-count-bounded over months of
+        micro-batches. Returns the number of slices absorbed (0 = nothing
+        to do).
+
+        Safety contract: ``upto_epoch`` must be strictly below the
+        NEWEST committed epoch — the newest epoch is the only one a
+        crash-replay can re-run, and its replay view must not change
+        (enforced here; the read side re-checks). Everything older is
+        final: its digests are a pure set union, so the merged artifact
+        reproduces every later batch's view bit-for-bit. Crash points:
+        before the marker → orphan data directory, readers unaffected;
+        after the marker → absorbed-slice deletion re-runs harmlessly
+        (readers already prefer the marker)."""
+        committed = self.sink.committed_epochs()
+        if not committed:
+            return 0
+        if upto_epoch >= max(committed):
+            raise ValueError(
+                f"compact(upto_epoch={upto_epoch}) must stay below the "
+                f"newest committed epoch {max(committed)} (replay safety)"
+            )
+        prev = self._latest_compaction(self.sink)
+        targets = [
+            e for e in committed if e <= upto_epoch and (prev is None or e > prev)
+        ]
+        n_slices = len(targets) + (1 if prev is not None else 0)
+        if n_slices < 2:
+            if prev is not None:
+                self._gc_below(prev + 1)  # heal a crashed earlier deletion
+            return 0
+        cid = max(targets) if targets else prev
+        # bloom artifact FIRST (derived state; resolver tolerates its
+        # absence but not a digest/bloom id mismatch in the other order)
+        if self.bloom_sink is not None:
+            merged_bloom = self._bloom_before(spark, upto_epoch + 1)
+            merged_bloom.write.mode("overwrite").parquet(
+                os.path.join(self.bloom_sink.data_dir, f"compact={cid}")
+            )
+        paths = [os.path.join(self.sink.data_dir, f"epoch={e}") for e in targets]
+        if prev is not None:
+            paths.append(os.path.join(self.sink.data_dir, f"compact={prev}"))
+        merged = spark.read.parquet(*paths).select("digest")
+        out = os.path.join(self.sink.data_dir, f"compact={cid}")
+        merged.write.mode("overwrite").parquet(out)
+        if self.bloom_sink is not None:
+            self._publish_compaction(
+                self.bloom_sink, cid, {"absorbed": targets, "prior": prev}
+            )
+        self._publish_compaction(
+            self.sink, cid, {"absorbed": targets, "prior": prev}
+        )
+        # garbage-collect EVERYTHING at or below the new artifact except
+        # the artifact itself — sweeping by id (not by this run's target
+        # list) makes a crash mid-delete self-healing: a re-run or the
+        # next compact() removes whatever an interrupted one left behind
+        self._gc_below(cid + 1, keep_compaction=cid)
+        return n_slices
+
+    def _gc_below(self, bound: int, keep_compaction: int | None = None) -> None:
+        """Remove epoch slices and compaction artifacts with id < bound
+        (except ``keep_compaction``) from both snapshot sinks — only ever
+        called for ids already absorbed by a published compaction."""
+        import shutil
+
+        for sink in filter(None, (self.sink, self.bloom_sink)):
+            for e in [x for x in sink.committed_epochs() if x < bound]:
+                shutil.rmtree(
+                    os.path.join(sink.data_dir, f"epoch={e}"),
+                    ignore_errors=True,
+                )
+                try:
+                    os.remove(sink._marker(e))
+                except OSError:
+                    pass
+            cdir = self._compactions_dir(sink)
+            if os.path.isdir(cdir):
+                for f in os.listdir(cdir):
+                    if not f.endswith(".json"):
+                        continue
+                    cid = int(f.split(".")[0])
+                    if cid < bound and cid != keep_compaction:
+                        shutil.rmtree(
+                            os.path.join(sink.data_dir, f"compact={cid}"),
+                            ignore_errors=True,
+                        )
+                        try:
+                            os.remove(os.path.join(cdir, f))
+                        except OSError:
+                            pass
 
     def dedupe_batch(self, df: DataFrame, epoch_id: int) -> DataFrame:
         """Survivors of this micro-batch: first occurrence within the

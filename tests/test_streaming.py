@@ -704,3 +704,89 @@ def test_dedupe_batch_rows_bloom_gated_matches_plain(spark, tmp_path):
             map(tuple, sg.collect())
         ), e
         sp.unpersist(), sg.unpersist()
+
+
+def test_snapshot_compaction_preserves_dedup_and_truncates_state(spark, tmp_path):
+    """compact() merges old epoch slices into one artifact without
+    changing any later batch's survivor set; the newest epoch may never
+    be absorbed; re-compaction folds the prior artifact in; and the
+    bloom-gated deduper compacts both state families in lockstep."""
+    from opentelemetry_collector_spark.streaming.dedup import StreamingDeduper
+
+    batches = [
+        [(1, "page alpha"), (2, "page beta")],
+        [(10, "page alpha"), (11, "page gamma")],
+        [(20, "page gamma"), (21, "page delta")],
+        [(30, "page delta"), (31, "page beta"), (32, "page epsilon")],
+    ]
+    ref = StreamingDeduper(str(tmp_path / "ref"))
+    cc = StreamingDeduper(
+        str(tmp_path / "cc"), bloom_m_bits=1 << 12, bloom_k=3
+    )
+    want = []
+    for e, rows in enumerate(batches[:3]):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        want.append(sorted(map(tuple, ref.dedupe_batch(df, e).collect())))
+        got = cc.dedupe_batch(df, e)
+        assert sorted(map(tuple, got.collect())) == want[e]
+        got.unpersist()
+
+    # absorbing the newest epoch is refused (its replay view would change)
+    with pytest.raises(ValueError, match="replay safety"):
+        cc.compact(spark, 2)
+
+    assert cc.compact(spark, 1) == 2  # epochs 0+1 → compact=1
+    assert cc.sink.committed_epochs() == [2]
+    assert os.path.isdir(os.path.join(cc.sink.data_dir, "compact=1"))
+    assert cc.bloom_sink.committed_epochs() == [2]
+
+    # epoch 3 after compaction: identical survivors vs the uncompacted ref
+    df3 = spark.createDataFrame(batches[3], "doc_id long, text string")
+    want3 = sorted(map(tuple, ref.dedupe_batch(df3, 3).collect()))
+    got3 = cc.dedupe_batch(df3, 3)
+    assert sorted(map(tuple, got3.collect())) == want3
+    got3.unpersist()
+    # {32: epsilon} is the only survivor (alpha/beta/gamma/delta all seen)
+    assert [t[1] for t in want3] == [32]
+
+    # re-compaction folds the prior artifact + epoch 2 into compact=2
+    assert cc.compact(spark, 2) == 2
+    assert cc.sink.committed_epochs() == [3]
+    assert not os.path.isdir(os.path.join(cc.sink.data_dir, "compact=1"))
+    # replay of epoch 3 AFTER compaction: same survivors, nothing rewritten
+    replay = cc.dedupe_batch(df3, 3)
+    assert sorted(map(tuple, replay.collect())) == want3
+    replay.unpersist()
+    # compacted digest set is the union of what it absorbed
+    comp = spark.read.parquet(
+        os.path.join(cc.sink.data_dir, "compact=2")
+    )
+    assert comp.count() == 4  # alpha beta gamma delta
+    # nothing-to-do case returns 0
+    assert cc.compact(spark, 2) == 0
+
+
+def test_snapshot_compaction_plain_deduper_without_bloom(spark, tmp_path):
+    """Compaction also works for the bloom-less deduper (digest state
+    only), and a deduper restarted over a compacted root sees the full
+    seen set."""
+    from opentelemetry_collector_spark.streaming.dedup import StreamingDeduper
+
+    root = str(tmp_path / "plain")
+    dd = StreamingDeduper(root)
+    for e, rows in enumerate(
+        [[(1, "a a a"), (2, "b b b")], [(10, "c c c")], [(20, "d d d")]]
+    ):
+        dd.dedupe_batch(
+            spark.createDataFrame(rows, "doc_id long, text string"), e
+        ).unpersist()
+    assert dd.compact(spark, 1) == 2
+    dd2 = StreamingDeduper(root)  # restart over compacted state
+    out = dd2.dedupe_batch(
+        spark.createDataFrame(
+            [(30, "a a a"), (31, "e e e")], "doc_id long, text string"
+        ),
+        3,
+    )
+    assert {r["doc_id"] for r in out.collect()} == {31}
+    out.unpersist()
