@@ -91,6 +91,10 @@ class StreamingPipeline:
     # runs FIRST in process_batch — it is epoch-aware (snapshot state),
     # so it cannot live in the stateless transform chain
     deduper: object | None = None
+    # every N committed epochs, merge the dedup snapshot slices below
+    # the current epoch into one artifact (StreamingDeduper.compact) —
+    # keeps per-batch state reads bounded over long-running streams
+    dedup_compact_every: int | None = None
 
     def __post_init__(self) -> None:
         self.router = FanoutRouter(list(self.routes))
@@ -119,6 +123,17 @@ class StreamingPipeline:
                 # identical lineage rows instead of duplicating them
                 write_lineage(assigned, self.lineage_dir, self.run_id, epoch_id)
             self.epochs_seen.append(int(epoch_id))
+            if (
+                self.deduper is not None
+                and self.dedup_compact_every
+                and int(epoch_id) > 0
+                and int(epoch_id) % self.dedup_compact_every == 0
+                and hasattr(self.deduper, "compact")
+            ):
+                # everything below THIS epoch is final (this epoch's own
+                # slice is the newest committed → never absorbed); a
+                # replayed epoch re-runs compact() idempotently
+                self.deduper.compact(records.sparkSession, int(epoch_id) - 1)
         finally:
             assigned.unpersist()
             if deduped is not None:
@@ -206,6 +221,7 @@ class StreamingPipeline:
         stages = []
         parse_engine = "sql"
         deduper = None
+        compact_every = None
         for proc_name in p.processors:
             c = config.processors[proc_name]
             if c.kind == "parse":
@@ -232,6 +248,8 @@ class StreamingPipeline:
                 snapshot_dir = c.options.get(
                     "snapshot_dir", os.path.join(out_root, "_dedup_snapshot")
                 )
+                ce = c.options.get("compact_every")
+                compact_every = int(ce) if ce else None
                 if c.kind == "dedup":
                     from .dedup import StreamingDeduper
 
@@ -286,6 +304,7 @@ class StreamingPipeline:
             max_records_per_file=write_cap,
             parse_engine=parse_engine,
             deduper=deduper,
+            dedup_compact_every=compact_every,
         )
 
     def sink_counts(self) -> dict[str, int]:

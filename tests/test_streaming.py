@@ -790,3 +790,46 @@ def test_snapshot_compaction_plain_deduper_without_bloom(spark, tmp_path):
     )
     assert {r["doc_id"] for r in out.collect()} == {31}
     out.unpersist()
+
+
+def test_config_dedup_compact_every_truncates_snapshot(spark, tmp_path):
+    """`dedup: {compact_every: 2}` folds old snapshot slices during the
+    stream: after 4+ micro-batches the digest snapshot holds a
+    compaction artifact plus only the epochs above it, and sink totals
+    equal the non-compacting pipeline's."""
+    from opentelemetry_collector_spark.plans.config import load_config
+
+    src = str(tmp_path / "pages_many")
+    ids = np.arange(0, 30, dtype=np.uint64)
+    for _ in range(4):  # 4 identical files → 4 micro-batches
+        pdf = generate_pages_pandas(ids)
+        spark.createDataFrame(pdf, PAGES_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    cfg = f"""
+receivers:
+  pages: {{kind: pages_parquet, path: {src}, max_files_per_trigger: 1}}
+processors:
+  dedup: {{bloom_m_bits: 4096, compact_every: 2}}
+exporters:
+  audit: {{kind: parquet, all: true}}
+service:
+  pipelines:
+    logs: {{receivers: [pages], processors: [dedup], exporters: [audit]}}
+"""
+    out = str(tmp_path / "sinks")
+    pipe = StreamingPipeline.from_config(spark, load_config(cfg), "logs", out)
+    assert pipe.dedup_compact_every == 2
+    q = pipe.start(checkpoint_dir=str(tmp_path / "ckpt"))
+    q.awaitTermination(240)
+    assert len(pipe.epochs_seen) >= 4
+    once = parse_pages(
+        spark.createDataFrame(generate_pages_pandas(ids), PAGES_SCHEMA)
+    ).count()
+    assert pipe.sink_counts()["audit"] == once
+    dd = pipe.deduper
+    comp = dd._latest_compaction(dd.sink)
+    assert comp is not None  # at least one compaction ran mid-stream
+    # the snapshot now reads as: one artifact + the epochs above it
+    live = dd.sink.committed_epochs()
+    assert live and min(live) > comp
