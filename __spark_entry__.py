@@ -1598,8 +1598,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["mixture_weights"] = mixture_weights_q
 
-    def pack_sequences_q(spark, sf):  # GPT-style token-stream packing
-        return ts_ops.pack_sequences(_t(spark, sf, "documents"), budget=512)
+    def pack_sequences_q(spark, sf):
+        # both directions of context-window shaping over one corpus:
+        # 'pack' concatenates short docs into 512-token windows (global
+        # two-phase cumsum); 'chunk' splits long docs into 128-token
+        # sliding windows with 32-token overlap (chunk content
+        # value-checked via md5)
+        docs = _t(spark, sf, "documents")
+        pack = ts_ops.pack_sequences(docs, budget=512).select(
+            F.lit("pack").alias("part"),
+            "doc_id",
+            F.col("n_tokens").alias("len"),
+            F.col("start_offset").alias("start"),
+            F.col("pack_id").alias("idx"),
+            F.lit("").alias("chunk_md5"),
+        )
+        chunk = ts_ops.chunk_documents(
+            docs, chunk_tokens=128, overlap=32
+        ).select(
+            F.lit("chunk").alias("part"),
+            "doc_id",
+            F.col("n_chunk_tokens").alias("len"),
+            F.col("start_tok").alias("start"),
+            F.col("chunk_idx").cast("long").alias("idx"),
+            F.md5("chunk_text").alias("chunk_md5"),
+        )
+        return pack.unionByName(chunk)
 
     q["pack_sequences"] = pack_sequences_q
 
@@ -3168,11 +3192,24 @@ WITH t AS (
   SELECT doc_id, n_tokens,
     sum(n_tokens) OVER (ORDER BY doc_id)::BIGINT AS cum
   FROM t
+), w AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS ws
+  FROM documents WHERE text IS NOT NULL
 )
-SELECT doc_id, n_tokens,
-  (cum - n_tokens) AS start_offset,
-  ((cum - n_tokens) // 512)::BIGINT AS pack_id
+SELECT 'pack' AS part, doc_id, n_tokens AS len,
+  (cum - n_tokens) AS start,
+  ((cum - n_tokens) // 512)::BIGINT AS idx,
+  '' AS chunk_md5
 FROM c
+UNION ALL
+SELECT 'chunk' AS part, doc_id,
+  least(128, len(ws) - i * 96)::BIGINT AS len,
+  (i * 96)::BIGINT AS start,
+  i::BIGINT AS idx,
+  md5(array_to_string(
+    ws[(i*96 + 1)::BIGINT:(i*96 + least(128, len(ws) - i*96))::BIGINT], ' '
+  )) AS chunk_md5
+FROM w, unnest(generate_series(0, ((len(ws) - 1) // 96)::BIGINT)) AS t(i)
 """
 
     # tf-idf keywords: ln + tf*idf both ranked on the 9-dp rounding

@@ -1353,3 +1353,69 @@ def pack_sequences(
             F.floor(start / F.lit(budget)).cast("long").alias("pack_id"),
         )
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 128,
+    overlap: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window long-document chunking with overlap — the standard
+    context-window splitter for training/RAG corpora: chunks start every
+    ``stride = chunk_tokens − overlap`` tokens, each carrying up to
+    ``chunk_tokens`` tokens (the final chunk clips to the document end),
+    so consecutive chunks share ``overlap`` tokens of context. The
+    complement of :func:`pack_sequences`: packing concatenates SHORT
+    documents up to a budget; chunking splits LONG documents down to one
+    (reference analog: the two directions of the batch processor,
+    merge-and-split, batch_processor.go).
+
+    Output: one row per chunk —
+    ``(id, chunk_idx, start_tok, n_chunk_tokens, chunk_text)``, ordered
+    within a document by ``chunk_idx``; a document shorter than one
+    stride yields exactly one chunk.
+
+    Scale: narrow map-side expansion (~n_tokens/stride rows per doc),
+    token array bound once per row, zero shuffle — chunk rows inherit
+    the scan's partitioning and are ready for a downstream
+    repartition/write without any intermediate exchange.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError(
+            f"overlap ({overlap}) must be smaller than chunk_tokens "
+            f"({chunk_tokens})"
+        )
+    stride = chunk_tokens - overlap
+    words_expr = tokenize(F.col(text_col))
+
+    def per_doc(w: Column) -> Column:
+        n = F.size(w)
+        # chunks start at 0, stride, 2·stride, … while start < n
+        last_idx = F.floor((n - F.lit(1)) / F.lit(stride)).cast("int")
+        ntk = lambda i: F.least(F.lit(chunk_tokens), n - i * F.lit(stride))
+        return F.transform(
+            F.sequence(F.lit(0), last_idx),
+            lambda i: F.struct(
+                i.cast("int").alias("chunk_idx"),
+                (i * F.lit(stride)).cast("long").alias("start_tok"),
+                ntk(i).cast("long").alias("n_chunk_tokens"),
+                F.array_join(
+                    F.slice(w, i * F.lit(stride) + F.lit(1), ntk(i)), " "
+                ).alias("chunk_text"),
+            ),
+        )
+
+    chunks = F.element_at(F.transform(F.array(words_expr), per_doc), 1)
+    return (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col), F.explode(chunks).alias("c"))
+        .select(
+            id_col,
+            F.col("c.chunk_idx").alias("chunk_idx"),
+            F.col("c.start_tok").alias("start_tok"),
+            F.col("c.n_chunk_tokens").alias("n_chunk_tokens"),
+            F.col("c.chunk_text").alias("chunk_text"),
+        )
+    )

@@ -889,3 +889,30 @@ def test_bpe_property_paths_agree_on_random_valid_tables(spark):
             for r in bpe_encode_arrow(df, merges).collect()
         }
         assert col == arr, (trial, merges)
+
+
+def test_chunk_documents_sliding_windows(spark):
+    """Chunks start every stride tokens, share `overlap` tokens with the
+    previous chunk, and the final chunk clips to the doc end; a doc
+    shorter than one stride yields exactly one chunk; overlap ≥ chunk
+    raises."""
+    import pytest as _pytest
+
+    from opentelemetry_collector_spark.operators.textstats import chunk_documents
+
+    toks = " ".join(f"t{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, toks), (2, "a b"), (3, None)], "doc_id long, text string"
+    )
+    rows = sorted(
+        map(tuple, chunk_documents(df, chunk_tokens=4, overlap=1).collect())
+    )
+    assert rows == [
+        (1, 0, 0, 4, "t0 t1 t2 t3"),
+        (1, 1, 3, 4, "t3 t4 t5 t6"),
+        (1, 2, 6, 4, "t6 t7 t8 t9"),
+        (1, 3, 9, 1, "t9"),
+        (2, 0, 0, 2, "a b"),
+    ]
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, chunk_tokens=4, overlap=4)
