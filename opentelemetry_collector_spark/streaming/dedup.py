@@ -44,6 +44,99 @@ from ..operators.dedup import (
 from .sinks import IdempotentParquetSink
 
 
+# -- compaction bookkeeping (WAL-truncation analog, shared by both
+# dedupers) -----------------------------------------------------------
+# a compaction artifact is <root>/data/compact=<C> (the merged content of
+# every slice ≤ C at compact time) published by the atomic marker
+# <root>/_compactions/<C>.json; readers take the LARGEST marker and read
+# only epoch dirs ABOVE it, so thousands of micro-batch slices collapse
+# into one merged file set. Reference analog: the persistent queue
+# deletes exported items instead of replaying the whole WAL forever
+# (persistent_storage.go item cleanup).
+
+
+def _compactions_dir(sink: IdempotentParquetSink) -> str:
+    return os.path.join(sink.root, "_compactions")
+
+
+def _latest_compaction(sink: IdempotentParquetSink) -> int | None:
+    d = _compactions_dir(sink)
+    if not os.path.isdir(d):
+        return None
+    ids = sorted(int(f.split(".")[0]) for f in os.listdir(d) if f.endswith(".json"))
+    return ids[-1] if ids else None
+
+
+def _publish_compaction(sink: IdempotentParquetSink, cid: int, meta: dict) -> None:
+    import json
+
+    d = _compactions_dir(sink)
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, f"{cid}.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.rename(tmp, os.path.join(d, f"{cid}.json"))  # atomic publish
+
+
+def _paths_before(sink: IdempotentParquetSink, epoch_id: int) -> tuple[list[str], list[int]]:
+    """(paths, live_epochs) covering every slice committed in epochs
+    strictly before ``epoch_id`` — the newest compaction artifact stands
+    in for everything at or below its id."""
+    comp = _latest_compaction(sink)
+    paths = []
+    if comp is not None:
+        if comp >= epoch_id:
+            # a compaction may never absorb an epoch that could still
+            # replay — compact() enforces it; a marker violating it
+            # means the state dir was corrupted out-of-band
+            raise ValueError(
+                f"compaction {comp} covers epoch {epoch_id} whose "
+                "replay view it would change"
+            )
+        paths.append(os.path.join(sink.data_dir, f"compact={comp}"))
+    live = [
+        e
+        for e in sink.committed_epochs()
+        if e < epoch_id and (comp is None or e > comp)
+    ]
+    paths.extend(os.path.join(sink.data_dir, f"epoch={e}") for e in live)
+    return paths, live
+
+
+def _gc_below(
+    sinks: list[IdempotentParquetSink], bound: int, keep_compaction: int | None = None
+) -> None:
+    """Remove epoch slices and compaction artifacts with id < bound
+    (except ``keep_compaction``) — only ever called for ids already
+    absorbed by a published compaction; idempotent and self-healing."""
+    import shutil
+
+    for sink in sinks:
+        for e in [x for x in sink.committed_epochs() if x < bound]:
+            shutil.rmtree(
+                os.path.join(sink.data_dir, f"epoch={e}"), ignore_errors=True
+            )
+            try:
+                os.remove(sink._marker(e))
+            except OSError:
+                pass
+        cdir = _compactions_dir(sink)
+        if os.path.isdir(cdir):
+            for f in os.listdir(cdir):
+                if not f.endswith(".json"):
+                    continue
+                cid = int(f.split(".")[0])
+                if cid < bound and cid != keep_compaction:
+                    shutil.rmtree(
+                        os.path.join(sink.data_dir, f"compact={cid}"),
+                        ignore_errors=True,
+                    )
+                    try:
+                        os.remove(os.path.join(cdir, f))
+                    except OSError:
+                        pass
+
+
 class StreamingDeduper:
     """Epoch-snapshot exact dedup for ``foreachBatch`` loops.
 
@@ -83,64 +176,8 @@ class StreamingDeduper:
             else None
         )
 
-    # -- compaction bookkeeping (WAL-truncation analog) ------------------
-    # a compaction artifact is <root>/data/compact=<C> (merged digests of
-    # every epoch ≤ C at compact time) published by the atomic marker
-    # <root>/_compactions/<C>.json; readers take the LARGEST marker and
-    # read only epoch dirs ABOVE it, so thousands of micro-batch slices
-    # collapse into one merged file set. Reference analog: the persistent
-    # queue deletes exported items instead of replaying the whole WAL
-    # forever (persistent_storage.go item cleanup).
-
-    def _compactions_dir(self, sink: IdempotentParquetSink) -> str:
-        return os.path.join(sink.root, "_compactions")
-
-    def _latest_compaction(self, sink: IdempotentParquetSink) -> int | None:
-        d = self._compactions_dir(sink)
-        if not os.path.isdir(d):
-            return None
-        ids = sorted(
-            int(f.split(".")[0]) for f in os.listdir(d) if f.endswith(".json")
-        )
-        return ids[-1] if ids else None
-
-    def _publish_compaction(
-        self, sink: IdempotentParquetSink, cid: int, meta: dict
-    ) -> None:
-        import json
-
-        d = self._compactions_dir(sink)
-        os.makedirs(d, exist_ok=True)
-        tmp = os.path.join(d, f"{cid}.json.tmp")
-        with open(tmp, "w") as f:
-            json.dump(meta, f)
-        os.rename(tmp, os.path.join(d, f"{cid}.json"))  # atomic publish
-
     def _digest_paths_before(self, epoch_id: int) -> tuple[list[str], list[int]]:
-        """(paths, live_epochs) covering every digest committed in epochs
-        strictly before ``epoch_id`` — the newest compaction artifact
-        stands in for everything at or below its id."""
-        comp = self._latest_compaction(self.sink)
-        paths = []
-        if comp is not None:
-            if comp >= epoch_id:
-                # a compaction may never absorb an epoch that could still
-                # replay — compact() enforces it; a marker violating it
-                # means the state dir was corrupted out-of-band
-                raise ValueError(
-                    f"compaction {comp} covers epoch {epoch_id} whose "
-                    "replay view it would change"
-                )
-            paths.append(os.path.join(self.sink.data_dir, f"compact={comp}"))
-        live = [
-            e
-            for e in self.sink.committed_epochs()
-            if e < epoch_id and (comp is None or e > comp)
-        ]
-        paths.extend(
-            os.path.join(self.sink.data_dir, f"epoch={e}") for e in live
-        )
-        return paths, live
+        return _paths_before(self.sink, epoch_id)
 
     def _seen_before(self, spark: SparkSession, epoch_id: int) -> DataFrame:
         """Digests of committed epochs strictly before ``epoch_id`` —
@@ -165,8 +202,8 @@ class StreamingDeduper:
         if not digest_paths:
             return None
         have = set(self.bloom_sink.committed_epochs())
-        bcomp = self._latest_compaction(self.bloom_sink)
-        dcomp = self._latest_compaction(self.sink)
+        bcomp = _latest_compaction(self.bloom_sink)
+        dcomp = _latest_compaction(self.sink)
         bloom_paths = []
         missing_paths = []
         if dcomp is not None:
@@ -208,6 +245,9 @@ class StreamingDeduper:
         # pin it so the union/build runs once.
         return bloom_union(rows).localCheckpoint(eager=True)
 
+    def _sinks(self) -> list:
+        return [x for x in (self.sink, self.bloom_sink) if x is not None]
+
     def compact(self, spark: SparkSession, upto_epoch: int) -> int:
         """Merge every committed snapshot slice at or below ``upto_epoch``
         (including a prior compaction artifact) into ONE artifact, then
@@ -233,14 +273,14 @@ class StreamingDeduper:
                 f"compact(upto_epoch={upto_epoch}) must stay below the "
                 f"newest committed epoch {max(committed)} (replay safety)"
             )
-        prev = self._latest_compaction(self.sink)
+        prev = _latest_compaction(self.sink)
         targets = [
             e for e in committed if e <= upto_epoch and (prev is None or e > prev)
         ]
         n_slices = len(targets) + (1 if prev is not None else 0)
         if n_slices < 2:
             if prev is not None:
-                self._gc_below(prev + 1)  # heal a crashed earlier deletion
+                _gc_below(self._sinks(), prev + 1)  # heal a crashed earlier deletion
             return 0
         cid = max(targets) if targets else prev
         # bloom artifact FIRST (derived state; resolver tolerates its
@@ -257,50 +297,18 @@ class StreamingDeduper:
         out = os.path.join(self.sink.data_dir, f"compact={cid}")
         merged.write.mode("overwrite").parquet(out)
         if self.bloom_sink is not None:
-            self._publish_compaction(
+            _publish_compaction(
                 self.bloom_sink, cid, {"absorbed": targets, "prior": prev}
             )
-        self._publish_compaction(
+        _publish_compaction(
             self.sink, cid, {"absorbed": targets, "prior": prev}
         )
         # garbage-collect EVERYTHING at or below the new artifact except
         # the artifact itself — sweeping by id (not by this run's target
         # list) makes a crash mid-delete self-healing: a re-run or the
         # next compact() removes whatever an interrupted one left behind
-        self._gc_below(cid + 1, keep_compaction=cid)
+        _gc_below(self._sinks(), cid + 1, keep_compaction=cid)
         return n_slices
-
-    def _gc_below(self, bound: int, keep_compaction: int | None = None) -> None:
-        """Remove epoch slices and compaction artifacts with id < bound
-        (except ``keep_compaction``) from both snapshot sinks — only ever
-        called for ids already absorbed by a published compaction."""
-        import shutil
-
-        for sink in filter(None, (self.sink, self.bloom_sink)):
-            for e in [x for x in sink.committed_epochs() if x < bound]:
-                shutil.rmtree(
-                    os.path.join(sink.data_dir, f"epoch={e}"),
-                    ignore_errors=True,
-                )
-                try:
-                    os.remove(sink._marker(e))
-                except OSError:
-                    pass
-            cdir = self._compactions_dir(sink)
-            if os.path.isdir(cdir):
-                for f in os.listdir(cdir):
-                    if not f.endswith(".json"):
-                        continue
-                    cid = int(f.split(".")[0])
-                    if cid < bound and cid != keep_compaction:
-                        shutil.rmtree(
-                            os.path.join(sink.data_dir, f"compact={cid}"),
-                            ignore_errors=True,
-                        )
-                        try:
-                            os.remove(os.path.join(cdir, f))
-                        except OSError:
-                            pass
 
     def dedupe_batch(self, df: DataFrame, epoch_id: int) -> DataFrame:
         """Survivors of this micro-batch: first occurrence within the
@@ -447,12 +455,47 @@ class StreamingNearDeduper:
         return [f"h{i}" for i in range(self.num_hashes)]
 
     def _seen_sigs(self, spark: SparkSession, epoch_id: int) -> DataFrame:
-        epochs = [e for e in self.sink.committed_epochs() if e < epoch_id]
-        schema = ", ".join([f"{self.id_col} long"] + [f"{c} long" for c in self._sig_cols()])
-        if not epochs:
+        paths, _ = _paths_before(self.sink, epoch_id)
+        if not paths:
+            schema = ", ".join(
+                [f"{self.id_col} long"] + [f"{c} long" for c in self._sig_cols()]
+            )
             return spark.createDataFrame([], schema)
-        paths = [os.path.join(self.sink.data_dir, f"epoch={e}") for e in epochs]
         return spark.read.parquet(*paths)
+
+    def compact(self, spark: SparkSession, upto_epoch: int) -> int:
+        """Merge every committed signature slice at or below
+        ``upto_epoch`` into one artifact — identical protocol and replay
+        contract as :meth:`StreamingDeduper.compact` (survivor
+        signatures are disjoint across epochs, so the artifact is a pure
+        row union and every later batch's candidate set is unchanged)."""
+        committed = self.sink.committed_epochs()
+        if not committed:
+            return 0
+        if upto_epoch >= max(committed):
+            raise ValueError(
+                f"compact(upto_epoch={upto_epoch}) must stay below the "
+                f"newest committed epoch {max(committed)} (replay safety)"
+            )
+        prev = _latest_compaction(self.sink)
+        targets = [
+            e for e in committed if e <= upto_epoch and (prev is None or e > prev)
+        ]
+        n_slices = len(targets) + (1 if prev is not None else 0)
+        if n_slices < 2:
+            if prev is not None:
+                _gc_below([self.sink], prev + 1)  # heal a crashed deletion
+            return 0
+        cid = max(targets)
+        paths = [os.path.join(self.sink.data_dir, f"epoch={e}") for e in targets]
+        if prev is not None:
+            paths.append(os.path.join(self.sink.data_dir, f"compact={prev}"))
+        spark.read.parquet(*paths).write.mode("overwrite").parquet(
+            os.path.join(self.sink.data_dir, f"compact={cid}")
+        )
+        _publish_compaction(self.sink, cid, {"absorbed": targets, "prior": prev})
+        _gc_below([self.sink], cid + 1, keep_compaction=cid)
+        return n_slices
 
     def dedupe_batch_rows(self, df: DataFrame, epoch_id: int) -> DataFrame:
         """Surviving ROWS of this micro-batch (every original column

@@ -827,9 +827,44 @@ service:
         spark.createDataFrame(generate_pages_pandas(ids), PAGES_SCHEMA)
     ).count()
     assert pipe.sink_counts()["audit"] == once
+    from opentelemetry_collector_spark.streaming.dedup import _latest_compaction
+
     dd = pipe.deduper
-    comp = dd._latest_compaction(dd.sink)
+    comp = _latest_compaction(dd.sink)
     assert comp is not None  # at least one compaction ran mid-stream
     # the snapshot now reads as: one artifact + the epochs above it
     live = dd.sink.committed_epochs()
     assert live and min(live) > comp
+
+
+def test_near_deduper_compaction_preserves_filter(spark, tmp_path):
+    """Signature-snapshot compaction: filtering is unchanged after old
+    epochs merge into one artifact, and the newest epoch is protected."""
+    from opentelemetry_collector_spark.streaming.dedup import (
+        StreamingNearDeduper,
+        _latest_compaction,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog today"
+    nd = StreamingNearDeduper(str(tmp_path / "nd"), threshold=0.5)
+    b0 = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    nd.dedupe_batch_rows(b0, 0).unpersist()
+    b1 = spark.createDataFrame(
+        [(10, "completely different words in this one here now ok")],
+        "doc_id long, text string",
+    )
+    nd.dedupe_batch_rows(b1, 1).unpersist()
+    b2 = spark.createDataFrame([(20, "another unrelated page")], "doc_id long, text string")
+    nd.dedupe_batch_rows(b2, 2).unpersist()
+    with pytest.raises(ValueError, match="replay safety"):
+        nd.compact(spark, 2)
+    assert nd.compact(spark, 1) == 2
+    assert _latest_compaction(nd.sink) == 1 and nd.sink.committed_epochs() == [2]
+    # near-dup of the epoch-0 survivor is still filtered post-compaction
+    b3 = spark.createDataFrame(
+        [(30, base.replace("dog", "cat")), (31, "brand new text entirely")],
+        "doc_id long, text string",
+    )
+    out = nd.dedupe_batch_rows(b3, 3)
+    assert {r["doc_id"] for r in out.collect()} == {31}
+    out.unpersist()
