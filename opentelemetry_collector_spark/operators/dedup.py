@@ -954,16 +954,20 @@ def bloom_build(
     )
 
 
-def bloom_might_contain(col: Column, m_bits: int, k: int) -> Column:
-    """Membership predicate against a broadcast bloom row's ``words``
+def bloom_might_contain(
+    col: Column, m_bits: int, k: int, words_col: str = "words"
+) -> Column:
+    """Membership predicate against a broadcast bloom row's ``words_col``
     column (cross-joined alongside ``col``): true iff all k bits are
     set. No false negatives ever; false positives at the designed rate.
-    Pure codegen — bit_get with a column position, zero Python."""
+    Pure codegen — bit_get with a column position, zero Python.
+    Pass ``words_col`` when the bloom row was renamed to avoid colliding
+    with the data frame's own columns (the rows-preserving gate)."""
     return F.forall(
         F.sequence(F.lit(0), F.lit(k - 1)),
         lambda i: F.bit_get(
             F.element_at(
-                F.col("words"),
+                F.col(words_col),
                 (
                     F.shiftright(F.pmod(F.xxhash64(col, i), F.lit(m_bits)), 6)
                     + F.lit(1)

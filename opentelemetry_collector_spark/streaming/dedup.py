@@ -365,14 +365,22 @@ class StreamingDeduper:
         )
         seen_k = seen.withColumnRenamed("digest", "__digest")
         if bloom is not None:
-            # gate the anti join: definite-new rows bypass it map-side
-            gated = hashed.crossJoin(F.broadcast(bloom)).withColumn(
+            # gate the anti join: definite-new rows bypass it map-side.
+            # The bloom row rides the cross join PREFIXED — the record
+            # frame keeps every user column, which may legitimately be
+            # named m_bits/k/words
+            gated = hashed.crossJoin(
+                F.broadcast(bloom.select(F.col("words").alias("__bloom_words")))
+            ).withColumn(
                 "__maybe",
                 bloom_might_contain(
-                    F.col("__digest"), self.bloom_m_bits, self.bloom_k
+                    F.col("__digest"),
+                    self.bloom_m_bits,
+                    self.bloom_k,
+                    words_col="__bloom_words",
                 ),
             )
-            gate_cols = ["m_bits", "k", "words", "__maybe"]
+            gate_cols = ["__bloom_words", "__maybe"]
             fresh = gated.where(~F.col("__maybe")).drop(*gate_cols).unionByName(
                 gated.where(F.col("__maybe"))
                 .drop(*gate_cols)

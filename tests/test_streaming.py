@@ -868,3 +868,27 @@ def test_near_deduper_compaction_preserves_filter(spark, tmp_path):
     out = nd.dedupe_batch_rows(b3, 3)
     assert {r["doc_id"] for r in out.collect()} == {31}
     out.unpersist()
+
+
+def test_bloom_gate_survives_colliding_record_columns(spark, tmp_path):
+    """Record frames may legitimately carry columns named m_bits/k/words
+    — the gate's bloom row must ride the cross join under prefixed names
+    and leave the user columns untouched."""
+    from opentelemetry_collector_spark.streaming.dedup import StreamingDeduper
+
+    dd = StreamingDeduper(str(tmp_path / "c"), bloom_m_bits=1 << 12, bloom_k=3)
+    b0 = spark.createDataFrame(
+        [(1, "page alpha", 7, 8, "w0")],
+        "doc_id long, text string, m_bits int, k int, words string",
+    )
+    dd.dedupe_batch_rows(b0, 0).unpersist()
+    b1 = spark.createDataFrame(
+        [(10, "page alpha", 1, 2, "w1"), (11, "page beta", 3, 4, "w2")],
+        "doc_id long, text string, m_bits int, k int, words string",
+    )
+    out = dd.dedupe_batch_rows(b1, 1)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    out.unpersist()
+    assert set(rows) == {11}
+    # user columns intact
+    assert (rows[11]["m_bits"], rows[11]["k"], rows[11]["words"]) == (3, 4, "w2")
