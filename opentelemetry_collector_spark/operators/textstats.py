@@ -451,6 +451,28 @@ def doc_signals(
     )
 
 
+def c4_lines_kept(text: Column, min_words_per_line: int = 5):
+    """(lines, kept_lines) for the C4 line rule — shared by the oracle'd
+    :func:`c4_line_filter` and the config-declarable `c4_clean`
+    processor so the two can never drift. Split on \\r?\\n (CRLF pages
+    would otherwise keep a trailing \\r that Java's $ forgives but RE2's
+    does not) and anchor with \\z so the Spark regex matches only true
+    end-of-string, like the oracle's RE2 $."""
+    lines = F.split(text, "\\r?\\n")
+    keep_line = lambda l: F.trim(l).rlike('[.!?"]\\z') & (
+        F.size(F.split(F.trim(l), " +")) >= min_words_per_line
+    )
+    return lines, F.filter(lines, keep_line)
+
+
+def c4_page_flags(text: Column):
+    """(has_brace, has_lorem) — C4's page-level disqualifiers."""
+    return (
+        text.contains("{") | text.contains("}"),
+        F.lower(text).contains("lorem ipsum"),
+    )
+
+
 def c4_line_filter(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -470,16 +492,8 @@ def c4_line_filter(
     punctuation test is a dialect-independent regex class.
     """
     text = F.col(text_col)
-    # split on \r?\n (CRLF pages would otherwise keep a trailing \r that
-    # Java's $ forgives but RE2's does not) and anchor with \z so the
-    # Spark regex matches only true end-of-string, like the oracle's RE2 $
-    lines = F.split(text, "\r?\n")
-    keep_line = lambda l: F.trim(l).rlike('[.!?"]\\z') & (
-        F.size(F.split(F.trim(l), " +")) >= min_words_per_line
-    )
-    kept = F.filter(lines, keep_line)
-    has_brace = text.contains("{") | text.contains("}")
-    has_lorem = F.lower(text).contains("lorem ipsum")
+    lines, kept = c4_lines_kept(text, min_words_per_line)
+    has_brace, has_lorem = c4_page_flags(text)
     return df.where(text.isNotNull()).select(
         F.col(id_col),
         F.size(lines).cast("long").alias("n_lines"),

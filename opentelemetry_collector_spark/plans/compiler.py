@@ -104,6 +104,81 @@ def _build_processor(spark: SparkSession, kind: str, opts: dict) -> Stage:
         # manager (memorylimiter.go:181-235 has no dataplane equivalent
         # here) — accept the config for compatibility, pass through.
         return lambda df: df
+    if kind == "redact_pii":
+        # config-declarable curation: redact emails/IPs/phones IN PLACE
+        # on `source` (attributes-processor-style value rewrite); with
+        # counters: true the match counts ride along for drop-rate audits
+        from pyspark.sql import functions as F
+
+        from ..operators.redact import pii_counts, redact_text
+
+        source = opts.get("source", "body")
+        with_counters = bool(opts.get("counters"))
+
+        def _redact(df):
+            if with_counters:
+                # counters read the ORIGINAL text, then the rewrite lands
+                ne, ni, np_ = pii_counts(F.col(source))
+                df = df.select(
+                    "*",
+                    ne.cast("int").alias("n_emails"),
+                    ni.cast("int").alias("n_ips"),
+                    np_.cast("int").alias("n_phones"),
+                )
+            return df.withColumn(source, redact_text(F.col(source)))
+
+        return _redact
+    if kind == "c4_clean":
+        # C4 line-level cleanup in place on `source`; drop_failing: true
+        # additionally drops pages failing the page rule (min kept lines,
+        # no braces, no lorem-ipsum) — same expressions as the oracle'd
+        # c4_line_filter via the shared helpers, so the two cannot drift
+        from pyspark.sql import functions as F
+
+        from ..operators.textstats import c4_lines_kept, c4_page_flags
+
+        source = opts.get("source", "body")
+        min_words = int(opts.get("min_words_per_line", 5))
+        min_kept = int(opts.get("min_kept_lines", 3))
+        drop_failing = bool(opts.get("drop_failing"))
+
+        def _c4(df):
+            text = F.col(source)
+            _lines, kept = c4_lines_kept(text, min_words)
+            has_brace, has_lorem = c4_page_flags(text)
+            ok = (F.size(kept) >= min_kept) & ~has_brace & ~has_lorem
+            out = df.where(text.isNotNull()).withColumns(
+                {"c4_ok": ok, source: F.array_join(kept, "\n")}
+            )
+            return out.where("c4_ok").drop("c4_ok") if drop_failing else out
+
+        return _c4
+    if kind == "badwords":
+        # C4 word-blocklist page filter: whole-token, case-insensitive,
+        # blocklist folded into the plan as a literal array (no join);
+        # action: drop (default) removes flagged pages, flag keeps them
+        # with a badwords_ok column
+        from pyspark.sql import functions as F
+
+        words = opts.get("words") or []
+        if not words:
+            raise ConfigError("badwords processor needs a words list")
+        source = opts.get("source", "body")
+        action = opts.get("action", "drop")
+        if action not in ("drop", "flag"):
+            raise ConfigError(f"badwords action must be drop|flag, got {action!r}")
+
+        def _bad(df):
+            toks = F.split(F.lower(F.col(source)), "[^a-z0-9]+")
+            hits = F.array_intersect(
+                toks, F.array(*[F.lit(w.lower()) for w in words])
+            )
+            ok = F.size(hits) == 0
+            if action == "drop":
+                return df.where(F.col(source).isNotNull() & ok)
+            return df.withColumn("badwords_ok", ok)
+
+        return _bad
     raise ConfigError(f"unknown processor kind {kind!r}")
 
 

@@ -512,3 +512,50 @@ def test_unknown_connector_kind_rejected(spark, tmp_path):
     )
     with pytest.raises(ConfigError, match="unknown connector kind"):
         BatchPipelineRunner(spark, cfg, str(tmp_path / "bad")).run()
+
+
+def test_curation_processor_kinds_from_config(spark):
+    """Config-declarable curation processors: redact_pii rewrites the
+    body in place (with optional counters), c4_clean edits lines /
+    drops failing pages, badwords drops or flags — matching the
+    oracle'd operators' semantics via the shared expressions."""
+    from opentelemetry_collector_spark.plans.compiler import _build_processor
+    from opentelemetry_collector_spark.plans.config import ConfigError
+
+    df = spark.createDataFrame(
+        [
+            (
+                "u1",
+                "Contact me at bob@example.com now please today ok.\nshort",
+            ),
+            ("u2", "This clean page has plenty of words right here.\n"
+                   "Another proper sentence with enough words too.\n"
+                   "And a third good line to pass the rule."),
+            ("u3", "this page mentions badterm once in passing here."),
+        ],
+        "url string, body string",
+    )
+    red = _build_processor(spark, "redact_pii", {"counters": True})(df)
+    r1 = {r["url"]: r for r in red.collect()}
+    assert "bob@example.com" not in r1["u1"]["body"]
+    assert r1["u1"]["n_emails"] == 1 and r1["u2"]["n_emails"] == 0
+
+    c4 = _build_processor(spark, "c4_clean", {"drop_failing": True})(df)
+    kept = {r["url"] for r in c4.collect()}
+    assert kept == {"u2"}  # u1 has 1 valid line (<3), u3 has 0 terminal-punct... 
+    c4f = _build_processor(spark, "c4_clean", {})(df)
+    flags = {r["url"]: r["c4_ok"] for r in c4f.collect()}
+    assert flags == {"u1": False, "u2": True, "u3": False}
+
+    bw = _build_processor(spark, "badwords", {"words": ["badterm"]})(df)
+    assert {r["url"] for r in bw.collect()} == {"u1", "u2"}
+    bwf = _build_processor(
+        spark, "badwords", {"words": ["badterm"], "action": "flag"}
+    )(df)
+    assert {r["url"]: r["badwords_ok"] for r in bwf.collect()} == {
+        "u1": True, "u2": True, "u3": False
+    }
+    with pytest.raises(ConfigError):
+        _build_processor(spark, "badwords", {})
+    with pytest.raises(ConfigError):
+        _build_processor(spark, "badwords", {"words": ["x"], "action": "zap"})
