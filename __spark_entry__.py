@@ -2073,13 +2073,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # as a consistency bit (== recovered payload bytes) rather than
         # as a value; the text bytes ARE value-checked.
         ext = extract_text(F.col("html"))
-        return parsed.select(
+        warc = parsed.select(
+            F.lit("warc").alias("part"),
             "url",
             "warc_date",
             (F.col("content_length") == F.octet_length(F.col("html"))).alias("len_ok"),
             F.md5(ext).alias("text_md5"),
             F.octet_length(F.encode(ext, "UTF-8")).cast("long").alias("n_bytes"),
         )
+        # 'jsonl' part: the LLM-corpus interchange boundary — documents →
+        # to_json lines → PERMISSIVE from_json → recovered columns; len_ok
+        # carries the corrupt-record channel (True = line parsed), and the
+        # md5 of the RECOVERED text against the oracle's md5 of the
+        # ORIGINAL proves the escape/unescape round trip byte-exactly
+        # (embedded newlines/quotes/unicode included)
+        from opentelemetry_collector_spark.sources.jsonl import (
+            DOCUMENTS_JSONL_SCHEMA,
+            from_jsonl,
+            to_jsonl,
+        )
+
+        docs = _t(spark, sf, "documents")
+        rec = from_jsonl(to_jsonl(docs), DOCUMENTS_JSONL_SCHEMA)
+        jsonl = rec.select(
+            F.lit("jsonl").alias("part"),
+            F.concat(
+                F.lit("https://"), F.col("source"),
+                F.lit(".example.com/doc/"), F.col("doc_id"),
+            ).alias("url"),
+            F.date_format(
+                F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id")),
+                "yyyy-MM-dd'T'HH:mm:ss'Z'",
+            ).alias("warc_date"),
+            F.col("_ok").alias("len_ok"),
+            F.md5(F.col("text")).alias("text_md5"),
+            F.octet_length(F.encode(F.col("text"), "UTF-8"))
+            .cast("long")
+            .alias("n_bytes"),
+        )
+        return warc.unionByName(jsonl)
 
     q["warc_roundtrip"] = warc_roundtrip
 
@@ -3464,8 +3496,21 @@ FROM flines
     # rules, text hash/bytes from the source column — value parity proves
     # headers AND payload survive the wire byte-identically. len_ok is
     # the in-engine Content-Length == payload-bytes framing check.
+    # both parts reduce to the same per-document truth: the recovered
+    # text is byte-identical to the original (the jsonl part's md5 is of
+    # the text AFTER a to_json → from_json round trip on the Spark side)
     o["warc_roundtrip"] = """
-SELECT 'https://' || source || '.example.com/doc/' || doc_id AS url,
+SELECT 'warc' AS part,
+  'https://' || source || '.example.com/doc/' || doc_id AS url,
+  strftime(make_timestamp((1704067200 + doc_id) * 1000000),
+           '%Y-%m-%dT%H:%M:%SZ') AS warc_date,
+  true AS len_ok,
+  md5(text) AS text_md5,
+  octet_length(encode(text))::BIGINT AS n_bytes
+FROM documents
+UNION ALL
+SELECT 'jsonl' AS part,
+  'https://' || source || '.example.com/doc/' || doc_id AS url,
   strftime(make_timestamp((1704067200 + doc_id) * 1000000),
            '%Y-%m-%dT%H:%M:%SZ') AS warc_date,
   true AS len_ok,
