@@ -32,6 +32,7 @@ from opentelemetry_collector_spark.operators import similarity as sim_ops
 from opentelemetry_collector_spark.operators import textstats as ts_ops
 from opentelemetry_collector_spark.operators.batch import split_head
 from opentelemetry_collector_spark.operators.enrich import enrich_broadcast
+from opentelemetry_collector_spark.operators.htmltext import _HREF_RE
 from opentelemetry_collector_spark.operators.ottl import compile_statements
 from opentelemetry_collector_spark.operators.parse import parse_pages
 from opentelemetry_collector_spark.sources.tables import (
@@ -506,10 +507,20 @@ _FOREIGN_HTML_PIECES: tuple = (
     "</p>\n<p>Entity zoo: &quot;q&quot;&nbsp;nb&#46; A&#38;B &lt;t&gt; bad"
     " &#xD800; &#0; &#12345678; &unknown; tail&#</p>\n"
     "<ul><li>item one</li><li>item &hellip;</li></ul></div>\n"
+    '<a href="/doc/',
+    ("col", "doc_id"),
+    '?next=1&amp;page=2" rel="nofollow">self link</a>\n'
+    "<A CLASS='m' HREF='https://ex.org/abs#frag'>ABS</A>"
+    '<a name="anchor-only">plain anchor</a>\n'
     '<table><tr><td a="x > 1">c1</td><td>c2</td></tr></table>\n'
     "<b><i>broken</b></i> nesting <span>inline</span>glued\n"
     "<p>unclosed trailing with 2  spaces\n</body></html>",
 )
+
+
+def _sql_quote(pat: str) -> str:
+    """SQL-quote a regex/string literal for the DuckDB oracle."""
+    return "'" + pat.replace("'", "''") + "'"
 
 
 def _foreign_html_sql() -> str:
@@ -841,7 +852,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("median_ok").cast("long").alias("k3"),
             _D.alias("d1"),
         )
-        return p_canon.unionAll(p_hosts).unionAll(p_rob).unionAll(p_sketch)
+        # 'latest': latest-crawl-wins URL revision dedup — each doc gets
+        # (doc_id % 3 + 1) synthetic revisions; one max_by aggregate keeps
+        # the newest fetch (urls.latest_revision; oracle twin = arg_max)
+        from opentelemetry_collector_spark.operators.urls import latest_revision
+
+        revs = rdocs.select(
+            "doc_id",
+            F.concat(
+                F.lit("https://"), F.lower("source"),
+                F.lit(".example.com/doc/"), F.col("doc_id").cast("string"),
+            ).alias("url"),
+            F.explode(F.sequence(F.lit(0), (F.col("doc_id") % 3))).alias("rev"),
+        ).select(
+            "doc_id", "url",
+            (F.col("doc_id") * 1000 + F.col("rev")).alias("fetch_ts"),
+            F.md5(
+                F.concat(F.col("doc_id").cast("string"), F.lit(":"),
+                         F.col("rev").cast("string"))
+            ).alias("digest"),
+        )
+        lr = latest_revision(
+            revs, key_col="url", ts_col="fetch_ts", payload_cols=("digest", "doc_id")
+        )
+        p_latest = lr.select(
+            F.lit("latest").alias("part"),
+            F.col("url").alias("s1"),
+            F.col("digest").alias("s2"),
+            F.col("doc_id").cast("long").alias("k1"),
+            F.col("n_revisions").cast("long").alias("k2"),
+            F.col("fetch_ts").cast("long").alias("k3"),
+            _D.alias("d1"),
+        )
+        # 'pagerank': fixed-iteration PageRank over a deterministic doc
+        # graph (3 affine out-links per node mod n; doc_id is contiguous
+        # from 0 at every sf, so residues are node ids). The oracle twin
+        # unrolls the same recurrence; both engines round each iteration
+        # to 12 dp so float-sum ordering can never drift the values.
+        from opentelemetry_collector_spark.operators.urls import pagerank
+
+        nrow = rdocs.agg(F.count("*").cast("long").alias("__n"))
+        base = rdocs.select("doc_id").crossJoin(F.broadcast(nrow))
+        eparts = [
+            base.select(
+                F.col("doc_id").alias("src"),
+                ((F.col("doc_id") * a + b) % F.col("__n")).alias("dst"),
+            )
+            for a, b in ((7, 1), (13, 3), (3, 5))
+        ]
+        edges = eparts[0].unionAll(eparts[1]).unionAll(eparts[2])
+        pr = pagerank(edges, n_iter=3, nodes=rdocs.select("doc_id"))
+        p_rank = pr.select(
+            F.lit("pagerank").alias("part"),
+            _S.alias("s1"), _S.alias("s2"),
+            F.col("nid").cast("long").alias("k1"),
+            _L.alias("k2"), _L.alias("k3"),
+            F.round(F.col("rank"), 8).alias("d1"),
+        )
+        return (
+            p_canon.unionAll(p_hosts).unionAll(p_rob)
+            .unionAll(p_sketch).unionAll(p_latest).unionAll(p_rank)
+        )
 
     q["url_suite"] = url_suite
 
@@ -2049,7 +2120,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.md5(t).alias("text_md5"),
             F.octet_length(F.encode(t, "UTF-8")).cast("long").alias("n_bytes"),
         )
-        return env.unionAll(fr)
+        # 'links': anchor-href extraction from the same foreign corpus —
+        # the link-graph boundary (htmltext.extract_links feeds
+        # urls.pagerank); hashed as a newline-joined list, order kept
+        from opentelemetry_collector_spark.operators.htmltext import extract_links
+
+        lk = F.array_join(extract_links(fhtml), "\n")
+        lkr = docs.select(
+            F.lit("links").alias("part"),
+            F.concat(
+                F.lit("https://"),
+                F.col("source"),
+                F.lit(".example.com/doc/"),
+                F.col("doc_id"),
+            ).alias("url"),
+            F.md5(lk).alias("text_md5"),
+            F.octet_length(F.encode(lk, "UTF-8")).cast("long").alias("n_bytes"),
+        )
+        return env.unionAll(fr).unionAll(lkr)
 
     q["html_extract_text"] = html_extract
 
@@ -2398,6 +2486,69 @@ FROM (
   SELECT lower(source || '.example.com') AS host, md5(text) AS digest
   FROM documents
 ) GROUP BY host
+UNION ALL
+-- 'latest': latest-crawl-wins revision dedup (arg_max twin of
+-- urls.latest_revision's max_by aggregate)
+SELECT 'latest' AS part, url AS s1, arg_max(digest, fetch_ts) AS s2,
+  max(doc_id)::BIGINT AS k1, count(*)::BIGINT AS k2,
+  max(fetch_ts)::BIGINT AS k3, CAST(NULL AS DOUBLE) AS d1
+FROM (
+  SELECT doc_id,
+    'https://' || lower(source) || '.example.com/doc/' || doc_id AS url,
+    doc_id*1000 + r AS fetch_ts,
+    md5(doc_id || ':' || r) AS digest
+  FROM documents, unnest(generate_series(0, doc_id % 3)) AS u(r)
+) GROUP BY url
+UNION ALL
+-- 'pagerank': the unrolled 3-iteration recurrence over the same
+-- deterministic doc graph; 12-dp per-iteration rounding in both engines
+SELECT 'pagerank' AS part, CAST(NULL AS VARCHAR) AS s1,
+  CAST(NULL AS VARCHAR) AS s2, nid::BIGINT AS k1,
+  CAST(NULL AS BIGINT) AS k2, CAST(NULL AS BIGINT) AS k3,
+  round(r, 8) AS d1
+FROM (
+WITH nn AS (SELECT count(*)::DOUBLE AS c FROM documents),
+prnodes AS (SELECT doc_id AS nid FROM documents),
+predges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT doc_id AS src,
+           (doc_id*7+1) % (SELECT count(*) FROM documents) AS dst
+    FROM documents
+    UNION ALL
+    SELECT doc_id, (doc_id*13+3) % (SELECT count(*) FROM documents)
+    FROM documents
+    UNION ALL
+    SELECT doc_id, (doc_id*3+5) % (SELECT count(*) FROM documents)
+    FROM documents)
+),
+prod AS (SELECT src, count(*)::DOUBLE AS od FROM predges GROUP BY src),
+pr0 AS (SELECT nid, round(1.0/(SELECT c FROM nn), 12) AS r FROM prnodes),
+pr1 AS (
+  SELECT n.nid, round((1-0.85)/(SELECT c FROM nn)
+      + 0.85*coalesce(sum(pr0.r/prod.od), 0), 12) AS r
+  FROM prnodes n
+  LEFT JOIN predges e ON e.dst = n.nid
+  LEFT JOIN pr0 ON pr0.nid = e.src
+  LEFT JOIN prod ON prod.src = e.src
+  GROUP BY n.nid),
+pr2 AS (
+  SELECT n.nid, round((1-0.85)/(SELECT c FROM nn)
+      + 0.85*coalesce(sum(pr1.r/prod.od), 0), 12) AS r
+  FROM prnodes n
+  LEFT JOIN predges e ON e.dst = n.nid
+  LEFT JOIN pr1 ON pr1.nid = e.src
+  LEFT JOIN prod ON prod.src = e.src
+  GROUP BY n.nid),
+pr3 AS (
+  SELECT n.nid, round((1-0.85)/(SELECT c FROM nn)
+      + 0.85*coalesce(sum(pr2.r/prod.od), 0), 12) AS r
+  FROM prnodes n
+  LEFT JOIN predges e ON e.dst = n.nid
+  LEFT JOIN pr2 ON pr2.nid = e.src
+  LEFT JOIN prod ON prod.src = e.src
+  GROUP BY n.nid)
+SELECT nid, r FROM pr3
+)
 """
 
     o["batch_split_head"] = """
@@ -3488,6 +3639,16 @@ UNION ALL
 SELECT 'foreign' AS part, url, md5(t) AS text_md5,
   octet_length(encode(t))::BIGINT AS n_bytes
 FROM flines
+UNION ALL
+SELECT 'links' AS part, url, md5(lk) AS text_md5,
+  octet_length(encode(lk))::BIGINT AS n_bytes
+FROM (
+  SELECT url,
+    replace(array_to_string(
+      regexp_extract_all(h, {_sql_quote(_HREF_RE)}, 1), chr(10)),
+      '&amp;', '&') AS lk
+  FROM fhtml
+)
 """
 
     # warc_roundtrip: pages → WARC/1.0 shards → content-length streaming

@@ -271,3 +271,24 @@ def extract_text_any(html: Column) -> Column:
     lines = F.transform(lines, lambda l: F.trim(F.regexp_replace(l, " {2,}", " ")))
     lines = F.filter(lines, lambda l: l != F.lit(""))
     return F.when(html.isNotNull(), F.array_join(lines, "\n"))
+
+
+# anchor href: double- or single-quoted attribute value anywhere in the
+# <a ...> open tag (case-insensitive; attributes may precede href)
+_HREF_RE = r"""(?is)<a\b[^>]*?\bhref\s*=\s*["']([^"']*)["']"""
+
+
+def extract_links(html: Column) -> Column:
+    """``binary`` FOREIGN html → ``array<string>`` of anchor hrefs, in
+    document order, ``&amp;``-unescaped (URLs legally embed ``&`` as
+    ``&amp;`` in HTML attributes).
+
+    This is the link-graph extraction boundary: hrefs feed
+    :func:`opentelemetry_collector_spark.operators.urls.pagerank` after
+    resolution against the page URL's host. One vectorized
+    ``regexp_extract_all`` at scan speed — zero Python, zero shuffle;
+    NULL html → NULL, no anchors → empty array.
+    """
+    s = F.decode(html, "UTF-8")
+    links = F.regexp_extract_all(s, F.lit(_HREF_RE), 1)
+    return F.transform(links, lambda u: F.replace(u, F.lit("&amp;"), F.lit("&")))

@@ -283,3 +283,106 @@ def apply_robots(
         F.col("__alen"), F.lit(-1)
     )
     return agg.select(url_col, blocked.alias("robots_blocked"))
+
+
+def latest_revision(
+    revisions: DataFrame,
+    key_col: str = "url",
+    ts_col: str = "fetch_ts",
+    payload_cols: tuple[str, ...] = ("digest",),
+) -> DataFrame:
+    """Latest-crawl-wins revision dedup: one row per ``key_col`` carrying
+    the payload of the revision with the greatest ``ts_col`` plus the
+    revision count — the canonical Common-Crawl "keep the newest fetch of
+    each URL" stage (CC-MAIN segments re-crawl the same URL across
+    snapshots; training corpora keep one).
+
+    Reference analog: the dedup the shared-receiver-instance map performs
+    on component identity (service/internal/graph/graph.go keeps one
+    instance per id) — here the identity is the URL and "one instance" is
+    the newest fetch.
+
+    Scale shape: a single hash aggregate keyed by URL using ``max_by``
+    (arg-max) — NOT a window ``row_number``, which would sort every
+    partition's full revision history; ``max_by`` folds map-side, so the
+    shuffle carries one candidate row per (partition, url), and skewed
+    hot URLs cost one combiner row each. Ties on ``ts_col`` resolve to
+    the max payload (Spark and DuckDB ``arg_max`` both keep a
+    deterministic extreme under a total order; supply unique timestamps
+    for full determinism).
+    """
+    ts = F.col(ts_col)
+    aggs = [F.count("*").cast("long").alias("n_revisions"), F.max(ts).alias(ts_col)]
+    aggs += [F.max_by(F.col(c), ts).alias(c) for c in payload_cols]
+    return revisions.groupBy(key_col).agg(*aggs)
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 3,
+    damping: float = 0.85,
+    nodes: DataFrame | None = None,
+    round_dp: int = 12,
+    checkpoint_every: int | None = None,
+) -> DataFrame:
+    """Fixed-iteration PageRank over an edge frame ``(src, dst)`` —
+    returns ``(nid, rank)``. Web pipelines use the host/page graph rank
+    as a quality prior (domain weighting during corpus mixing); this is
+    the distributed-iterative member of the curation family.
+
+    Semantics: ``r₀ = 1/n``; ``r_{k+1}(v) = (1−d)/n + d·Σ_{(u,v)∈E}
+    r_k(u)/outdeg(u)`` over the DISTINCT edge set. Dangling nodes (no
+    out-edges) leak their mass — the classic simplified formulation; the
+    DuckDB oracle twin unrolls the same recurrence, and each iteration
+    rounds to ``round_dp`` decimals IN BOTH ENGINES so cross-engine
+    float-sum ordering can never drift the values.
+
+    Scale shape: per iteration, one shuffle joining ranks to edges on
+    ``src`` and one hash aggregate on ``dst`` — the textbook distributed
+    PageRank step. The rank and outdegree frames are node-sized (NOT
+    broadcast: the node set is corpus-derived); at production scale
+    pre-partition ``edges`` by ``src`` once so every iteration reuses the
+    exchange, and pass ``checkpoint_every`` to cut the growing lineage
+    (plan depth is linear in iterations; localCheckpoint bounds it).
+    """
+    e = edges.select(
+        F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")
+    ).distinct()
+    if nodes is None:
+        nodes = (
+            e.select(F.col("src").alias("nid"))
+            .unionAll(e.select(F.col("dst").alias("nid")))
+            .distinct()
+        )
+    else:
+        nodes = nodes.select(F.col(nodes.columns[0]).cast("long").alias("nid"))
+    n_row = nodes.agg(F.count("*").cast("double").alias("__n"))
+    outdeg = e.groupBy("src").agg(F.count("*").cast("double").alias("__od"))
+    ranks = nodes.crossJoin(F.broadcast(n_row)).select(
+        "nid", F.round(F.lit(1.0) / F.col("__n"), round_dp).alias("rank")
+    )
+    for i in range(n_iter):
+        contribs = (
+            e.join(ranks.withColumnRenamed("nid", "src"), "src")
+            .join(outdeg, "src")
+            .select(
+                F.col("dst").alias("nid"),
+                (F.col("rank") / F.col("__od")).alias("__c"),
+            )
+        )
+        inflow = contribs.groupBy("nid").agg(F.sum("__c").alias("__in"))
+        ranks = (
+            nodes.join(inflow, "nid", "left")
+            .crossJoin(F.broadcast(n_row))
+            .select(
+                "nid",
+                F.round(
+                    (F.lit(1.0) - F.lit(damping)) / F.col("__n")
+                    + F.lit(damping) * F.coalesce(F.col("__in"), F.lit(0.0)),
+                    round_dp,
+                ).alias("rank"),
+            )
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks

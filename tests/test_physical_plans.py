@@ -184,7 +184,12 @@ _PLAN_SHUFFLE_BUDGET = {
     # per-page longest-match agg (5); sketch part: ONE host-keyed agg
     # whose count-distinct twin expands two-phase (2 — the HLL/quantile
     # sketches themselves ride the same aggregate, constant size/host)
-    "url_suite": 9,
+    # (9) + 'latest': one map-side-folding max_by agg (1) + 'pagerank':
+    # edge distinct + outdeg agg + node count + per-iteration rank⋈edges
+    # (src) / inflow agg (dst) / ⋈nodes (nid) × 3 fixed iterations — the
+    # textbook iterative shape; at production scale edges are
+    # pre-partitioned by src once and every iteration reuses the exchange
+    "url_suite": 25,
     # weights part (token agg ×2-phase) + the resample part re-derives
     # the same tiny weights aggregate for its broadcast (AQE reuses)
     "mixture_weights": 4,
