@@ -28,6 +28,7 @@ from opentelemetry_collector_spark.operators import dsir as dsir_ops
 from opentelemetry_collector_spark.operators import metrics as met_ops
 from opentelemetry_collector_spark.operators import multimodal as mm_ops
 from opentelemetry_collector_spark.operators import traces as tr_ops
+from opentelemetry_collector_spark import pins
 from opentelemetry_collector_spark.operators import similarity as sim_ops
 from opentelemetry_collector_spark.operators import textstats as ts_ops
 from opentelemetry_collector_spark.operators.batch import split_head
@@ -1503,9 +1504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ONE signature aggregation (the dominant cost: the full shingle
         # explode) pinned and shared by both parts — the filter's parity
         # sides are cheap filters over the pinned 33-column frame
-        sigs = dedup_ops.minhash_signatures(
-            docs, num_hashes=32
-        ).localCheckpoint(eager=True)
+        sigs = pins.pin(dedup_ops.minhash_signatures(docs, num_hashes=32))
         pairs = dedup_ops.minhash_lsh_pairs(
             docs, num_hashes=32, bands=16, threshold=0.8, sigs=sigs
         )
@@ -1893,9 +1892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ONE exact top-k feeds both the 'brute' part and the ivf recall
         # gate — localCheckpoint pins the 15-row result so the O(n·q)
         # scan runs once, not once per consumer (no CSE across subtrees)
-        exact = sim_ops.cosine_topk(emb, queries_df, k=5).localCheckpoint(
-            eager=True
-        )
+        exact = pins.pin(sim_ops.cosine_topk(emb, queries_df, k=5))
         p_brute = exact.select(
             F.lit("brute").alias("part"),
             F.col("query_id").alias("id_a"),

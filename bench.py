@@ -171,12 +171,19 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
 
     qs = entrymod.queries()
     out: dict[str, float] = {}
+    from opentelemetry_collector_spark import pins
+
     for name in BENCH_QUERIES:
         fn = qs[name]
         t0 = time.monotonic()
         df = fn(spark, sf_dir)
         df.collect()
         out[name] = round(time.monotonic() - t0, 3)
+        # free per-query localCheckpoint pins (trained models, shared
+        # top-k frames) so a multi-query bench run doesn't accumulate
+        # session-lifetime blocks (ADVICE r4); timed INSIDE the loop
+        # body but after the stop so release cost isn't charged
+        pins.release_pins()
     return out
 
 

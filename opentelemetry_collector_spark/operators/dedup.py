@@ -37,6 +37,8 @@ import hashlib
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..pins import register as pins_register
+
 HEX_DIGITS = "0123456789abcdef"
 
 # MinHash permutation modulus: Mersenne prime 2^31-1. Operands stay below
@@ -472,6 +474,11 @@ def connected_components(
             .limit(1)
             .count()
         )
+        # the convergence count was the last consumer of the PREVIOUS
+        # round's checkpoint, and new_labels is self-contained (its
+        # lineage was truncated) — free the superseded blocks now, or a
+        # long-diameter graph pins one node-sized frame per round
+        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
@@ -482,7 +489,11 @@ def connected_components(
             f"connected_components did not converge within {max_iters} rounds "
             "(component diameter exceeds max_iters); raise max_iters"
         )
-    return labels
+    # the loop freed every superseded round; the edge pin is done too.
+    # The RESULT stays pinned (callers consume it lazily) but registered,
+    # so a harness can release it at its next quiescent point.
+    edges.unpersist()
+    return pins_register(labels)
 
 
 def dedup_clusters(

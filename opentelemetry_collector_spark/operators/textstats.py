@@ -16,6 +16,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..pins import pin
 from .dedup import md5_long, tokenize
 
 # BPE-ish pre-tokenizer: letter runs, digit runs, or single non-space marks
@@ -674,7 +675,7 @@ def unigram_logperplexity(
         # plan (model build, its total, the OOV floor) — three full
         # corpus scans. Train-then-score is a natural pipeline breaker; a
         # production run would persist the model table anyway.
-        model = model.localCheckpoint(eager=True)
+        model = pin(model)
     if "oov_logp" in model.columns:
         oov = model.agg(F.min("oov_logp").alias("oov_logp"))
         model = model.select("tok", "logp")
@@ -786,11 +787,10 @@ def bigram_logperplexity(
         F.posexplode(tokenize(F.col(text_col))).alias("pos", "tok"),
     )
     counts = toks.groupBy("tok").agg(F.count("*").alias("c"))
-    vocab = (
+    vocab = pin(
         counts.orderBy(F.col("c").desc(), F.col("tok").asc())
         .limit(vocab_size)
         .select("tok", F.lit(True).alias("__in"))
-        .localCheckpoint(eager=True)
     )
     mapped = toks.join(F.broadcast(vocab), "tok", "left").select(
         F.col(id_col),
@@ -804,10 +804,9 @@ def bigram_logperplexity(
     prevd = mapped.withColumn("w_prev", w_prev)
     uni = prevd.groupBy("w").agg(F.count("*").cast("double").alias("__uc"))
     unit = uni.agg(F.sum("__uc").alias("__ut"))
-    uni_m = (
+    uni_m = pin(
         uni.crossJoin(F.broadcast(unit))
         .select("w", (F.col("__uc") / F.col("__ut")).alias("__pu"))
-        .localCheckpoint(eager=True)
     )
     bi = (
         prevd.where(F.col("w_prev").isNotNull())
@@ -815,10 +814,9 @@ def bigram_logperplexity(
         .agg(F.count("*").cast("double").alias("__bc"))
     )
     ctx = bi.groupBy("w_prev").agg(F.sum("__bc").alias("__cc"))
-    bi_m = (
+    bi_m = pin(
         bi.join(ctx, "w_prev")
         .select("w_prev", "w", (F.col("__bc") / F.col("__cc")).alias("__pb"))
-        .localCheckpoint(eager=True)
     )
     lam_c = F.lit(float(lam))
     one_minus = F.lit(1.0) - F.lit(float(lam))  # same IEEE value as the SQL twin's 1.0 - λ
@@ -1347,7 +1345,7 @@ def pack_sequences(
     # boundaries with a different seed and the two executions can assign
     # different __pids — silently wrong offsets. localCheckpoint
     # materializes the partitioning once; both consumers read it.
-    t = t.localCheckpoint(eager=True)
+    t = pin(t)
     w = Window.partitionBy("__pid").orderBy(F.col(id_col).asc())
     t = t.withColumn("__local_cum", F.sum("n_tokens").over(w))
     totals = t.groupBy("__pid").agg(F.max("__local_cum").alias("__tot"))

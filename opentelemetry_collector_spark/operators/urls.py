@@ -384,5 +384,7 @@ def pagerank(
             )
         )
         if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
-            ranks = ranks.localCheckpoint(eager=True)
+            prev, ranks = ranks, ranks.localCheckpoint(eager=True)
+            if prev.is_cached:  # free the superseded checkpoint's blocks
+                prev.unpersist()
     return ranks

@@ -16,6 +16,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import duckdb
 
 import __spark_entry__ as entrymod
+from opentelemetry_collector_spark import pins
 from opentelemetry_collector_spark.session import get_spark
 
 TABLES = (
@@ -67,6 +68,8 @@ def main() -> int:
             print(f"FAIL  {name}: spark error: {e}")
             failures += 1
             continue
+        finally:
+            pins.release_pins()  # free model/top-k checkpoints per query
         if name not in oracles:
             print(f"ok?   {name}: rows-only ({len(srows)} rows)")
             continue
