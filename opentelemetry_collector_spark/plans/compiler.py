@@ -99,6 +99,15 @@ def _build_processor(spark: SparkSession, kind: str, opts: dict) -> Stage:
             partitions=opts.get("partitions"),
             key=opts.get("key", "url"),
         )
+    if kind == "client_attribute":
+        # the "authprinter" consumption pattern (client/client.go:63-88):
+        # copy one authenticator attribute from client.auth onto records
+        from ..operators.clientauth import client_attribute_stage
+
+        attribute = opts.get("attribute")
+        if not attribute:
+            raise ConfigError("client_attribute processor needs an attribute")
+        return client_attribute_stage(attribute, opts.get("column"))
     if kind == "memory_limiter":
         # P5: backpressure/spill is built into Spark's unified memory
         # manager (memorylimiter.go:181-235 has no dataplane equivalent
@@ -227,6 +236,23 @@ class BatchPipelineRunner:
         for name, n in uses.items():
             c = self.config.receivers[name]
             df = _build_receiver(self.spark, c.kind, c.options)
+            auth_name = c.options.get("auth")
+            if auth_name:
+                # server authenticator at the receiver boundary: validated
+                # by config.validate() to name an ENABLED extension
+                # (configauth.GetServerAuthenticator semantics); refused
+                # rows are counted on this receiver's obsreport counter and
+                # never enter any pipeline (extension/auth/server.go:32-38)
+                from ..operators.clientauth import AUTH_OK_COL, build_authenticator
+
+                ext = self.config.extensions[auth_name]
+                authenticator = build_authenticator(ext.kind, ext.options)
+                df = authenticator.authenticate(
+                    df, metadata_col=c.options.get("metadata_col", "request_metadata")
+                )
+                df = self.telemetry.observe_auth(
+                    df, f"receiver/{name}", AUTH_OK_COL
+                ).drop(AUTH_OK_COL)
             if n > 1:
                 # shared receiver read once; persist so each consuming
                 # pipeline's job reuses the materialized scan

@@ -226,6 +226,12 @@ class CollectorConfig:
     exporters: dict[str, ComponentConfig]
     connectors: dict[str, ComponentConfig]
     pipelines: dict[str, PipelineConfig]
+    # extensions: declared under top-level `extensions:`, ENABLED by
+    # listing in `service.extensions` (service/service.go ordering) —
+    # a receiver's `auth:` option may only name an enabled one
+    # (config/configauth/configauth.go:29-52 "authenticator not found")
+    extensions: dict[str, ComponentConfig] = field(default_factory=dict)
+    enabled_extensions: list[str] = field(default_factory=list)
 
     # ------------------------------------------------------------------
     def validate(self) -> None:
@@ -245,6 +251,26 @@ class CollectorConfig:
             for e in p.exporters:
                 if e not in self.exporters and e not in self.connectors:
                     raise ConfigError(f"pipeline {p.name!r}: references unknown exporter {e!r}")
+        for x in self.enabled_extensions:
+            if x not in self.extensions:
+                raise ConfigError(
+                    f"service.extensions references unknown extension {x!r}"
+                )
+        for r in self.receivers.values():
+            auth = r.options.get("auth")
+            if auth is None:
+                continue
+            # configauth.GetServerAuthenticator resolves the id against the
+            # ENABLED extension set (config/configauth/configauth.go:40-52)
+            if auth not in self.extensions:
+                raise ConfigError(
+                    f"receiver {r.name!r}: authenticator not found: {auth!r}"
+                )
+            if auth not in self.enabled_extensions:
+                raise ConfigError(
+                    f"receiver {r.name!r}: authenticator {auth!r} is declared "
+                    "but not listed in service.extensions"
+                )
         self._check_cycles()
 
     def pipeline_edges(self) -> dict[str, set[str]]:
@@ -437,6 +463,8 @@ def load_config(
         exporters=_parse_components(raw.get("exporters")),
         connectors=_parse_components(raw.get("connectors")),
         pipelines=pipelines,
+        extensions=_parse_components(raw.get("extensions")),
+        enabled_extensions=list(service.get("extensions") or []),
     )
     cfg.validate()
     # --feature-gates analog (otelcol/command.go:40-52): a top-level

@@ -51,6 +51,24 @@ class PipelineTelemetry:
         self._observations[stage] = obs
         return df.observe(obs, F.count(F.lit(1)).alias("items"))
 
+    def observe_auth(self, df: DataFrame, stage: str, ok_col: str) -> DataFrame:
+        """Receiver-boundary auth gate: count total + refused items in ONE
+        observation on the pre-filter frame (accepted = items − refused,
+        the obsreport receiver accepted/refused split,
+        obsreport/obsreport_receiver.go:166-296), then filter — refused
+        requests never enter the pipeline and are never retried
+        (extension/auth/server.go:32-38). Rides the job like observe()."""
+        obs = Observation(f"{self.run_id}-{stage}")
+        self._observations[stage] = obs
+        df = df.observe(
+            obs,
+            F.count(F.lit(1)).alias("items"),
+            F.coalesce(
+                F.sum(F.when(F.col(ok_col), 0).otherwise(1)), F.lit(0)
+            ).alias("refused"),
+        )
+        return df.where(F.col(ok_col))
+
     def harvest(self) -> None:
         """Collect observed counts. Uses the JVM Observation's non-blocking
         ``getRowOrEmpty`` (bounded ~100ms wait) rather than ``Observation.get``,
@@ -67,7 +85,15 @@ class PipelineTelemetry:
                 if opt.isEmpty():
                     continue  # stage's action never ran
                 row = opt.get()
-                self.counters(stage).accepted = int(row.get(row.fieldIndex("items")))
+                items = int(row.get(row.fieldIndex("items")))
+                refused = 0
+                try:
+                    refused = int(row.get(row.fieldIndex("refused")))
+                except Exception:
+                    pass  # plain observe() — no refused field
+                c = self.counters(stage)
+                c.accepted = items - refused
+                c.refused = refused
             except Exception:
                 pass  # observation never materialized (stage not executed)
 
