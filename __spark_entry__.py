@@ -387,13 +387,24 @@ def _stoplist_sql(lang: str) -> str:
     return "[" + ", ".join(f"'{w}'" for w in ts_ops.STOPWORDS[lang]) + "]"
 
 
+# deterministic corruption planted by BOTH engines for the encoding-
+# sanity block (the test corpus is pure ASCII — without it the new
+# columns would be constant and the parity check vacuous)
+_ENC_MOJIBAKE_SUFFIX = " CafÃ© â€™"  # UTF-8-as-cp1252 double-decode artifacts
+_ENC_CORRUPT_SUFFIX = "\ufffd\u0007 bad"  # replacement char + BEL control
+
 # one-pass twin of textstats.text_signals: token counts + quality
-# features + stopword-vote lang-id + content digests off one base CTE
+# features + stopword-vote lang-id + content digests + encoding sanity
+# off one base CTE
 _TEXT_SIGNALS_SQL = f"""
 WITH base AS (
-  SELECT doc_id, text, string_split_regex(trim(text), ' +') AS w FROM documents
+  SELECT doc_id, text, string_split_regex(trim(text), ' +') AS w,
+    CASE WHEN doc_id % 5 = 0 THEN text || '{_ENC_MOJIBAKE_SUFFIX}'
+         WHEN doc_id % 7 = 0 THEN text || chr(65533) || chr(7) || ' bad'
+         ELSE text END AS enc_probe
+  FROM documents
 ), feat AS (
-  SELECT doc_id, text, w,
+  SELECT doc_id, text, w, enc_probe,
     len(w) AS n,
     CASE WHEN len(w) > 0 THEN list_sum(list_transform(w, t -> length(t)::DOUBLE)) / len(w) ELSE 0.0 END AS mwl,
     CASE WHEN len(w) > 0 THEN len(list_filter(w, t -> list_contains({_stoplist_sql('en')}, t)))::DOUBLE / len(w) ELSE 0.0 END AS stop_r,
@@ -420,7 +431,16 @@ SELECT doc_id,
        WHEN s_es >= s_fr THEN 'es'
        ELSE 'fr' END AS pred_lang,
   md5(text) AS md5_raw,
-  md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS md5_norm
+  md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS md5_norm,
+  len(regexp_extract_all(enc_probe, chr(65533)))::BIGINT AS repl_chars,
+  len(regexp_extract_all(enc_probe, '{ts_ops.CTRL_CHAR_RE}'))::BIGINT AS ctrl_chars,
+  len(regexp_extract_all(enc_probe, '{ts_ops.MOJIBAKE_RE}'))::BIGINT AS mojibake_seqs,
+  round(CASE WHEN length(enc_probe) > 0
+        THEN (length(enc_probe) - len(regexp_extract_all(enc_probe, '{ts_ops.NON_ASCII_RE}')))::DOUBLE / length(enc_probe)
+        ELSE 1.0 END, 4) AS ascii_ratio,
+  (len(regexp_extract_all(enc_probe, chr(65533))) = 0
+   AND len(regexp_extract_all(enc_probe, '{ts_ops.CTRL_CHAR_RE}')) = 0
+   AND len(regexp_extract_all(enc_probe, '{ts_ops.MOJIBAKE_RE}')) = 0) AS encoding_ok
 FROM feat
 """
 
@@ -1992,10 +2012,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- text analysis ---
     def text_signals_q(spark, sf):
         # token counts + quality features + language ID + content digests
-        # in one pass (former token_count / quality_score / lang_id /
-        # doc_fingerprint queries, identical per-column semantics);
-        # compute-bound narrow scan → small-scan fan-out (no-op at scale)
-        return ts_ops.text_signals(fan_out_small_scan(_t(spark, sf, "documents")))
+        # + encoding sanity in one pass (former token_count /
+        # quality_score / lang_id / doc_fingerprint queries, identical
+        # per-column semantics);
+        # compute-bound narrow scan → small-scan fan-out (no-op at scale).
+        # The test corpus is pure printable ASCII, so the encoding block
+        # probes a deterministically CORRUPTED twin column (mojibake on
+        # doc_id%5, replacement+control chars on doc_id%7) — the oracle
+        # plants the identical corruption, so the counts carry real
+        # variance across both engines instead of constant zeros.
+        docs = fan_out_small_scan(_t(spark, sf, "documents")).withColumn(
+            "enc_probe",
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.col("text"), F.lit(_ENC_MOJIBAKE_SUFFIX)),
+            )
+            .when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.col("text"), F.lit(_ENC_CORRUPT_SUFFIX)),
+            )
+            .otherwise(F.col("text")),
+        )
+        return ts_ops.text_signals(docs, encoding_col="enc_probe")
 
     q["text_signals"] = text_signals_q
 

@@ -33,6 +33,78 @@ STOPWORDS: dict[str, tuple[str, ...]] = {
 }
 
 
+# Encoding-sanity patterns, shared VERBATIM with the DuckDB oracle so the
+# two engines cannot drift (RE2 ∩ Java subset: two-digit \xhh escapes,
+# literal codepoints, one class per alternative — no lookaround, no
+# engine-specific anchors).
+#
+# C0 control characters minus \t\n\r, plus DEL: never legitimate in
+# extracted web text; their presence marks a binary-in-text or charset
+# mis-detection upstream.
+CTRL_CHAR_RE = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
+# Anything outside printable ASCII + \t\n\r (for the ascii_ratio signal —
+# a RATIO, not a filter: legitimate non-English text scores low without
+# being flagged; the boolean gate below never uses it).
+NON_ASCII_RE = r"[^\x09\x0a\x0d\x20-\x7e]"
+# Classic mojibake: UTF-8 bytes re-decoded as Latin-1/cp1252 turn every
+# multi-byte sequence into a lead char (Â U+00C2 / Ã U+00C3) followed by
+# high-Latin garbage ("CafÃ©"), or the cp1252 smart-quote family
+# "â€™"/"â€œ" (â U+00E2 + € U+20AC + a quote/dash/ellipsis char).
+MOJIBAKE_RE = (
+    "[ÂÃ][-ÿ]"
+    "|â€[‘’“”–—…™œ˜¢¦]"
+)
+
+
+def _encoding_exprs(text: Column) -> dict[str, Column]:
+    """The five encoding-sanity expressions over one text column — used by
+    both :func:`encoding_signals` and the :func:`text_signals` one-pass
+    projection so the standalone and fused forms cannot diverge."""
+    n = F.length(text)
+    repl = F.regexp_count(text, F.lit("�"))
+    ctrl = F.regexp_count(text, F.lit(CTRL_CHAR_RE))
+    moji = F.regexp_count(text, F.lit(MOJIBAKE_RE))
+    ascii_ratio = F.when(
+        n > 0,
+        (n - F.regexp_count(text, F.lit(NON_ASCII_RE))).cast("double") / n,
+    ).otherwise(F.lit(1.0))
+    return {
+        "repl_chars": repl.cast("long"),
+        "ctrl_chars": ctrl.cast("long"),
+        "mojibake_seqs": moji.cast("long"),
+        "ascii_ratio": F.round(ascii_ratio, 4),
+        "encoding_ok": (repl == 0) & (ctrl == 0) & (moji == 0),
+    }
+
+
+def encoding_signals(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document encoding-sanity signals — the charset-corruption
+    quality gate every Common-Crawl curation pipeline runs before
+    language ID or dedup (corrupt pages poison shingles and LM scores):
+
+    - ``repl_chars``: U+FFFD replacement characters (a lossy decode
+      already happened upstream);
+    - ``ctrl_chars``: C0 controls (minus ``\\t\\n\\r``) + DEL;
+    - ``mojibake_seqs``: UTF-8-as-Latin-1/cp1252 double-decode artifacts
+      ("CafÃ©", "â€™");
+    - ``ascii_ratio``: printable-ASCII fraction (diagnostic ratio only);
+    - ``encoding_ok``: no replacement, control, or mojibake hits.
+
+    Pure codegen regex counts — zero shuffles, zero Python; at 100 TB
+    this runs at scan speed and column-prunes to ``text``. The boolean
+    gate feeds the same drop/flag plumbing as the C4/Gopher filters.
+    """
+    text = F.col(text_col)
+    e = _encoding_exprs(text)
+    return df.select(
+        F.col(id_col),
+        F.length(text).cast("long").alias("n_chars"),
+        *[c.alias(name) for name, c in e.items()],
+    )
+
+
 def token_stats(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -48,20 +120,30 @@ def token_stats(
 
 
 def text_signals(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    encoding_col: str | None = None,
 ) -> DataFrame:
     """All per-document text-analysis signals in ONE narrow projection:
     token counts (:func:`token_stats`), quality features
     (:func:`quality_score`), stopword-vote language ID (:func:`lang_id`),
-    and content digests (:func:`fingerprint`) — column semantics
-    identical to the individual operators, computed in a single pass so
-    one scan yields the full curation feature row (and one driver oracle
-    evidences all four operator families).
+    content digests (:func:`fingerprint`), and encoding sanity
+    (:func:`encoding_signals`) — column semantics identical to the
+    individual operators, computed in a single pass so one scan yields
+    the full curation feature row (and one driver oracle evidences all
+    five operator families).
+
+    ``encoding_col`` points the encoding-sanity block at a different
+    column (default: ``text_col``) — the driver query uses it to probe a
+    deterministically corrupted twin while every other signal reads the
+    clean text.
 
     Zero shuffles; at 100 TB this runs at scan speed and column-prunes to
     ``text``.
     """
     text = F.col(text_col)
+    enc = _encoding_exprs(F.col(encoding_col or text_col))
     bpe = F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), 0)
 
     # every token-array consumer lives in ONE bound lambda: expressions
@@ -127,6 +209,7 @@ def text_signals(
         pred.alias("pred_lang"),
         F.md5(text).alias("md5_raw"),
         F.md5(norm).alias("md5_norm"),
+        *[c.alias(name) for name, c in enc.items()],
     )
 
 

@@ -188,6 +188,29 @@ def _build_processor(spark: SparkSession, kind: str, opts: dict) -> Stage:
             return df.withColumn("badwords_ok", ok)
 
         return _bad
+    if kind == "encoding_gate":
+        # encoding-sanity quality gate: drop (default) or flag pages with
+        # replacement chars, C0 controls, or mojibake artifacts — same
+        # column expressions as the oracle'd encoding_signals operator,
+        # so the config path cannot drift; pure codegen regex counts
+        from pyspark.sql import functions as F
+
+        from ..operators.textstats import _encoding_exprs
+
+        source = opts.get("source", "body")
+        action = opts.get("action", "drop")
+        if action not in ("drop", "flag"):
+            raise ConfigError(
+                f"encoding_gate action must be drop|flag, got {action!r}"
+            )
+
+        def _gate(df):
+            ok = _encoding_exprs(F.col(source))["encoding_ok"]
+            if action == "drop":
+                return df.where(F.col(source).isNotNull() & ok)
+            return df.withColumn("encoding_ok", ok)
+
+        return _gate
     raise ConfigError(f"unknown processor kind {kind!r}")
 
 

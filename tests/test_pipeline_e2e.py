@@ -559,3 +559,20 @@ def test_curation_processor_kinds_from_config(spark):
         _build_processor(spark, "badwords", {})
     with pytest.raises(ConfigError):
         _build_processor(spark, "badwords", {"words": ["x"], "action": "zap"})
+
+    enc_df = spark.createDataFrame(
+        [
+            ("u1", "clean ascii body."),
+            ("u2", "mojibake CafÃ© artifact"),
+            ("u3", "lossy�decode"),
+        ],
+        "url string, body string",
+    )
+    eg = _build_processor(spark, "encoding_gate", {})(enc_df)
+    assert {r["url"] for r in eg.collect()} == {"u1"}
+    egf = _build_processor(spark, "encoding_gate", {"action": "flag"})(enc_df)
+    assert {r["url"]: r["encoding_ok"] for r in egf.collect()} == {
+        "u1": True, "u2": False, "u3": False
+    }
+    with pytest.raises(ConfigError):
+        _build_processor(spark, "encoding_gate", {"action": "zap"})

@@ -465,6 +465,53 @@ def test_text_signals_matches_individual_operators(docs):
                 assert merged[r["doc_id"]][k] == v, (op.__name__, k)
 
 
+def test_encoding_signals_hand_computed(spark):
+    from opentelemetry_collector_spark.operators.textstats import encoding_signals
+
+    rows = [
+        (1, "plain ascii text."),
+        (2, "CafÃ© on the corner"),  # latin-1 double-decode: 1 mojibake hit
+        (3, "itâ€™s â€œquotedâ€"),  # cp1252 smart quotes
+        (4, "bad�decode�"),  # two replacement chars
+        (5, "ctrl\u0007here\u0000too"),  # BEL + NUL (C0, not \t\n\r)
+        (6, "tabs\tand\nnewlines\rok"),  # whitelisted controls stay clean
+        (7, "français récit déjà"),  # legit non-ascii: low ratio, still ok
+        (8, ""),  # empty: fully ascii by definition
+    ]
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in encoding_signals(spark.createDataFrame(rows, ["doc_id", "text"])).collect()
+    }
+    assert got[1]["encoding_ok"] and got[1]["ascii_ratio"] == 1.0
+    assert got[2]["mojibake_seqs"] == 1 and not got[2]["encoding_ok"]
+    # "â€™" and "â€œ" each match; the bare "â€" + U+009D trailer matches
+    # the [ÂÃ] form zero times (â is not a lead char) but U+009D is a C1
+    # char — outside CTRL_CHAR_RE (C0+DEL), so it only lowers ascii_ratio
+    assert got[3]["mojibake_seqs"] == 2 and got[3]["ctrl_chars"] == 0
+    assert got[4]["repl_chars"] == 2 and not got[4]["encoding_ok"]
+    assert got[5]["ctrl_chars"] == 2 and got[5]["repl_chars"] == 0
+    assert got[6]["encoding_ok"] and got[6]["ctrl_chars"] == 0
+    assert got[7]["encoding_ok"] and got[7]["mojibake_seqs"] == 0
+    assert got[7]["ascii_ratio"] < 1.0
+    assert got[8]["encoding_ok"] and got[8]["ascii_ratio"] == 1.0
+    # ratio is exact: doc 2 has 2 non-ascii chars (Ã, ©) in 19 chars
+    assert got[2]["ascii_ratio"] == round((19 - 2) / 19, 4)
+
+
+def test_encoding_block_rides_text_signals(docs):
+    from opentelemetry_collector_spark.operators.textstats import (
+        encoding_signals,
+        text_signals,
+    )
+
+    fused = {r["doc_id"]: r.asDict() for r in text_signals(docs).collect()}
+    for r in encoding_signals(docs).collect():
+        for k, v in r.asDict().items():
+            if k in ("doc_id", "n_chars"):
+                continue
+            assert fused[r["doc_id"]][k] == v, k
+
+
 def test_doc_signals_matches_individual_operators(docs):
     from opentelemetry_collector_spark.operators.textstats import (
         char_entropy,
