@@ -1870,7 +1870,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("ok"),
             _S.alias("digest"),
         )
-        return p_pii.unionAll(p_c4).unionAll(p_bw)
+        # 'boiler' = host-scoped boilerplate line removal: synthetic hosts
+        # of ~n/20 pages each, a nav header + per-host copyright footer on
+        # 100% of a host's pages (stripped) and a newsletter line on ~1/3
+        # (kept) — the oracle replays the same grouping/threshold in SQL
+        pages_bp = _t(spark, sf, "documents").select(
+            "doc_id",
+            F.concat(F.lit("h"), (F.col("doc_id") % 20).cast("string")).alias(
+                "host"
+            ),
+            F.concat(
+                F.lit("Nav Menu Home | About | Contact\n"),
+                F.col("text"),
+                F.lit("\n"),
+                F.when(
+                    F.col("doc_id") % 3 == 0,
+                    F.lit("Subscribe to our newsletter today."),
+                ).otherwise(
+                    F.concat(F.lit("Unique closing "), F.col("doc_id").cast("string"))
+                ),
+                F.lit("\n© example host h"),
+                (F.col("doc_id") % 20).cast("string"),
+            ).alias("text"),
+        )
+        p_bp = ts_ops.boilerplate_lines(pages_bp).select(
+            F.lit("boiler").alias("part"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("n_lines").alias("k1"),
+            F.col("n_boiler_lines").alias("k2"),
+            _L.alias("k3"),
+            (F.col("n_boiler_lines") == 0).alias("ok"),
+            F.md5(F.col("clean_text")).alias("digest"),
+        )
+        return p_pii.unionAll(p_c4).unionAll(p_bw).unionAll(p_bp)
 
     q["cleanup_suite"] = cleanup_suite
 
@@ -3539,6 +3571,50 @@ FROM (
          || CASE WHEN doc_id % 13 = 0 THEN ' and (blockedbeta) too' ELSE '' END AS text
   FROM documents
 )
+UNION ALL
+SELECT 'boiler' AS part, d.doc_id::BIGINT AS doc_id,
+  len(string_split(d.btext, chr(10)))::BIGINT AS k1,
+  (len(string_split(d.btext, chr(10))) - coalesce(r.n_kept, 0))::BIGINT AS k2,
+  CAST(NULL AS BIGINT) AS k3,
+  (len(string_split(d.btext, chr(10))) = coalesce(r.n_kept, 0)) AS ok,
+  md5(coalesce(r.clean_text, '')) AS digest
+FROM (
+  SELECT doc_id, 'h' || CAST(doc_id % 20 AS VARCHAR) AS host,
+    'Nav Menu Home | About | Contact' || chr(10) || text || chr(10) ||
+    CASE WHEN doc_id % 3 = 0 THEN 'Subscribe to our newsletter today.'
+         ELSE 'Unique closing ' || CAST(doc_id AS VARCHAR) END ||
+    chr(10) || '© example host h' || CAST(doc_id % 20 AS VARCHAR) AS btext
+  FROM documents
+) d
+LEFT JOIN (
+  WITH bkeys AS (
+    SELECT host, doc_id, md5(line) AS dg, line, pos FROM (
+      SELECT doc_id, 'h' || CAST(doc_id % 20 AS VARCHAR) AS host,
+        unnest(string_split(btext, chr(10))) AS line,
+        unnest(range(1, len(string_split(btext, chr(10))) + 1)) AS pos
+      FROM (
+        SELECT doc_id,
+          'Nav Menu Home | About | Contact' || chr(10) || text || chr(10) ||
+          CASE WHEN doc_id % 3 = 0 THEN 'Subscribe to our newsletter today.'
+               ELSE 'Unique closing ' || CAST(doc_id AS VARCHAR) END ||
+          chr(10) || '© example host h' || CAST(doc_id % 20 AS VARCHAR) AS btext
+        FROM documents
+      )
+    )
+  ), line_counts AS (
+    SELECT host, dg, count(DISTINCT doc_id) AS n_with FROM bkeys GROUP BY host, dg
+  ), host_counts AS (
+    SELECT host, count(DISTINCT doc_id) AS n_pages FROM bkeys GROUP BY host
+  ), boiler AS (
+    SELECT l.host, l.dg FROM line_counts l JOIN host_counts h USING (host)
+    WHERE h.n_pages >= 2 AND l.n_with >= h.n_pages * 0.5
+  )
+  SELECT k.doc_id, count(*) AS n_kept,
+    string_agg(k.line, chr(10) ORDER BY k.pos) AS clean_text
+  FROM bkeys k
+  WHERE NOT EXISTS (SELECT 1 FROM boiler b WHERE b.host = k.host AND b.dg = k.dg)
+  GROUP BY k.doc_id
+) r ON d.doc_id = r.doc_id
 """
     o["blocklist_filter"] = """
 WITH p AS (

@@ -589,6 +589,80 @@ def c4_line_filter(
     )
 
 
+def boilerplate_lines(
+    df: DataFrame,
+    host_col: str = "host",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_frac: float = 0.5,
+    min_pages: int = 2,
+) -> DataFrame:
+    """Host-scoped boilerplate line removal (the CCNet/jusText-family
+    template-chrome step): a line that appears on ≥ ``min_frac`` of a
+    host's pages (host having ≥ ``min_pages`` pages) is navigation,
+    cookie-banner, or footer chrome — not content — and is stripped from
+    every page of that host. Returns one row per input page:
+    ``(id, host, n_lines, n_boiler_lines, clean_text)``; a page whose
+    every line is boilerplate survives with ``clean_text = ''``.
+
+    All lines are treated equally, including empty ones — a blank
+    separator repeated across a host's pages is chrome too.
+
+    Scale: lines explode map-side (md5 keys, 32 bytes); the page-fraction
+    count is ONE groupBy on (host, digest) with a partial-aggregated
+    count_distinct; the boilerplate set is host-keyed and corpus-sized in
+    the worst case, so membership is a keyed LEFT ANTI join — broadcast
+    would be the bug, same posture as paragraph dedup; reassembly is a
+    groupBy on the page id with an in-group position sort (never a global
+    sort). No driver-side state.
+    """
+    host, did, text = F.col(host_col), F.col(id_col), F.col(text_col)
+    lines = df.select(
+        host.alias("__h"),
+        did.alias("__id"),
+        F.posexplode(F.split(text, "\n")).alias("__pos", "__line"),
+    ).withColumn("__d", F.md5(F.col("__line")))
+    per_line = lines.groupBy("__h", "__d").agg(
+        F.count_distinct(F.col("__id")).alias("__n_with")
+    )
+    per_host = df.groupBy(host.alias("__h")).agg(
+        F.count_distinct(did).alias("__n_pages")
+    )
+    boiler = (
+        per_line.join(per_host, "__h")
+        .where(
+            (F.col("__n_pages") >= F.lit(min_pages))
+            & (F.col("__n_with") >= F.col("__n_pages") * F.lit(min_frac))
+        )
+        .select("__h", "__d")
+    )
+    kept = lines.join(boiler, ["__h", "__d"], "left_anti")
+    rebuilt = kept.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("__n_kept"),
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+                lambda s: s["__line"],
+            ),
+        ).alias("clean_text"),
+    )
+    base = df.select(
+        did.alias("__id"),
+        host.alias("host"),
+        F.size(F.split(text, "\n")).cast("long").alias("n_lines"),
+    )
+    return base.join(rebuilt, "__id", "left").select(
+        F.col("__id").alias(id_col),
+        "host",
+        "n_lines",
+        (F.col("n_lines") - F.coalesce(F.col("__n_kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_boiler_lines"),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+    )
+
+
 def badwords_filter(
     df: DataFrame,
     words: list[str],

@@ -160,7 +160,11 @@ _PLAN_SHUFFLE_BUDGET = {
     "chunk_dedup": 5,
     "paragraph_dedup": 3,  # para-hash agg + keyed join back + per-doc reassembly
     "doc_signals": 1,  # small-scan fan-out (round-robin; no-op at scale)
-    "cleanup_suite": 0,  # pii scrub + c4 line edit + badwords flag, all narrow scan-speed
+    # pii scrub + c4 line edit + badwords flag are narrow scan-speed; the
+    # boilerplate part legitimately shuffles: (host,digest) page-fraction
+    # agg, host page counts, keyed anti-join (set is corpus-sized — never
+    # broadcast), per-page reassembly, final id join
+    "cleanup_suite": 5,
     "blocklist_filter": 1,  # blocklist-side distinct only; pages never shuffle
     # stratified rank window + hash-sample rollup agg (2) + the dsir
     # part's fit/score aggs: ONE bucket groupBy inlined under model and

@@ -465,6 +465,36 @@ def test_text_signals_matches_individual_operators(docs):
                 assert merged[r["doc_id"]][k] == v, (op.__name__, k)
 
 
+def test_boilerplate_lines_host_scoped(spark):
+    from opentelemetry_collector_spark.operators.textstats import boilerplate_lines
+
+    nav = "Nav | Home | About"
+    rows = [
+        ("h1", 1, nav + "\ncontent one\n© h1"),
+        ("h1", 2, nav + "\ncontent two\n© h1"),
+        ("h1", 3, nav + "\ncontent three\n© h1\nextra"),
+        ("h2", 4, nav + "\nother host keeps its nav"),
+    ]
+    df = spark.createDataFrame(rows, "host string, doc_id long, text string")
+    got = {r["doc_id"]: r for r in boilerplate_lines(df).collect()}
+    # nav + © ride 100% of h1's 3 pages → stripped; per-page content and
+    # the 1/3-page 'extra' line (< 50%) survive in original order
+    assert got[1]["clean_text"] == "content one"
+    assert got[1]["n_lines"] == 3 and got[1]["n_boiler_lines"] == 2
+    assert got[3]["clean_text"] == "content three\nextra"
+    # single-page host: below min_pages, nothing stripped
+    assert got[4]["clean_text"] == rows[3][2] and got[4]["n_boiler_lines"] == 0
+    # a page that is ALL boilerplate survives as an empty page, not a lost row
+    rows2 = [("h3", 10, nav), ("h3", 11, nav)]
+    got2 = {
+        r["doc_id"]: r
+        for r in boilerplate_lines(
+            spark.createDataFrame(rows2, "host string, doc_id long, text string")
+        ).collect()
+    }
+    assert got2[10]["clean_text"] == "" and got2[10]["n_boiler_lines"] == 1
+
+
 def test_encoding_signals_hand_computed(spark):
     from opentelemetry_collector_spark.operators.textstats import encoding_signals
 
