@@ -1713,7 +1713,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("chunk_idx").cast("long").alias("idx"),
             F.md5("chunk_text").alias("chunk_md5"),
         )
-        return pack.unionByName(chunk)
+        # 'shard': deterministic global shuffle + sharding — the export
+        # permutation (md5-keyed, no total sort; one hash shuffle); the
+        # oracle replays key/shard/rank exactly via the 60-bit bridge
+        shard = ts_ops.shuffle_shards(docs, n_shards=16).select(
+            F.lit("shard").alias("part"),
+            "doc_id",
+            F.lit(None).cast("long").alias("len"),
+            F.col("pos_in_shard").alias("start"),
+            F.col("shard_id").cast("long").alias("idx"),
+            F.lit("").alias("chunk_md5"),
+        )
+        return pack.unionByName(chunk).unionByName(shard)
 
     q["pack_sequences"] = pack_sequences_q
 
@@ -3460,7 +3471,19 @@ SELECT 'chunk' AS part, doc_id,
     ws[(i*96 + 1)::BIGINT:(i*96 + least(128, len(ws) - i*96))::BIGINT], ' '
   )) AS chunk_md5
 FROM w, unnest(generate_series(0, ((len(ws) - 1) // 96)::BIGINT)) AS t(i)
-"""
+UNION ALL
+SELECT 'shard' AS part, doc_id, CAST(NULL AS BIGINT) AS len,
+  (row_number() OVER (PARTITION BY k % 16 ORDER BY k, doc_id) - 1)::BIGINT AS start,
+  (k % 16)::BIGINT AS idx,
+  '' AS chunk_md5
+FROM (
+  SELECT doc_id,
+    {hexlong} AS k
+  FROM documents
+)
+""".replace(
+        "{hexlong}", _dd_hexlong("'0#' || CAST(doc_id AS VARCHAR)")
+    )
 
     # tf-idf keywords: ln + tf*idf both ranked on the 9-dp rounding
     # (term ASC tiebreak) exactly like the Spark window

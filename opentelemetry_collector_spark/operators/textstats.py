@@ -1524,6 +1524,43 @@ def pack_sequences(
     )
 
 
+def shuffle_shards(
+    df: DataFrame,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic global shuffle + sharding for training-data export:
+    every training run wants the corpus in a reproducible random order,
+    split into fixed shard files. The permutation key is the
+    engine-independent 60-bit md5 integer of ``seed#id``
+    (:func:`~..dedup.md5_long`), the shard is ``key mod n_shards``, and
+    the in-shard position ranks by (key, id).
+
+    Scale: NO total sort — shard assignment is a map-side hash, and each
+    shard orders independently (``row_number`` over the shard partition),
+    so the only data movement is one hash shuffle on ``shard_id``. Size
+    ``n_shards`` so a shard fits an executor (at 100 TB that's thousands
+    of shards, each a few GB — exactly the export-file granularity).
+    Re-running at ANY parallelism yields identical ``(shard, pos)``
+    assignments, which is what makes a resumable export manifest and a
+    different seed a fresh, independent permutation.
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    key = md5_long(F.col(id_col).cast("string"), seed=seed)
+    w = Window.partitionBy("shard_id").orderBy(F.col("__key"), F.col(id_col))
+    return (
+        df.select(
+            F.col(id_col),
+            key.alias("__key"),
+            F.pmod(key, F.lit(n_shards)).cast("int").alias("shard_id"),
+        )
+        .withColumn("pos_in_shard", (F.row_number().over(w) - 1).cast("long"))
+        .select(id_col, "shard_id", "pos_in_shard")
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     chunk_tokens: int = 128,

@@ -197,9 +197,11 @@ _PLAN_SHUFFLE_BUDGET = {
     # weights part (token agg ×2-phase) + the resample part re-derives
     # the same tiny weights aggregate for its broadcast (AQE reuses)
     "mixture_weights": 4,
-    # two visible: per-partition window + tiny totals agg (the range
-    # exchange is materialized once behind the localCheckpoint pin)
-    "pack_sequences": 2,
+    # three visible: per-partition window + tiny totals agg (the range
+    # exchange is materialized once behind the localCheckpoint pin) + the
+    # shard part's single hash shuffle on shard_id (deliberately not a
+    # total sort — in-shard row_number only)
+    "pack_sequences": 3,
     "ann_suite": 18,  # brute partial+final top-k (2, behind the
     # localCheckpoint pin shared with the ivf/sq8 recall gates) +
     # exact-pairs broadcast cross join (0) + lsh band join (1) + the

@@ -465,6 +465,46 @@ def test_text_signals_matches_individual_operators(docs):
                 assert merged[r["doc_id"]][k] == v, (op.__name__, k)
 
 
+def test_shuffle_shards_deterministic_permutation(spark):
+    import hashlib
+
+    from opentelemetry_collector_spark.operators.textstats import shuffle_shards
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    got = {
+        r["doc_id"]: (r["shard_id"], r["pos_in_shard"])
+        for r in shuffle_shards(df, n_shards=8).collect()
+    }
+    assert len(got) == 500
+    # positions are contiguous 0..n-1 within every shard
+    by_shard = {}
+    for s, p in got.values():
+        by_shard.setdefault(s, []).append(p)
+    assert set(by_shard) <= set(range(8))
+    for ps in by_shard.values():
+        assert sorted(ps) == list(range(len(ps)))
+    # engine-independent: matches the reference Python permutation exactly
+    def key(i):
+        return int(hashlib.md5(f"0#{i}".encode()).hexdigest()[17:32], 16)
+    for s in by_shard:
+        want = sorted((i for i in range(500) if key(i) % 8 == s), key=lambda i: (key(i), i))
+        assert [i for i, (sh, p) in sorted(got.items(), key=lambda kv: kv[1][1]) if sh == s] == want
+    # different parallelism → identical assignment (resumable manifests)
+    again = {
+        r["doc_id"]: (r["shard_id"], r["pos_in_shard"])
+        for r in shuffle_shards(df.repartition(3), n_shards=8).collect()
+    }
+    assert again == got
+    # a different seed is an independent permutation
+    other = {
+        r["doc_id"]: (r["shard_id"], r["pos_in_shard"])
+        for r in shuffle_shards(df, n_shards=8, seed=1).collect()
+    }
+    assert other != got
+    with pytest.raises(ValueError):
+        shuffle_shards(df, n_shards=0)
+
+
 def test_boilerplate_lines_host_scoped(spark):
     from opentelemetry_collector_spark.operators.textstats import boilerplate_lines
 
