@@ -1716,7 +1716,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 'shard': deterministic global shuffle + sharding — the export
         # permutation (md5-keyed, no total sort; one hash shuffle); the
         # oracle replays key/shard/rank exactly via the 60-bit bridge
-        shard = ts_ops.shuffle_shards(docs, n_shards=16).select(
+        sharded = ts_ops.shuffle_shards(docs, n_shards=16)
+        shard = sharded.select(
             F.lit("shard").alias("part"),
             "doc_id",
             F.lit(None).cast("long").alias("len"),
@@ -1724,7 +1725,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("shard_id").cast("long").alias("idx"),
             F.lit("").alias("chunk_md5"),
         )
-        return pack.unionByName(chunk).unionByName(shard)
+        # 'manifest': per-shard export manifest — count + position-ordered
+        # id digest (the resumability check; 16 metadata-sized rows)
+        manifest = ts_ops.shard_manifest(sharded).select(
+            F.lit("manifest").alias("part"),
+            F.col("shard_id").cast("long").alias("doc_id"),
+            F.col("n_docs").alias("len"),
+            F.lit(None).cast("long").alias("start"),
+            F.col("shard_id").cast("long").alias("idx"),
+            F.col("manifest_md5").alias("chunk_md5"),
+        )
+        return (
+            pack.unionByName(chunk).unionByName(shard).unionByName(manifest)
+        )
 
     q["pack_sequences"] = pack_sequences_q
 
@@ -3481,6 +3494,17 @@ FROM (
     {hexlong} AS k
   FROM documents
 )
+UNION ALL
+SELECT 'manifest' AS part, (k % 16)::BIGINT AS doc_id,
+  count(*)::BIGINT AS len, CAST(NULL AS BIGINT) AS start,
+  (k % 16)::BIGINT AS idx,
+  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY k, doc_id)) AS chunk_md5
+FROM (
+  SELECT doc_id,
+    {hexlong} AS k
+  FROM documents
+)
+GROUP BY k % 16
 """.replace(
         "{hexlong}", _dd_hexlong("'0#' || CAST(doc_id AS VARCHAR)")
     )

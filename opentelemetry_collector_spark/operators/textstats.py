@@ -1561,6 +1561,43 @@ def shuffle_shards(
     )
 
 
+def shard_manifest(
+    sharded: DataFrame,
+    id_col: str = "doc_id",
+    shard_col: str = "shard_id",
+    pos_col: str = "pos_in_shard",
+) -> DataFrame:
+    """Per-shard export manifest over :func:`shuffle_shards` output:
+    ``(shard_id, n_docs, manifest_md5)`` where the digest hashes the
+    shard's id sequence IN POSITION ORDER — two exports match iff every
+    shard holds the same documents in the same order, which is the
+    resumability check a 100 TB export needs (re-verify a restarted
+    export against the manifest instead of re-reading the data).
+
+    One groupBy on the shard key (n_shards rows out — metadata-sized at
+    any corpus scale); the in-group sort is per-shard, never global.
+    """
+    return sharded.groupBy(F.col(shard_col).alias("shard_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col(pos_col).alias("p"),
+                                F.col(id_col).cast("string").alias("i"),
+                            )
+                        )
+                    ),
+                    lambda s: s["i"],
+                ),
+            )
+        ).alias("manifest_md5"),
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     chunk_tokens: int = 128,

@@ -197,11 +197,17 @@ _PLAN_SHUFFLE_BUDGET = {
     # weights part (token agg ×2-phase) + the resample part re-derives
     # the same tiny weights aggregate for its broadcast (AQE reuses)
     "mixture_weights": 4,
-    # three visible: per-partition window + tiny totals agg (the range
-    # exchange is materialized once behind the localCheckpoint pin) + the
-    # shard part's single hash shuffle on shard_id (deliberately not a
-    # total sort — in-shard row_number only)
-    "pack_sequences": 3,
+    # per-partition window + tiny totals agg (the range exchange is
+    # materialized once behind the localCheckpoint pin) + the shard
+    # part's single hash shuffle on shard_id (deliberately not a total
+    # sort — in-shard row_number only) + the manifest part's shard-grain
+    # groupBy. The shard-assignment window appears twice (shard + manifest
+    # branches of the union): in production the export WRITES the
+    # assignment and the manifest reads it back, so the double pass is a
+    # demonstration-query artifact, not the operator's shape — and the
+    # assignment frame is corpus-sized, so pinning it would violate the
+    # tiny-frames-only localCheckpoint policy (pins.py)
+    "pack_sequences": 6,
     "ann_suite": 18,  # brute partial+final top-k (2, behind the
     # localCheckpoint pin shared with the ivf/sq8 recall gates) +
     # exact-pairs broadcast cross join (0) + lsh band join (1) + the

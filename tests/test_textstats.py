@@ -505,6 +505,44 @@ def test_shuffle_shards_deterministic_permutation(spark):
         shuffle_shards(df, n_shards=0)
 
 
+def test_shard_manifest_detects_order_and_membership(spark):
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_spark.operators.textstats import (
+        shard_manifest,
+        shuffle_shards,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+    sharded = shuffle_shards(df, n_shards=4)
+    m1 = {
+        r["shard_id"]: (r["n_docs"], r["manifest_md5"])
+        for r in shard_manifest(sharded).collect()
+    }
+    # a re-run (restarted export) reproduces the manifest exactly
+    m2 = {
+        r["shard_id"]: (r["n_docs"], r["manifest_md5"])
+        for r in shard_manifest(shuffle_shards(df, n_shards=4)).collect()
+    }
+    assert m1 == m2
+    assert sum(n for n, _ in m1.values()) == 100
+    # moving the first doc of shard 0 to the end changes shard 0's digest
+    # and ONLY shard 0's (order is part of the contract)
+    first = sharded.where((F.col("shard_id") == 0) & (F.col("pos_in_shard") == 0))
+    moved_id = first.collect()[0]["doc_id"]
+    reordered = sharded.withColumn(
+        "pos_in_shard",
+        F.when(F.col("doc_id") == moved_id, F.lit(10_000)).otherwise(
+            F.col("pos_in_shard")
+        ),
+    )
+    m3 = {
+        r["shard_id"]: (r["n_docs"], r["manifest_md5"])
+        for r in shard_manifest(reordered).collect()
+    }
+    assert m3[0] != m1[0] and all(m3[s] == m1[s] for s in m1 if s != 0)
+
+
 def test_boilerplate_lines_host_scoped(spark):
     from opentelemetry_collector_spark.operators.textstats import boilerplate_lines
 
