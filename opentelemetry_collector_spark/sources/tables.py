@@ -194,3 +194,36 @@ def write_bucketed(
     if sort_by is not None:
         w = w.sortBy(sort_by)
     w.saveAsTable(table)
+
+
+def write_shards(
+    df: DataFrame,
+    sharded: DataFrame,
+    path: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+    mode: str = "overwrite",
+) -> None:
+    """Materialize a :func:`~..operators.textstats.shuffle_shards`
+    permutation as the export layout: one parquet directory per shard
+    (``partitionBy(shard_id)``), rows in position order inside each
+    shard's file, ``pos_in_shard`` stored so a read-back can re-derive
+    the manifest (`shard_manifest`) and verify a restarted export.
+
+    Scale: the assignment joins back to the corpus keyed on the id — it
+    is corpus-sized, so this is deliberately a shuffle join (broadcast
+    would be the bug); ``repartition(n_shards, shard_id)`` (the caller passes the same\n    ``n_shards`` it gave shuffle_shards) then gives
+    ~one task per shard writing one position-sorted file. Shard-id hash
+    collisions just mean a task writes two directories — each directory
+    still holds its shard's rows in order.
+    """
+    if n_shards < 1:
+        raise ValueError("write_shards: n_shards must be >= 1")
+    (
+        df.join(sharded, id_col)
+        .repartition(n_shards, F.col("shard_id"))
+        .sortWithinPartitions("shard_id", "pos_in_shard")
+        .write.mode(mode)
+        .partitionBy("shard_id")
+        .parquet(path)
+    )

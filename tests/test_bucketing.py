@@ -72,3 +72,47 @@ def test_unbucketed_join_does_shuffle(spark, bucketed_pair):
         assert "Exchange hashpartitioning" in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_write_shards_roundtrip_verifies_manifest(spark, tmp_path):
+    """Export loop end-to-end: permute (shuffle_shards) → write
+    (write_shards, one directory per shard, position-sorted) → read back
+    → the re-derived manifest matches the pre-write one exactly."""
+    from opentelemetry_collector_spark.operators.textstats import (
+        shard_manifest,
+        shuffle_shards,
+    )
+    from opentelemetry_collector_spark.sources.tables import write_shards
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    sharded = shuffle_shards(docs, n_shards=4)
+    want = {
+        r["shard_id"]: (r["n_docs"], r["manifest_md5"])
+        for r in shard_manifest(sharded).collect()
+    }
+    out = str(tmp_path / "export")
+    write_shards(docs, sharded, out, n_shards=4)
+
+    back = spark.read.parquet(out)
+    assert {"doc_id", "text", "pos_in_shard", "shard_id"} <= set(back.columns)
+    got = {
+        r["shard_id"]: (r["n_docs"], r["manifest_md5"])
+        for r in shard_manifest(back).collect()
+    }
+    assert got == want
+    # every shard directory exists and each holds ONE position-sorted file
+    import os
+
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("shard_id="))
+    assert dirs == [f"shard_id={s}" for s in sorted(want)]
+    import pyarrow.parquet as pq
+
+    for d in dirs:
+        files = [f for f in os.listdir(f"{out}/{d}") if f.endswith(".parquet")]
+        assert len(files) == 1
+        pos = pq.read_table(f"{out}/{d}/{files[0]}", columns=["pos_in_shard"])
+        vals = pos.column(0).to_pylist()
+        assert vals == sorted(vals) == list(range(len(vals)))
+
+    with pytest.raises(ValueError):
+        write_shards(docs, sharded, out, n_shards=0)
