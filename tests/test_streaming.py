@@ -892,3 +892,42 @@ def test_bloom_gate_survives_colliding_record_columns(spark, tmp_path):
     assert set(rows) == {11}
     # user columns intact
     assert (rows[11]["m_bits"], rows[11]["k"], rows[11]["words"]) == (3, 4, "w2")
+
+
+def test_config_declared_encoding_gate_drops_corrupt_records(spark, tmp_path):
+    """encoding_gate as a config-declared streaming processor: records
+    whose body carries a lossy-decode marker never reach the sink; the
+    stream total matches the batch twin with the same gate applied."""
+    from opentelemetry_collector_spark.plans.config import load_config
+
+    d = str(tmp_path / "pages")
+    _write_pages_files(spark, d, n_files=1, rows_per_file=30)
+    # plant one page whose FIRST line carries a replacement character
+    pdf = generate_pages_pandas(np.arange(1000, 1002, dtype=np.uint64))
+    pdf.loc[0, "text"] = "� " + str(pdf.loc[0, "text"])
+    spark.createDataFrame(pdf, PAGES_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+
+    records = parse_pages(spark.read.parquet(d))
+    total = records.count()
+    corrupt = records.where(F.col("body").contains("�")).count()
+    assert corrupt >= 1  # the planted line parsed into a record
+
+    cfg = f"""
+receivers:
+  pages: {{kind: pages_parquet, path: {d}}}
+processors:
+  gate: {{kind: encoding_gate}}
+exporters:
+  audit: {{kind: parquet, all: true}}
+service:
+  pipelines:
+    logs: {{receivers: [pages], processors: [gate], exporters: [audit]}}
+"""
+    pipe = StreamingPipeline.from_config(
+        spark, load_config(cfg), "logs", str(tmp_path / "sinks")
+    )
+    q = pipe.start(checkpoint_dir=str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    assert pipe.sink_counts()["audit"] == total - corrupt
