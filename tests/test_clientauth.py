@@ -174,3 +174,32 @@ def test_auth_config_validation(tmp_path):
     cfg2["service"] = dict(cfg2["service"], extensions=["auth/bearer", "ghost"])
     with pytest.raises(ConfigError, match="unknown extension"):
         load_config(cfg2)
+
+
+def test_e2e_tenant_routing_on_auth_attribute(spark, tmp_path):
+    """The client.Info consumption doc's routing use-case
+    (client/client.go:47-50): fan the pipeline out per authenticator
+    attribute — records from the 'ingest'-membership tenant land in
+    their own sink, everything else takes the default route."""
+    src = str(tmp_path / "requests")
+    _requests(spark).write.parquet(src)
+    cfg = _cfg(src)
+    cfg["processors"] = {
+        "client_attribute": {"attribute": "membership"},
+    }
+    cfg["exporters"] = {
+        "sink_ingest": {"kind": "parquet", "predicate": 'membership == "ingest"'},
+        "sink_default": {"kind": "parquet", "default": True},
+    }
+    cfg["service"]["pipelines"]["logs"]["exporters"] = [
+        "sink_ingest",
+        "sink_default",
+    ]
+    runner = BatchPipelineRunner(spark, load_config(cfg), str(tmp_path / "out"))
+    runner.run()
+    ingest = {r["event_id"] for r in runner.read_sink("logs", "sink_ingest").collect()}
+    default = {r["event_id"] for r in runner.read_sink("logs", "sink_default").collect()}
+    # tok-a carries membership=ingest; tok-b authenticates but has no
+    # membership attribute → default; refused requests reach NO sink
+    assert ingest == {1}
+    assert default == {2}
