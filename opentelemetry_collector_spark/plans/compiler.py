@@ -95,6 +95,18 @@ def _build_processor(spark: SparkSession, kind: str, opts: dict) -> Stage:
         dim = lkp_lang(spark)
         return lambda df: enrich_lang_family(df, dim)
     if kind == "batch":
+        md_keys = list(opts.get("metadata_keys") or [])
+        if md_keys:
+            # metadata_keys batching (batch_processor.go:65-75): batches
+            # never mix values of these keys. Stage half: co-locate each
+            # value-set (repartition on the key tuple, not url-hash); the
+            # runner adds the write half — partitionBy(sink, *keys) — and
+            # enforces metadata_cardinality_limit (default 1000,
+            # config.go:51-56) with one bounded count-distinct
+            return batch_repartition(
+                partitions=opts.get("partitions"),
+                key=F.struct(*[F.col(k) for k in md_keys]),
+            )
         return batch_repartition(
             partitions=opts.get("partitions"),
             key=opts.get("key", "url"),
@@ -117,7 +129,6 @@ def _build_processor(spark: SparkSession, kind: str, opts: dict) -> Stage:
         # config-declarable curation: redact emails/IPs/phones IN PLACE
         # on `source` (attributes-processor-style value rewrite); with
         # counters: true the match counts ride along for drop-rate audits
-        from pyspark.sql import functions as F
 
         from ..operators.redact import pii_counts, redact_text
 
@@ -142,7 +153,6 @@ def _build_processor(spark: SparkSession, kind: str, opts: dict) -> Stage:
         # additionally drops pages failing the page rule (min kept lines,
         # no braces, no lorem-ipsum) — same expressions as the oracle'd
         # c4_line_filter via the shared helpers, so the two cannot drift
-        from pyspark.sql import functions as F
 
         from ..operators.textstats import c4_lines_kept, c4_page_flags
 
@@ -167,7 +177,6 @@ def _build_processor(spark: SparkSession, kind: str, opts: dict) -> Stage:
         # blocklist folded into the plan as a literal array (no join);
         # action: drop (default) removes flagged pages, flag keeps them
         # with a badwords_ok column
-        from pyspark.sql import functions as F
 
         words = opts.get("words") or []
         if not words:
@@ -193,7 +202,6 @@ def _build_processor(spark: SparkSession, kind: str, opts: dict) -> Stage:
         # replacement chars, C0 controls, or mojibake artifacts — same
         # column expressions as the oracle'd encoding_signals operator,
         # so the config path cannot drift; pure codegen regex counts
-        from pyspark.sql import functions as F
 
         from ..operators.textstats import _encoding_exprs
 
@@ -334,10 +342,19 @@ class BatchPipelineRunner:
             # would leak the cap across pipelines — per-pipeline processor
             # isolation, docs/design.md:121-152)
             write_cap: int | None = None
+            md_keys: list[str] = []
+            md_limit = 1000
             for proc_name in p.processors:
                 c = self.config.processors[proc_name]
                 if c.kind == "batch" and c.options.get("send_batch_max_size"):
                     write_cap = int(c.options["send_batch_max_size"])
+                if c.kind == "batch" and c.options.get("metadata_keys"):
+                    # write half of metadata_keys batching: files split per
+                    # value-set via partitionBy (batch_processor.go:65-75)
+                    md_keys = list(c.options["metadata_keys"])
+                    md_limit = int(
+                        c.options.get("metadata_cardinality_limit", 1000)
+                    )
                 df = _build_processor(self.spark, c.kind, c.options)(df)
                 stage = f"processor/{pname}/{proc_name}"
                 df = self.telemetry.observe(df, stage)
@@ -349,6 +366,15 @@ class BatchPipelineRunner:
 
             # split exporters into connectors vs sinks
             routes: list[Route] = []
+            # per-exporter codec (configcompression analog); validate()
+            # already guaranteed all sink exporters in this pipeline agree
+            compression: str | None = None
+            for e in p.exporters:
+                if e in self.config.exporters:
+                    compression = (
+                        self.config.exporters[e].options.get("compression")
+                        or compression
+                    )
             for e in p.exporters:
                 if e in self.config.connectors:
                     self._connector_frames.setdefault(e, []).append(
@@ -375,11 +401,33 @@ class BatchPipelineRunner:
             # path already persists before fan-out, stream.py)
             assigned = router.assign(df).persist()
             try:
+                if md_keys:
+                    # metadata_cardinality_limit (config.go:51-56): the
+                    # reference's batcher errors past the combination cap
+                    # at runtime; here it is ONE bounded count-distinct
+                    # over the already-persisted routed frame (key tuples
+                    # are config-chosen low-cardinality columns)
+                    n_combos = assigned.select(
+                        F.count_distinct(F.struct(*md_keys)).alias("n")
+                    ).collect()[0]["n"]
+                    if n_combos > md_limit:
+                        raise ConfigError(
+                            f"batch metadata_keys {md_keys}: "
+                            f"{n_combos} metadata-value combinations exceed "
+                            f"metadata_cardinality_limit={md_limit}"
+                        )
                 sink_root = f"{self.out_root}/{pname}"
                 sink = IdempotentParquetSink(sink_root, name=pname)
                 self._epoch_sinks[pname] = sink
                 router.write_partitioned(
-                    assigned, sink, epoch_id=epoch_id, max_records_per_file=write_cap
+                    assigned,
+                    sink,
+                    epoch_id=epoch_id,
+                    max_records_per_file=write_cap,
+                    partition_keys=md_keys or None,
+                    compression=(
+                        "uncompressed" if compression == "none" else compression
+                    ),
                 )
 
                 # exporter counters from what actually landed (obsreport

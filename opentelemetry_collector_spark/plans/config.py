@@ -39,6 +39,11 @@ _LEGACY_ENV_RE = re.compile(r"\$\{([A-Za-z_][A-Za-z0-9_]*)\}")
 
 _MAX_EXPANSIONS = 100  # errTooManyRecursiveExpansions analog
 
+# the intersection of the reference's compression enum
+# (configcompression/compressionType.go:21-28) and parquet's codec set;
+# "none" maps to parquet's uncompressed
+_PARQUET_CODECS = {"gzip", "snappy", "zstd", "none"}
+
 
 def _yaml_load(text: str):
     """yaml.safe_load with parse failures wrapped as ConfigError — a bad
@@ -255,6 +260,43 @@ class CollectorConfig:
             if x not in self.extensions:
                 raise ConfigError(
                     f"service.extensions references unknown extension {x!r}"
+                )
+        # exporter compression (configcompression analog,
+        # config/configcompression/compressionType.go:21-28). The parquet
+        # writer supports a strict subset of the reference's enum; zlib/
+        # deflate exist on the reference's wire but have no parquet codec.
+        for e in self.exporters.values():
+            comp = e.options.get("compression")
+            if comp is None:
+                continue
+            if comp in ("zlib", "deflate"):
+                raise ConfigError(
+                    f"exporter {e.name!r}: compression {comp!r} is a wire "
+                    "codec with no parquet equivalent — use gzip, snappy, "
+                    "zstd, or none"
+                )
+            if comp not in _PARQUET_CODECS:
+                raise ConfigError(
+                    f"exporter {e.name!r}: unsupported compression {comp!r} "
+                    f"(supported: {sorted(_PARQUET_CODECS)})"
+                )
+        for p in self.pipelines.values():
+            # exporters sharing one pipeline share its single fan-out write
+            # (one parquet job, partitionBy(sink)) — the per-connection
+            # codec choice the reference allows per exporter therefore must
+            # agree within a pipeline; mixing codecs means separate
+            # pipelines (and separate writes)
+            codecs = {
+                self.exporters[e].options["compression"]
+                for e in p.exporters
+                if e in self.exporters
+                and self.exporters[e].options.get("compression") is not None
+            }
+            if len(codecs) > 1:
+                raise ConfigError(
+                    f"pipeline {p.name!r}: exporters declare conflicting "
+                    f"compression codecs {sorted(codecs)} but share one "
+                    "fan-out write — split them into separate pipelines"
                 )
         for r in self.receivers.values():
             auth = r.options.get("auth")

@@ -160,8 +160,16 @@ class FanoutRouter:
         sink: IdempotentParquetSink,
         epoch_id: int = 0,
         max_records_per_file: int | None = None,
+        partition_keys: list[str] | None = None,
+        compression: str | None = None,
     ) -> int:
         """Single-job fan-out: explode sink membership, partitionBy(sink).
+
+        ``partition_keys`` extends the layout to
+        ``partitionBy(sink, *keys)`` — the batch processor's
+        ``metadata_keys`` contract (batch_processor.go:65-75): no output
+        batch (file) ever mixes records with different values of those
+        keys, because the writer splits them into per-value directories.
 
         Exactly-once: the whole epoch (all sinks) commits atomically via the
         sink's epoch marker. Total and per-sink "sent" counters ride the
@@ -185,7 +193,14 @@ class FanoutRouter:
         ]
         observed = exploded.observe(obs, F.count(F.lit(1)).alias("__total"), *per_sink)
         epoch_dir = f"{sink.data_dir}/epoch={epoch_id}"
-        writer = observed.write.mode("overwrite").partitionBy("sink")
+        writer = observed.write.mode("overwrite").partitionBy(
+            "sink", *(partition_keys or [])
+        )
+        if compression:
+            # per-WRITE codec (configcompression analog) — a write option,
+            # never spark.sql.parquet.compression.codec, which would leak
+            # the choice across pipelines sharing the session
+            writer = writer.option("compression", compression)
         if max_records_per_file:
             # per-WRITE output-batch cap (send_batch_max_size analog) —
             # never the session-global conf, which would leak across

@@ -576,3 +576,155 @@ def test_curation_processor_kinds_from_config(spark):
     }
     with pytest.raises(ConfigError):
         _build_processor(spark, "encoding_gate", {"action": "zap"})
+
+
+def test_metadata_keys_batching_never_mixes_key_values(spark, tmp_path):
+    """batch processor metadata_keys (batch_processor.go:65-75): no output
+    batch ever mixes records with different values of the declared keys.
+    Spark mapping: the batch stage co-locates each value-set and the writer
+    lays out partitionBy(sink, *keys), so a file IS a single-value batch."""
+    import glob
+
+    cfg_txt = """
+receivers:
+  pages_synthetic:
+    n_rows: 80
+processors:
+  parse:
+    engine: sql
+  batch/md:
+    kind: batch
+    partitions: 4
+    metadata_keys: [severity_text]
+exporters:
+  sink_a:
+    kind: parquet
+    all: true
+service:
+  pipelines:
+    md:
+      receivers: [pages_synthetic]
+      processors: [parse, batch/md]
+      exporters: [sink_a]
+"""
+    import pyarrow.parquet as pq
+
+    runner = BatchPipelineRunner(spark, load_config(cfg_txt), str(tmp_path / "md"))
+    result = runner.run()
+    d = runner._epoch_sinks["md"].data_dir
+    files = glob.glob(f"{d}/epoch=0/sink=*/severity_text=*/part-*.parquet")
+    assert files, "expected per-key-value partition directories"
+    vals = {f.split("severity_text=")[1].split("/")[0] for f in files}
+    assert len(vals) >= 2, f"synthetic corpus should span severities, got {vals}"
+    # the key lives in the DIRECTORY, not the file — structurally no file
+    # can mix values (the reference's invariant, batch_processor.go:65-75)
+    for f in files[:4]:
+        assert "severity_text" not in pq.read_schema(f).names
+    # nothing lost to the layout change: read-back row count matches the
+    # exporter's sent counter (records with empty severity land under the
+    # hive default partition, still counted)
+    back = spark.read.parquet(f"{d}/epoch=0")
+    assert back.count() == result.sink_counts()["sink_a"]
+
+
+def test_metadata_cardinality_limit_rejects_high_cardinality(spark, tmp_path):
+    """metadata_cardinality_limit (batchprocessor config.go:51-56): the
+    reference errors when client-metadata combinations exceed the cap; the
+    runner mirrors it with one bounded count-distinct before the write."""
+    cfg_txt = """
+receivers:
+  pages_synthetic:
+    n_rows: 80
+processors:
+  parse:
+    engine: sql
+  batch/md:
+    kind: batch
+    metadata_keys: [severity_text]
+    metadata_cardinality_limit: 1
+exporters:
+  sink_a:
+    kind: parquet
+    all: true
+service:
+  pipelines:
+    md:
+      receivers: [pages_synthetic]
+      processors: [parse, batch/md]
+      exporters: [sink_a]
+"""
+    runner = BatchPipelineRunner(spark, load_config(cfg_txt), str(tmp_path / "mdcap"))
+    with pytest.raises(ConfigError, match="metadata_cardinality_limit"):
+        runner.run()
+
+
+def test_exporter_compression_lands_in_parquet_footers(spark, tmp_path):
+    """configcompression analog (compressionType.go:21-28): an exporter's
+    `compression` choice is applied as a per-WRITE parquet codec option
+    (never the session conf, which would leak across pipelines)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    cfg_txt = """
+receivers:
+  pages_synthetic:
+    n_rows: 40
+processors:
+  parse:
+    engine: sql
+exporters:
+  sink_gz:
+    kind: parquet
+    all: true
+    compression: gzip
+service:
+  pipelines:
+    gz:
+      receivers: [pages_synthetic]
+      processors: [parse]
+      exporters: [sink_gz]
+"""
+    runner = BatchPipelineRunner(spark, load_config(cfg_txt), str(tmp_path / "gz"))
+    runner.run()
+    d = runner._epoch_sinks["gz"].data_dir
+    files = glob.glob(f"{d}/epoch=0/sink=*/part-*.parquet")
+    assert files
+    codecs = {
+        pq.ParquetFile(f).metadata.row_group(0).column(0).compression
+        for f in files
+    }
+    assert codecs == {"GZIP"}
+
+
+def test_exporter_compression_validation():
+    """zlib/deflate are reference wire codecs with no parquet equivalent;
+    unknown names rejected; mixed codecs within one pipeline rejected
+    (they share a single fan-out write)."""
+    base = """
+receivers:
+  pages_synthetic:
+    n_rows: 10
+exporters:
+  a:
+    kind: parquet
+    all: true
+    compression: {ca}
+  b:
+    kind: parquet
+    all: true
+    compression: {cb}
+service:
+  pipelines:
+    p:
+      receivers: [pages_synthetic]
+      exporters: [a, b]
+"""
+    with pytest.raises(ConfigError, match="no parquet equivalent"):
+        load_config(base.format(ca="zlib", cb="zlib"))
+    with pytest.raises(ConfigError, match="unsupported compression"):
+        load_config(base.format(ca="brotli9000", cb="gzip"))
+    with pytest.raises(ConfigError, match="conflicting compression"):
+        load_config(base.format(ca="gzip", cb="zstd"))
+    # agreement (or single declaration) is fine
+    load_config(base.format(ca="zstd", cb="zstd"))
