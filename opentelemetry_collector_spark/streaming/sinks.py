@@ -105,6 +105,8 @@ class IdempotentParquetSink:
         epoch_id: int,
         extra_meta: dict | None = None,
         max_records_per_file: int | None = None,
+        partition_keys: list | None = None,
+        compression: str | None = None,
     ) -> int:
         """Idempotently write one epoch; returns rows written (0 if skipped).
 
@@ -124,6 +126,14 @@ class IdempotentParquetSink:
         # overwrite-in-place = replay-safe (persistent_storage.go:283-349
         # re-enqueue analog, minus the at-least-once duplicate risk)
         writer = df.write.mode("overwrite")
+        if partition_keys:
+            # metadata_keys layout (batch_processor.go:65-75): no epoch
+            # file ever mixes values of the declared keys
+            writer = writer.partitionBy(*partition_keys)
+        if compression:
+            # per-WRITE codec (configcompression analog) — never the
+            # session conf, which would leak across pipelines
+            writer = writer.option("compression", compression)
         if max_records_per_file:
             writer = writer.option("maxRecordsPerFile", int(max_records_per_file))
         writer.parquet(epoch_dir)

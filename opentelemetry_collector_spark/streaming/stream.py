@@ -84,6 +84,11 @@ class StreamingPipeline:
     # captures it from the pipeline's batch processor so the STREAMING
     # write path honors it too, not just the batch runner
     max_records_per_file: int | None = None
+    # metadata_keys layout + exporter compression (from_config): the
+    # STREAMING write honors the same per-write contracts as the batch
+    # runner — partitionBy(*keys) per epoch, per-write parquet codec
+    partition_keys: list | None = None
+    compression: str | None = None
     # parse engine from the pipeline's parse processor (from_config) —
     # start() falls back to this when the caller doesn't pass one
     parse_engine: str = "sql"
@@ -116,7 +121,11 @@ class StreamingPipeline:
                     F.array_contains(F.col(SINKS_COL), name)
                 ).drop(SINKS_COL)
                 sink.write_epoch(
-                    subset, epoch_id, max_records_per_file=self.max_records_per_file
+                    subset,
+                    epoch_id,
+                    max_records_per_file=self.max_records_per_file,
+                    partition_keys=self.partition_keys,
+                    compression=self.compression,
                 )
             if self.lineage_dir is not None:
                 # epoch-keyed overwrite — replayed micro-batches re-land
@@ -199,10 +208,22 @@ class StreamingPipeline:
 
         p = config.pipelines[pipeline]
         write_cap = None
+        md_keys: list[str] = []
         for proc_name in p.processors:
             c = config.processors[proc_name]
             if c.kind == "batch" and c.options.get("send_batch_max_size"):
                 write_cap = int(c.options["send_batch_max_size"])
+            if c.kind == "batch" and c.options.get("metadata_keys"):
+                md_keys = list(c.options["metadata_keys"])
+        # per-exporter codec; validate() guaranteed agreement per pipeline
+        compression = None
+        for e in p.exporters:
+            if e in config.exporters:
+                compression = (
+                    config.exporters[e].options.get("compression") or compression
+                )
+        if compression == "none":
+            compression = "uncompressed"
         # ALL supported receivers are unioned (the batch runner unions its
         # inputs the same way) — a pipeline with two pages directories
         # streams both, not just the first. Other receiver kinds
@@ -302,6 +323,8 @@ class StreamingPipeline:
             lineage_dir=lineage_dir,
             source=source,
             max_records_per_file=write_cap,
+            partition_keys=md_keys or None,
+            compression=compression,
             parse_engine=parse_engine,
             deduper=deduper,
             dedup_compact_every=compact_every,

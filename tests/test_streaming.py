@@ -931,3 +931,47 @@ service:
     q = pipe.start(checkpoint_dir=str(tmp_path / "ckpt"))
     q.awaitTermination(120)
     assert pipe.sink_counts()["audit"] == total - corrupt
+
+
+def test_streaming_write_honors_metadata_keys_and_compression(spark, pages_dir, tmp_path):
+    """The STREAMING write path honors the same per-write contracts as the
+    batch runner: metadata_keys → partitionBy(*keys) per epoch (no file
+    mixes key values, batch_processor.go:65-75) and exporter compression →
+    per-write parquet codec (configcompression analog)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_spark.plans.config import load_config
+
+    cfg = f"""
+receivers:
+  pages:
+    kind: pages_parquet
+    path: {pages_dir}
+processors:
+  batch/md:
+    kind: batch
+    metadata_keys: [severity_text]
+exporters:
+  audit:
+    kind: parquet
+    all: true
+    compression: gzip
+service:
+  pipelines:
+    logs:
+      receivers: [pages]
+      processors: [batch/md]
+      exporters: [audit]
+"""
+    out = str(tmp_path / "sinks")
+    pipe = StreamingPipeline.from_config(spark, load_config(cfg), "logs", out)
+    q = pipe.start(checkpoint_dir=str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    assert pipe.sink_counts()["audit"] == _batch_expected(spark, pages_dir)["audit"]
+    files = glob.glob(f"{out}/audit/data/epoch=*/severity_text=*/part-*.parquet")
+    assert files, "expected per-key-value partition directories in each epoch"
+    f = files[0]
+    assert "severity_text" not in pq.read_schema(f).names
+    assert pq.ParquetFile(f).metadata.row_group(0).column(0).compression == "GZIP"
