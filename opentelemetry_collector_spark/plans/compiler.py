@@ -281,9 +281,14 @@ class BatchPipelineRunner:
                 df = authenticator.authenticate(
                     df, metadata_col=c.options.get("metadata_col", "request_metadata")
                 )
-                df = self.telemetry.observe_auth(
-                    df, f"receiver/{name}", AUTH_OK_COL
-                ).drop(AUTH_OK_COL)
+                if self.config.telemetry_level == "none":
+                    # metering off (configtelemetry LevelNone) — the GATE
+                    # still applies; only the counters disappear
+                    df = df.where(F.col(AUTH_OK_COL)).drop(AUTH_OK_COL)
+                else:
+                    df = self.telemetry.observe_auth(
+                        df, f"receiver/{name}", AUTH_OK_COL
+                    ).drop(AUTH_OK_COL)
             if n > 1:
                 # shared receiver read once; persist so each consuming
                 # pipeline's job reuses the materialized scan
@@ -331,7 +336,12 @@ class BatchPipelineRunner:
             df = inputs[0]
             for other in inputs[1:]:
                 df = df.unionByName(other)
-            df = self.telemetry.observe(df, f"receiver/{pname}")
+            # service::telemetry::metrics::level gates obsreport grain
+            # (configtelemetry.go:11-25): none — no counters; basic —
+            # receiver/exporter boundaries only; normal+ — every stage
+            level = self.config.telemetry_level
+            if level != "none":
+                df = self.telemetry.observe(df, f"receiver/{pname}")
 
             # per-pipeline processor instances (T6); each stage boundary is
             # observed so per-processor accepted/dropped counters ride the
@@ -357,11 +367,14 @@ class BatchPipelineRunner:
                     )
                 df = _build_processor(self.spark, c.kind, c.options)(df)
                 stage = f"processor/{pname}/{proc_name}"
-                df = self.telemetry.observe(df, stage)
-                # parse changes the accounting unit (pages → records), so
-                # dropped is only derivable across unit-preserving stages
-                chain.append((stage, c.kind != "parse"))
-            df = self.telemetry.observe(df, f"processor/{pname}")
+                if level in ("normal", "detailed"):
+                    df = self.telemetry.observe(df, stage)
+                    # parse changes the accounting unit (pages → records),
+                    # so dropped is only derivable across unit-preserving
+                    # stages
+                    chain.append((stage, c.kind != "parse"))
+            if level in ("normal", "detailed"):
+                df = self.telemetry.observe(df, f"processor/{pname}")
             self._stage_chains[pname] = chain
 
             # split exporters into connectors vs sinks
@@ -439,8 +452,9 @@ class BatchPipelineRunner:
                     for s, n in sink.epoch_meta(epoch_id).get("per_sink", {}).items()
                     if n > 0
                 }
-                for s, n in counts.items():
-                    self.telemetry.record_sent(s, n)
+                if level != "none":
+                    for s, n in counts.items():
+                        self.telemetry.record_sent(s, n)
                 write_lineage(
                     assigned, f"{self.out_root}/_lineage", self.telemetry.run_id, epoch_id
                 )

@@ -44,6 +44,9 @@ _MAX_EXPANSIONS = 100  # errTooManyRecursiveExpansions analog
 # "none" maps to parquet's uncompressed
 _PARQUET_CODECS = {"gzip", "snappy", "zstd", "none"}
 
+# configtelemetry.Level (config/configtelemetry/configtelemetry.go:11-25)
+_TELEMETRY_LEVELS = {"none", "basic", "normal", "detailed"}
+
 
 def _yaml_load(text: str):
     """yaml.safe_load with parse failures wrapped as ConfigError — a bad
@@ -237,6 +240,11 @@ class CollectorConfig:
     # (config/configauth/configauth.go:29-52 "authenticator not found")
     extensions: dict[str, ComponentConfig] = field(default_factory=dict)
     enabled_extensions: list[str] = field(default_factory=list)
+    # service::telemetry::metrics::level (configtelemetry.go:11-25):
+    # none  — no obsreport counters at all
+    # basic — receiver + exporter boundaries only
+    # normal/detailed — every stage boundary (current full grain)
+    telemetry_level: str = "normal"
 
     # ------------------------------------------------------------------
     def validate(self) -> None:
@@ -261,6 +269,12 @@ class CollectorConfig:
                 raise ConfigError(
                     f"service.extensions references unknown extension {x!r}"
                 )
+        if self.telemetry_level not in _TELEMETRY_LEVELS:
+            raise ConfigError(
+                f"service.telemetry.metrics.level: unknown level "
+                f"{self.telemetry_level!r} (configtelemetry levels: "
+                f"{sorted(_TELEMETRY_LEVELS)})"
+            )
         # exporter compression (configcompression analog,
         # config/configcompression/compressionType.go:21-28). The parquet
         # writer supports a strict subset of the reference's enum; zlib/
@@ -507,6 +521,11 @@ def load_config(
         pipelines=pipelines,
         extensions=_parse_components(raw.get("extensions")),
         enabled_extensions=list(service.get("extensions") or []),
+        telemetry_level=(
+            ((service.get("telemetry") or {}).get("metrics") or {}).get(
+                "level", "normal"
+            )
+        ),
     )
     cfg.validate()
     # --feature-gates analog (otelcol/command.go:40-52): a top-level

@@ -728,3 +728,56 @@ service:
         load_config(base.format(ca="gzip", cb="zstd"))
     # agreement (or single declaration) is fine
     load_config(base.format(ca="zstd", cb="zstd"))
+
+
+def test_telemetry_level_gates_obsreport_grain(spark, tmp_path):
+    """service::telemetry::metrics::level (configtelemetry.go:11-25):
+    none — no counters at all (the data plane is untouched: sink counts
+    stay exact via commit markers); basic — receiver/exporter boundaries
+    only; normal (default) — every stage boundary."""
+    cfg_txt = """
+receivers:
+  pages_synthetic:
+    n_rows: 60
+processors:
+  parse:
+    engine: sql
+exporters:
+  sink_a:
+    kind: parquet
+    all: true
+service:
+  telemetry:
+    metrics:
+      level: {level}
+  pipelines:
+    logs:
+      receivers: [pages_synthetic]
+      processors: [parse]
+      exporters: [sink_a]
+"""
+    runs = {}
+    for level in ("none", "basic", "normal"):
+        runner = BatchPipelineRunner(
+            spark, load_config(cfg_txt.format(level=level)), str(tmp_path / level)
+        )
+        result = runner.run()
+        runs[level] = (result.telemetry.as_dict()["stages"], result.sink_counts())
+
+    none_stages, none_counts = runs["none"]
+    basic_stages, basic_counts = runs["basic"]
+    normal_stages, normal_counts = runs["normal"]
+    # data plane identical at every level
+    assert none_counts == basic_counts == normal_counts
+    assert none_counts["sink_a"] > 0
+    # none: nothing metered
+    assert not any(v["accepted"] or v["sent"] for v in none_stages.values())
+    # basic: receiver + exporter boundaries only
+    assert basic_stages["receiver/logs"]["accepted"] == 60
+    assert basic_stages["exporter/sink_a"]["sent"] == basic_counts["sink_a"]
+    assert not any(s.startswith("processor/") for s in basic_stages)
+    # normal: full stage grain
+    assert normal_stages["processor/logs/parse"]["accepted"] == normal_counts["sink_a"]
+
+    with pytest.raises(ConfigError, match="unknown level"):
+        load_config(cfg_txt.format(level="verbose"))
