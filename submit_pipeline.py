@@ -20,8 +20,10 @@ from pyspark.sql import functions as F
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("pages_path")
-    ap.add_argument("out_root")
+    # optional so `--validate --config ...` works without data paths
+    # (the reference's validate sub-command takes only --config)
+    ap.add_argument("pages_path", nargs="?", default=None)
+    ap.add_argument("out_root", nargs="?", default=None)
     ap.add_argument("--streaming", action="store_true", help="run as a file stream")
     ap.add_argument("--repartition", type=int, default=0, help="url-hash repartition width")
     ap.add_argument("--parse-engine", default="sql", choices=["sql", "arrow"])
@@ -33,12 +35,70 @@ def main() -> None:
         "${env:VAR}/${file:...} references expand (confmap resolver)",
     )
     ap.add_argument(
+        "--components",
+        action="store_true",
+        help="print the available component kinds as YAML and exit "
+        "(the `otelcol components` sub-command, "
+        "otelcol/command_components.go:24-75)",
+    )
+    ap.add_argument(
+        "--validate",
+        action="store_true",
+        help="validate the config and exit without starting Spark "
+        "(the `otelcol validate` sub-command, "
+        "otelcol/command_validate.go:15-40)",
+    )
+    ap.add_argument(
         "--trigger",
         default=None,
         help='streaming processingTime interval, e.g. "5 seconds" '
         "(default: drain-and-stop availableNow)",
     )
     args = ap.parse_args()
+
+    if args.components:
+        # `otelcol components` analog (otelcol/command_components.go:24-75):
+        # the factory inventory as YAML, no runtime started. Kinds mirror
+        # the dispatch tables in plans/compiler.py + streaming/stream.py +
+        # operators/clientauth.py — keep in sync when adding a kind.
+        import yaml
+
+        inventory = {
+            "buildinfo": {"description": "OpenTelemetry Collector on PySpark"},
+            "receivers": [
+                "pages_parquet", "pages_synthetic", "records_parquet",
+                "pages_stream",
+            ],
+            "processors": [
+                "parse", "transform", "filter", "grok", "enrich_geo",
+                "enrich_lang", "batch", "client_attribute", "memory_limiter",
+                "redact_pii", "c4_clean", "badwords", "encoding_gate",
+                "dedup", "dedup_minhash",
+            ],
+            "exporters": ["parquet"],
+            "connectors": ["forward", "count"],
+            "extensions": ["bearertoken"],
+        }
+        print(yaml.safe_dump(inventory, sort_keys=False), end="")
+        return
+
+    if args.validate:
+        # `otelcol validate` analog: resolve + unmarshal + Validate(),
+        # report, exit — no runtime is started
+        # (otelcol/command_validate.go:15-40)
+        from opentelemetry_collector_spark.plans import ConfigError, load_config
+
+        if not args.config:
+            ap.error("--validate requires at least one --config source")
+        try:
+            load_config(list(args.config))
+        except ConfigError as e:
+            raise SystemExit(f"config is invalid: {e}")
+        print("config is valid")
+        return
+
+    if not args.pages_path or not args.out_root:
+        ap.error("pages_path and out_root are required (except with --validate)")
 
     spark = SparkSession.builder.appName("otel-collector-spark-pipeline").getOrCreate()
 

@@ -83,3 +83,73 @@ def test_spark_submit_py_files_ships_the_pipeline(spark, tmp_path):
     # and the per-sink parquet really landed on disk with the right rows
     got = spark.read.parquet(f"{out_root}/errors/data").count()
     assert got == n_err
+
+
+def test_validate_subcommand_checks_config_without_spark(tmp_path):
+    """`--validate` = the `otelcol validate` sub-command
+    (otelcol/command_validate.go:15-40): resolve + validate the config and
+    exit — no SparkSession, no data paths, exit code carries the verdict."""
+    ok = tmp_path / "ok.yaml"
+    ok.write_text(
+        "receivers:\n  pages_synthetic: {n_rows: 5}\n"
+        "exporters:\n  a: {kind: parquet, all: true}\n"
+        "service:\n  pipelines:\n"
+        "    p: {receivers: [pages_synthetic], exporters: [a]}\n"
+    )
+    bad = tmp_path / "bad.yaml"
+    bad.write_text("service:\n  pipelines: {}\n")
+
+    entry = os.path.join(REPO, "submit_pipeline.py")
+    good = subprocess.run(
+        [sys.executable, entry, "--validate", "--config", str(ok)],
+        capture_output=True, text=True, timeout=60,
+    )
+    assert good.returncode == 0 and "config is valid" in good.stdout
+
+    broken = subprocess.run(
+        [sys.executable, entry, "--validate", "--config", str(bad)],
+        capture_output=True, text=True, timeout=60,
+    )
+    assert broken.returncode != 0
+    assert "config is invalid" in broken.stderr
+
+    # data paths stay required outside validate mode
+    missing = subprocess.run(
+        [sys.executable, entry, "--config", str(ok)],
+        capture_output=True, text=True, timeout=60,
+    )
+    assert missing.returncode != 0
+
+
+def test_components_subcommand_lists_factory_inventory(tmp_path):
+    """`--components` = the `otelcol components` sub-command
+    (otelcol/command_components.go:24-75): YAML inventory, no runtime.
+    Sync-guard: every listed kind must appear in the dispatch tables it
+    claims to mirror, so the inventory can't silently drift."""
+    import yaml
+
+    entry = os.path.join(REPO, "submit_pipeline.py")
+    proc = subprocess.run(
+        [sys.executable, entry, "--components"],
+        capture_output=True, text=True, timeout=60,
+    )
+    assert proc.returncode == 0
+    inv = yaml.safe_load(proc.stdout)
+    assert set(inv) == {
+        "buildinfo", "receivers", "processors", "exporters",
+        "connectors", "extensions",
+    }
+    dispatch_src = ""
+    for rel in (
+        "opentelemetry_collector_spark/plans/compiler.py",
+        "opentelemetry_collector_spark/streaming/stream.py",
+        "opentelemetry_collector_spark/operators/clientauth.py",
+    ):
+        with open(os.path.join(REPO, rel)) as f:
+            dispatch_src += f.read()
+    for section in ("receivers", "processors", "connectors", "extensions"):
+        for kind in inv[section]:
+            assert f'"{kind}"' in dispatch_src, (
+                f"--components lists {kind!r} but no dispatch table "
+                "mentions it"
+            )
