@@ -340,8 +340,21 @@ class BatchPipelineRunner:
             # (configtelemetry.go:11-25): none — no counters; basic —
             # receiver/exporter boundaries only; normal+ — every stage
             level = self.config.telemetry_level
+            # detailed adds content-byte sums to the SAME observation —
+            # the reference's detailed-gated size metrics
+            # (configtelemetry.go:20-25); zero extra passes either way
+            def _bytes_col(frame: DataFrame) -> str | None:
+                if level != "detailed":
+                    return None
+                for c in ("body", "text"):
+                    if c in frame.columns:
+                        return c
+                return None
+
             if level != "none":
-                df = self.telemetry.observe(df, f"receiver/{pname}")
+                df = self.telemetry.observe(
+                    df, f"receiver/{pname}", bytes_col=_bytes_col(df)
+                )
 
             # per-pipeline processor instances (T6); each stage boundary is
             # observed so per-processor accepted/dropped counters ride the
@@ -368,13 +381,17 @@ class BatchPipelineRunner:
                 df = _build_processor(self.spark, c.kind, c.options)(df)
                 stage = f"processor/{pname}/{proc_name}"
                 if level in ("normal", "detailed"):
-                    df = self.telemetry.observe(df, stage)
+                    df = self.telemetry.observe(
+                        df, stage, bytes_col=_bytes_col(df)
+                    )
                     # parse changes the accounting unit (pages → records),
                     # so dropped is only derivable across unit-preserving
                     # stages
                     chain.append((stage, c.kind != "parse"))
             if level in ("normal", "detailed"):
-                df = self.telemetry.observe(df, f"processor/{pname}")
+                df = self.telemetry.observe(
+                    df, f"processor/{pname}", bytes_col=_bytes_col(df)
+                )
             self._stage_chains[pname] = chain
 
             # split exporters into connectors vs sinks

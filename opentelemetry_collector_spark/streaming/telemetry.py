@@ -33,6 +33,10 @@ class StageCounters:
     dropped: int = 0
     sent: int = 0
     send_failed: int = 0
+    # content bytes seen at this boundary — recorded only at the
+    # DETAILED telemetry level (the reference gates its size/histogram
+    # metrics the same way, configtelemetry.go:20-25)
+    bytes: int = 0
 
 
 @dataclass
@@ -44,12 +48,28 @@ class PipelineTelemetry:
     def counters(self, stage: str) -> StageCounters:
         return self.stages.setdefault(stage, StageCounters())
 
-    def observe(self, df: DataFrame, stage: str) -> DataFrame:
+    def observe(
+        self, df: DataFrame, stage: str, bytes_col: str | None = None
+    ) -> DataFrame:
         """Attach a count observation at a stage boundary; harvested by
-        ``harvest()`` after the terminal action runs. Free — rides the job."""
+        ``harvest()`` after the terminal action runs. Free — rides the job.
+
+        ``bytes_col`` additionally sums that column's byte length into the
+        stage's ``bytes`` counter (detailed-level size metrics; the same
+        single observation, still zero extra passes)."""
         obs = Observation(f"{self.run_id}-{stage}")
         self._observations[stage] = obs
-        return df.observe(obs, F.count(F.lit(1)).alias("items"))
+        aggs = [F.count(F.lit(1)).alias("items")]
+        if bytes_col is not None:
+            aggs.append(
+                F.coalesce(
+                    F.sum(F.octet_length(F.col(bytes_col).cast("string"))),
+                    F.lit(0),
+                )
+                .cast("long")
+                .alias("bytes")
+            )
+        return df.observe(obs, *aggs)
 
     def observe_auth(self, df: DataFrame, stage: str, ok_col: str) -> DataFrame:
         """Receiver-boundary auth gate: count total + refused items in ONE
@@ -94,6 +114,10 @@ class PipelineTelemetry:
                 c = self.counters(stage)
                 c.accepted = items - refused
                 c.refused = refused
+                try:
+                    c.bytes = int(row.get(row.fieldIndex("bytes")))
+                except Exception:
+                    pass  # no bytes field — level below detailed
             except Exception:
                 pass  # observation never materialized (stage not executed)
 
@@ -138,6 +162,7 @@ class PipelineTelemetry:
                     "dropped": v.dropped,
                     "sent": v.sent,
                     "send_failed": v.send_failed,
+                    "bytes": v.bytes,
                 }
                 for k, v in self.stages.items()
             },

@@ -757,7 +757,7 @@ service:
       exporters: [sink_a]
 """
     runs = {}
-    for level in ("none", "basic", "normal"):
+    for level in ("none", "basic", "normal", "detailed"):
         runner = BatchPipelineRunner(
             spark, load_config(cfg_txt.format(level=level)), str(tmp_path / level)
         )
@@ -776,8 +776,20 @@ service:
     assert basic_stages["receiver/logs"]["accepted"] == 60
     assert basic_stages["exporter/sink_a"]["sent"] == basic_counts["sink_a"]
     assert not any(s.startswith("processor/") for s in basic_stages)
-    # normal: full stage grain
+    # normal: full stage grain, but no size metrics
     assert normal_stages["processor/logs/parse"]["accepted"] == normal_counts["sink_a"]
+    assert all(v["bytes"] == 0 for v in normal_stages.values())
+    # detailed: content-byte sums ride the same observations
+    det_stages, det_counts = runs["detailed"]
+    assert det_counts == normal_counts
+    assert det_stages["receiver/logs"]["bytes"] > 0
+    assert det_stages["processor/logs/parse"]["bytes"] > 0
+    # parse explodes pages into per-line records: boundary byte sums must
+    # differ (receiver meters page text, processor meters record bodies)
+    assert (
+        det_stages["processor/logs/parse"]["bytes"]
+        != det_stages["receiver/logs"]["bytes"]
+    )
 
     with pytest.raises(ConfigError, match="unknown level"):
         load_config(cfg_txt.format(level="verbose"))
