@@ -793,3 +793,26 @@ service:
 
     with pytest.raises(ConfigError, match="unknown level"):
         load_config(cfg_txt.format(level="verbose"))
+
+
+def test_empty_pipeline_with_metadata_keys_and_compression(spark, tmp_path):
+    """Zero-row input through the full runner with the round-5 write
+    options (metadata_keys layout + codec): empty epochs must commit
+    cleanly — at 100 TB empty route subsets and empty micro-batches are
+    routine, not errors."""
+    cfg_txt = """
+receivers:
+  pages_synthetic:
+    n_rows: 0
+processors:
+  parse: {engine: sql}
+  batch/md: {kind: batch, metadata_keys: [severity_text]}
+exporters:
+  a: {kind: parquet, all: true, compression: gzip}
+service:
+  pipelines:
+    p: {receivers: [pages_synthetic], processors: [parse, batch/md], exporters: [a]}
+"""
+    runner = BatchPipelineRunner(spark, load_config(cfg_txt), str(tmp_path / "mt"))
+    result = runner.run()
+    assert result.sink_counts() == {}
