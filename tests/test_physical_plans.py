@@ -269,3 +269,24 @@ def test_parse_stays_in_wholestage_codegen(spark, pages):
         df._jdf.queryExecution(), "formatted"
     )
     assert "[codegen id :" in formatted
+
+
+def test_metadata_keys_stage_is_one_exchange(spark, pages):
+    """The metadata_keys batch stage co-locates key value-sets with ONE
+    hash exchange on the key tuple (replacing the url-hash repartition,
+    not adding to it); the no-mixed-batches invariant itself is write
+    LAYOUT (partitionBy), which is not a shuffle."""
+    from opentelemetry_collector_spark.plans.compiler import _build_processor
+
+    records = parse_pages(pages)
+    staged = _build_processor(
+        spark, "batch", {"partitions": 4, "metadata_keys": ["severity_text"]}
+    )(records)
+    plan = plan_of(staged)
+    n_exchanges = (
+        plan.count("Exchange hashpartitioning")
+        + plan.count("Exchange rangepartitioning")
+        + plan.count("Exchange RoundRobinPartitioning")
+    )
+    assert n_exchanges == 1, plan
+    assert "severity_text" in plan
