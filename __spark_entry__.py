@@ -1440,9 +1440,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["enrich_broadcast_geo"] = enrich_geo
 
-    def q1(spark, sf):
+    # TPC-H engine proof, one 2-part union on a packed schema ('q1' =
+    # pricing rollup, 'q3' = broadcast-dim revenue top-k) — merged so the
+    # 50-query driver capture keeps one row per operator family.
+    def tpch_rollups(spark, sf):
+        _S = F.lit(None).cast("string")
+        _D = F.lit(None).cast("double")
         li = _t(spark, sf, "lineitem")
-        return (
+        q1 = (
             li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
             .groupBy("l_returnflag", "l_linestatus")
             .agg(
@@ -1452,29 +1457,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
                 F.count("*").alias("count_order"),
             )
+            .select(
+                F.lit("q1").alias("part"),
+                F.col("l_returnflag").alias("s1"),
+                F.col("l_linestatus").alias("s2"),
+                F.col("count_order").cast("long").alias("k1"),
+                F.col("sum_qty").alias("d1"),
+                F.col("sum_base_price").alias("d2"),
+                F.col("sum_disc_price").alias("d3"),
+                F.col("avg_qty").alias("d4"),
+            )
         )
-
-    q["q1_pricing_rollup"] = q1
-
-    def q3(spark, sf):
         cust = _t(spark, sf, "customer").where(F.col("c_mktsegment") == "BUILDING")
         orders = _t(spark, sf, "orders").where(
             F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp")
         )
-        li = _t(spark, sf, "lineitem").where(
+        li3 = _t(spark, sf, "lineitem").where(
             F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp")
         )
         rev = F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
-        return (
-            li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        q3 = (
+            li3.join(orders, li3["l_orderkey"] == orders["o_orderkey"])
             .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
             .groupBy("o_orderkey")
             .agg(rev.alias("revenue"))
             .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
             .limit(10)
+            .select(
+                F.lit("q3").alias("part"),
+                _S.alias("s1"),
+                _S.alias("s2"),
+                F.col("o_orderkey").cast("long").alias("k1"),
+                F.col("revenue").alias("d1"),
+                _D.alias("d2"),
+                _D.alias("d3"),
+                _D.alias("d4"),
+            )
         )
+        return q1.unionByName(q3)
 
-    q["q3_revenue_topk"] = q3
+    q["tpch_rollups"] = tpch_rollups
 
     # --- dedup (corpus curation) ---
     def dd_exact(spark, sf):
@@ -2294,6 +2316,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["warc_roundtrip"] = warc_roundtrip
 
+    # --- CDX capture index over WET (extracted-text) records: the
+    # Common-Crawl random-access artifact. Unlike warc_roundtrip (whose
+    # response records carry a hash-sized pad the oracle treats as a
+    # consistency bit), every WET record byte is arithmetic over
+    # (url, timestamp, text), so the oracle replays the per-record BYTE
+    # LENGTHS and the within-shard cumulative OFFSETS exactly — value
+    # parity here proves an independent engine can reconstruct the byte
+    # layout of every shard file without seeing the bytes.
+    def cdx_wet_index(spark, sf):
+        from opentelemetry_collector_spark.sources.warc import cdx_index, wet_records
+
+        pages = pages_from_documents(_t(spark, sf, "documents"))
+        return cdx_index(wet_records(pages), n_shards=8)
+
+    q["cdx_wet_index"] = cdx_wet_index
+
     def grok_access(spark, sf):  # grok-syntax compiler over planted CLF lines
         from opentelemetry_collector_spark.operators.grok import grok_extract
 
@@ -3058,28 +3096,31 @@ JOIN region ON n_regionkey = r_regionkey
 GROUP BY 1
 """
 
-    o["q1_pricing_rollup"] = """
-SELECT l_returnflag, l_linestatus,
-  round(sum(l_quantity), 2) AS sum_qty,
-  round(sum(l_extendedprice), 2) AS sum_base_price,
-  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-  round(avg(l_quantity), 4) AS avg_qty,
-  count(*) AS count_order
+    o["tpch_rollups"] = """
+SELECT 'q1' AS part, l_returnflag AS s1, l_linestatus AS s2,
+  count(*)::BIGINT AS k1,
+  round(sum(l_quantity), 2)::DOUBLE AS d1,
+  round(sum(l_extendedprice), 2)::DOUBLE AS d2,
+  round(sum(l_extendedprice * (1 - l_discount)), 2)::DOUBLE AS d3,
+  round(avg(l_quantity), 4)::DOUBLE AS d4
 FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-GROUP BY 1, 2
-"""
-
-    o["q3_revenue_topk"] = """
-SELECT o_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
-FROM lineitem
-JOIN orders ON l_orderkey = o_orderkey
-JOIN customer ON o_custkey = c_custkey
-WHERE c_mktsegment = 'BUILDING'
-  AND o_orderdate < TIMESTAMP '1998-06-01'
-  AND l_shipdate > TIMESTAMP '1998-06-01'
-GROUP BY 1
-ORDER BY revenue DESC, o_orderkey ASC
-LIMIT 10
+GROUP BY 2, 3
+UNION ALL
+SELECT 'q3' AS part, NULL::VARCHAR AS s1, NULL::VARCHAR AS s2,
+  k1, d1, NULL::DOUBLE AS d2, NULL::DOUBLE AS d3, NULL::DOUBLE AS d4
+FROM (
+  SELECT o_orderkey::BIGINT AS k1,
+    round(sum(l_extendedprice * (1 - l_discount)), 2)::DOUBLE AS d1
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = 'BUILDING'
+    AND o_orderdate < TIMESTAMP '1998-06-01'
+    AND l_shipdate > TIMESTAMP '1998-06-01'
+  GROUP BY o_orderkey
+  ORDER BY d1 DESC, o_orderkey ASC
+  LIMIT 10
+)
 """
 
     o["dedup_exact"] = """
@@ -3836,6 +3877,44 @@ SELECT 'jsonl' AS part,
   md5(text) AS text_md5,
   octet_length(encode(text))::BIGINT AS n_bytes
 FROM documents
+"""
+
+    # cdx_wet_index: full byte-layout replay. The WET record is pure
+    # arithmetic over (url, wdate, text) — the oracle rebuilds the exact
+    # header string, adds payload + closing CRLFCRLF bytes, re-derives
+    # the md5-long shard assignment, and reproduces the cumulative
+    # within-shard offsets with the same window aggregate. urlkey is the
+    # SURT transform applied to the synthetic url shape.
+    o["cdx_wet_index"] = f"""
+WITH recs AS (
+  SELECT 'https://' || source || '.example.com/doc/' || doc_id AS url,
+    'com,example,' || source || ')/doc/' || doc_id AS urlkey,
+    strftime(make_timestamp((1704067200 + doc_id) * 1000000),
+             '%Y%m%d%H%M%S') AS cdx_ts,
+    strftime(make_timestamp((1704067200 + doc_id) * 1000000),
+             '%Y-%m-%dT%H:%M:%SZ') AS wdate,
+    text
+  FROM documents WHERE text IS NOT NULL
+), sized AS (
+  SELECT urlkey, cdx_ts, url, md5(text) AS digest,
+    (octet_length(encode(
+       'WARC/1.0' || chr(13) || chr(10) ||
+       'WARC-Type: conversion' || chr(13) || chr(10) ||
+       'WARC-Target-URI: ' || url || chr(13) || chr(10) ||
+       'WARC-Date: ' || wdate || chr(13) || chr(10) ||
+       'WARC-Record-ID: <urn:md5:' || md5(url) || '>' || chr(13) || chr(10) ||
+       'Content-Type: text/plain' || chr(13) || chr(10) ||
+       'Content-Length: ' || octet_length(encode(text))
+         || chr(13) || chr(10) || chr(13) || chr(10)
+     )) + octet_length(encode(text)) + 4)::BIGINT AS length,
+    ({_dd_hexlong('url')}) % 8 AS shard
+  FROM recs
+)
+SELECT urlkey, cdx_ts, url, digest, length,
+  coalesce(sum(length) OVER (PARTITION BY shard ORDER BY url
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS "offset",
+  'shard-' || shard || '.warc.wet' AS filename
+FROM sized
 """
 
     # Arrow-engine parse: per-host record counts reduce to non-empty-line

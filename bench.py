@@ -144,8 +144,7 @@ def run_pipeline_best(spark, pages_path: str, reps: int = 3) -> dict:
 
 BENCH_QUERIES = [
     "pipeline_e2e",
-    "q1_pricing_rollup",
-    "q3_revenue_topk",
+    "tpch_rollups",
     "window_tumbling",
     "metrics_temporality",
     "spanmetrics_spans",

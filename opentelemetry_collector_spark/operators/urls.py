@@ -195,6 +195,45 @@ def canonicalize_url(url: Column) -> Column:
     )
 
 
+def surt_key(url: Column) -> Column:
+    """SURT (Sort-friendly URI Reordering Transform) key — the form
+    Common Crawl's CDX index sorts by: scheme dropped, host lower-cased
+    with a leading ``www.`` stripped and its labels reversed
+    comma-joined, then ``)`` + path + normalized query. Example::
+
+        HTTPS://WWW.News.Example.COM:443/A/b?z=1&a=2#frag
+          → com,example,news)/A/b?a=2&z=1
+
+    Built on :func:`canonicalize_url` (which already lower-cases scheme
+    and host, strips default ports and fragments, and sorts the query),
+    so two cosmetic variants of one page produce one SURT key. A
+    non-default port survives after the reversed host (``com,example:
+    8080)/``), matching the archival convention. Scheme-less input
+    passes through lower-cased but otherwise unchanged (the transform
+    is defined over absolute URLs; the crawl's url column always is).
+
+    Pure built-in expressions (split/reverse/array_join + the RE2∩Java
+    regex subset) — scan speed, and the DuckDB oracle reproduces it.
+    """
+    canon = canonicalize_url(url)
+    scheme = F.regexp_extract(canon, "^([a-z][a-z0-9+.-]*)://", 1)
+    hostport = F.regexp_extract(canon, "^[a-z][a-z0-9+.-]*://([^/?#]*)", 1)
+    port = F.regexp_extract(hostport, ":([0-9]+)$", 1)
+    host = F.regexp_replace(
+        F.regexp_replace(hostport, ":[0-9]+$", ""), r"^www\.", ""
+    )
+    rev_host = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    rest = F.regexp_replace(canon, "^[a-z][a-z0-9+.-]*://[^/?#]*", "")
+    return F.when(scheme == "", F.lower(url)).otherwise(
+        F.concat(
+            rev_host,
+            F.when(port == "", F.lit("")).otherwise(F.concat(F.lit(":"), port)),
+            F.lit(")"),
+            rest,
+        )
+    )
+
+
 def robots_star_rules(
     robots: DataFrame, host_col: str = "host", txt_col: str = "robots_txt"
 ) -> DataFrame:

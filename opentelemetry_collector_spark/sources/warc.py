@@ -91,12 +91,128 @@ def warc_records(pages: DataFrame) -> DataFrame:
     )
 
 
+def wet_records(pages: DataFrame, text_col: str = "text") -> DataFrame:
+    """pages → one WARC **conversion** record per page — the WET
+    (extracted-text) companion artifact Common Crawl publishes next to
+    every WARC: same ISO 28500 framing, ``WARC-Type: conversion``,
+    ``Content-Type: text/plain``, payload = the UTF-8 extracted text.
+
+    Output ``(url, warc_date, digest, record)``: ``digest`` is the md5
+    of the payload bytes (the CDX index column; Common Crawl uses
+    SHA1-B32 — same role, documented difference) and ``warc_date`` the
+    rendered header timestamp, both carried alongside so the CDX
+    builder (:func:`cdx_index`) never re-parses its own header bytes.
+
+    Unlike the response records, every header byte here is arithmetic
+    over (url, timestamp, payload length) — no hash-sized pad — so an
+    independent engine can replay record SIZES exactly; the oracle
+    value-checks CDX offsets against that replay.
+
+    Pure columnar concat/encode — scan speed, zero Python.
+    """
+    url = _clean_header_value(F.col("url"))
+    wdate = F.date_format(F.col("warc_ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    payload = F.encode(F.col(text_col), "UTF-8")
+    header = F.concat(
+        F.lit("WARC/1.0" + _CRLF),
+        F.lit("WARC-Type: conversion" + _CRLF),
+        F.lit("WARC-Target-URI: "), url, F.lit(_CRLF),
+        F.lit("WARC-Date: "), wdate, F.lit(_CRLF),
+        F.lit("WARC-Record-ID: <urn:md5:"), F.md5(url), F.lit(">" + _CRLF),
+        F.lit("Content-Type: text/plain" + _CRLF),
+        F.lit("Content-Length: "),
+        F.octet_length(payload).cast("string"),
+        F.lit(_CRLF + _CRLF),
+    )
+    record = F.concat(
+        F.encode(header, "UTF-8"), payload, F.encode(F.lit(_CRLF + _CRLF), "UTF-8")
+    )
+    return pages.where(F.col(text_col).isNotNull()).select(
+        F.col("url"),
+        wdate.alias("warc_date"),
+        F.md5(payload).alias("digest"),
+        record.alias("record"),
+    )
+
+
+def cdx_shard_id(url: Column, n_shards: int) -> Column:
+    """Deterministic shard assignment for the CDX/WET writer: the 60-bit
+    integer bridge of the url's md5 (``operators/dedup.md5_long`` form —
+    replayable in any engine, unlike xxhash64) modulo the shard count.
+    Uniform by construction: the key is the full-url hash, so hot hosts
+    cannot skew a shard."""
+    return (
+        F.conv(F.substring(F.md5(url), 18, 15), 16, 10).cast("long")
+        % F.lit(n_shards)
+    ).cast("int")
+
+
+def cdx_index(
+    records: DataFrame,
+    n_shards: int = 8,
+    *,
+    shard_prefix: str = "shard-",
+    shard_ext: str = ".warc.wet",
+) -> DataFrame:
+    """WET/WARC records → the CDX capture index: one row per record with
+    ``(urlkey, cdx_ts, url, digest, length, offset, filename)`` — the
+    metadata Common Crawl ships as its CDXJ index so a reader can fetch
+    ONE record by HTTP range request instead of scanning a shard.
+
+    Layout contract (shared with :func:`warc_chunks` via
+    ``key_col='shard'``): records land in shard ``cdx_shard_id(url,
+    n_shards)`` ordered by url within the shard, so
+
+    - ``offset`` = sum of the byte lengths of every earlier record in
+      the shard — ONE window aggregate over the same key the writer
+      shuffles on (at scale the exchange is reused, not repeated);
+    - ``length`` = this record's exact byte length (from the real
+      record bytes, not re-derived);
+    - ``urlkey`` = the SURT sort key (:func:`operators.urls.surt_key`);
+    - ``cdx_ts`` = the 14-digit ``yyyyMMddHHmmss`` capture timestamp.
+
+    The index is metadata-sized (one short row per record — ~10^-4 of
+    corpus bytes), so downstream sorts/joins on it are free relative to
+    the corpus scan.
+    """
+    from ..operators.urls import surt_key
+
+    from pyspark.sql.window import Window
+
+    shard = cdx_shard_id(F.col("url"), n_shards)
+    sized = records.select(
+        surt_key(F.col("url")).alias("urlkey"),
+        F.regexp_replace(F.col("warc_date"), "[^0-9]", "").alias("cdx_ts"),
+        "url",
+        "digest",
+        F.octet_length(F.col("record")).cast("long").alias("length"),
+        shard.alias("__shard"),
+    )
+    w = (
+        Window.partitionBy("__shard")
+        .orderBy("url")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return sized.select(
+        "urlkey",
+        "cdx_ts",
+        "url",
+        "digest",
+        "length",
+        F.coalesce(F.sum("length").over(w), F.lit(0)).cast("long").alias("offset"),
+        F.concat(
+            F.lit(shard_prefix), F.col("__shard").cast("string"), F.lit(shard_ext)
+        ).alias("filename"),
+    )
+
+
 def warc_chunks(
     records: DataFrame,
     n_chunks: int | None = 32,
     *,
     target_shard_bytes: int = 256 << 20,
     max_shard_bytes: int = 1 << 30,
+    key_col: str | None = None,
 ) -> DataFrame:
     """records → ``(chunk_id, warc: binary)`` chunk files.
 
@@ -117,6 +233,11 @@ def warc_chunks(
     raises instead of failing later with an opaque OOM/negative-length
     error deep inside the concat — corrupt knobs surface, they do not
     half-write.
+
+    ``key_col`` overrides the xxhash64 assignment with a caller-provided
+    shard column — the CDX writer path passes :func:`cdx_shard_id` here
+    so the assembled shard bytes and the index offsets share one layout
+    by construction (within-shard order is by url in both).
     """
     if max_shard_bytes > ((2 << 30) - 64):
         raise ValueError(
@@ -127,9 +248,14 @@ def warc_chunks(
             F.sum(F.octet_length("record")).alias("b")
         ).first()["b"] or 0
         n_chunks = max(1, -(-total // target_shard_bytes))
+    chunk_key = (
+        F.col(key_col).cast("int")
+        if key_col is not None
+        else F.pmod(F.xxhash64(F.col("url")), F.lit(n_chunks)).cast("int")
+    )
     assembled = (
         records.select(
-            F.pmod(F.xxhash64(F.col("url")), F.lit(n_chunks)).cast("int").alias("chunk_id"),
+            chunk_key.alias("chunk_id"),
             F.struct(F.col("url"), F.col("record")).alias("it"),
         )
         .groupBy("chunk_id")

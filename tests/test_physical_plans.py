@@ -47,7 +47,7 @@ def test_q3_customer_join_is_broadcast(spark):
 
     if not os.path.isdir(SF_DIR):
         pytest.skip("driver testdata absent")
-    q3 = entrymod.queries()["q3_revenue_topk"](spark, SF_DIR)
+    q3 = entrymod.queries()["tpch_rollups"](spark, SF_DIR)
     assert "BroadcastHashJoin" in plan_of(q3)
 
 
@@ -138,8 +138,7 @@ _PLAN_SHUFFLE_BUDGET = {
     "otlp_json_roundtrip": 2,  # envelope groupBy + small-scan fan-out
     "salted_rollup": 2,  # two-phase by design
     "enrich_broadcast_geo": 1,  # dims broadcast; one rollup agg
-    "q1_pricing_rollup": 1,
-    "q3_revenue_topk": 2,  # fact join + agg (customer broadcast)
+    "tpch_rollups": 3,  # q1 rollup agg + q3 fact join + agg (customer broadcast)
     # 'full' digest groupBy + the 'incremental' part's snapshot anti join
     # side + survivor groupBy (the batch side's digest agg reuses) + the
     # bloom gate's build aggs: bit_or per word (1) + the dense-scatter
@@ -220,6 +219,7 @@ _PLAN_SHUFFLE_BUDGET = {
     "bpe_tokenize": 1,  # merge table folds into the expression tree + fan-out
     "winnowing_fingerprints": 1,  # narrow gram scan + small-scan fan-out
     "html_extract_text": 0,  # decode→extract→unescape, narrow scan speed
+    "cdx_wet_index": 1,  # ONE shard-keyed offset window (the writer's shuffle, reused)
     "nb_classifier": 3,  # train bucket agg + totals/bias; scoring is
     # broadcast join + per-doc agg (corpus never shuffles on the token key)
 }

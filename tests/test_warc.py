@@ -133,3 +133,75 @@ def test_derived_n_chunks_scales_with_corpus(spark):
     assert 2 <= len(got) <= 7
     assert all(0 <= r["chunk_id"] < 7 for r in got)
     assert parse_warc(chunks).count() == pages.count()
+
+
+# ---------------------------------------------------------------------------
+# WET (conversion records) + CDX capture index
+# ---------------------------------------------------------------------------
+
+
+def test_wet_record_framing(spark):
+    from opentelemetry_collector_spark.sources.warc import wet_records
+
+    pages = synthesize_pages(spark, 5, partitions=1)
+    row = wet_records(pages).first()
+    b = bytes(row["record"])
+    url, date, clen, payload = _parse_blob(b)[0]
+    assert url == row["url"] and date == row["warc_date"]
+    text = pages.where(F.col("url") == row["url"]).first()["text"]
+    assert payload == text.encode("utf-8") and clen == len(payload)
+    assert b"WARC-Type: conversion\r\n" in b
+    assert b"Content-Type: text/plain\r\n" in b
+
+
+def test_cdx_offsets_address_real_bytes(spark):
+    """The end-to-end CDX contract: for every index row, the shard file's
+    bytes at [offset, offset+length) ARE that record — parseable on their
+    own, with the indexed url/digest/timestamp."""
+    import hashlib
+
+    from opentelemetry_collector_spark.sources.warc import (
+        cdx_index,
+        cdx_shard_id,
+        warc_chunks,
+        wet_records,
+    )
+
+    pages = synthesize_pages(spark, 80, partitions=4)
+    recs = wet_records(pages)
+    idx = {r["url"]: r for r in cdx_index(recs, n_shards=4).collect()}
+    shards = {
+        r["chunk_id"]: bytes(r["warc"])
+        for r in warc_chunks(
+            recs.withColumn("shard", cdx_shard_id(F.col("url"), 4)),
+            key_col="shard",
+        ).collect()
+    }
+    assert len(idx) == 80 and len(shards) == 4
+    for url, row in idx.items():
+        shard_no = int(row["filename"].removeprefix("shard-").split(".")[0])
+        blob = shards[shard_no]
+        assert row["offset"] + row["length"] <= len(blob)
+        slice_ = blob[row["offset"] : row["offset"] + row["length"]]
+        (purl, pdate, clen, payload) = _parse_blob(slice_)[0]
+        assert purl == url
+        assert pdate.replace("-", "").replace(":", "").replace("T", "").replace(
+            "Z", ""
+        ) == row["cdx_ts"]
+        assert hashlib.md5(payload).hexdigest() == row["digest"]
+    # offsets tile each shard exactly: total indexed bytes == shard bytes
+    for shard_no, blob in shards.items():
+        rows = [r for r in idx.values() if r["filename"] == f"shard-{shard_no}.warc.wet"]
+        assert sum(r["length"] for r in rows) == len(blob)
+        assert sorted(r["offset"] for r in rows)[0] == 0
+
+
+def test_cdx_urlkey_is_surt(spark):
+    from opentelemetry_collector_spark.sources.warc import cdx_index, wet_records
+
+    pages = synthesize_pages(spark, 3, partitions=1)
+    for r in cdx_index(wet_records(pages), n_shards=2).collect():
+        host = r["url"].split("/")[2]
+        path = "/" + r["url"].split("/", 3)[3]
+        expect = ",".join(reversed(host.split("."))) + ")" + path.lower()
+        assert r["urlkey"] == expect
