@@ -2325,10 +2325,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # parity here proves an independent engine can reconstruct the byte
     # layout of every shard file without seeing the bytes.
     def cdx_wet_index(spark, sf):
-        from opentelemetry_collector_spark.sources.warc import cdx_index, wet_records
+        from opentelemetry_collector_spark.sources.warc import (
+            cdx_index,
+            wat_records,
+            wet_records,
+        )
 
-        pages = pages_from_documents(_t(spark, sf, "documents"))
-        return cdx_index(wet_records(pages), n_shards=8)
+        docs = _t(spark, sf, "documents")
+        pages = pages_from_documents(docs)
+        wet = cdx_index(wet_records(pages), n_shards=8)
+        # 'wat' family: link-bearing html planted deterministically over
+        # doc_id (1 + doc_id%3 anchors, one &amp;-escaped query each) so
+        # the WAT payload exercises the REAL extract_links boundary and
+        # the oracle can replay every link, payload byte, and offset
+        nl = (F.col("doc_id") % 3).cast("int")
+        anchors = F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), nl),
+                lambda i: F.concat(
+                    F.lit('<a href="https://ref'),
+                    F.pmod(F.col("doc_id") + i, F.lit(20)).cast("string"),
+                    F.lit(".example.com/d/"),
+                    (F.col("doc_id") * 7 + i).cast("string"),
+                    F.lit('?a=1&amp;b=2">t</a>'),
+                ),
+            ),
+            "",
+        )
+        url = F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/doc/"),
+            F.col("doc_id"),
+        )
+        planted = docs.select(
+            url.alias("url"),
+            F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id")).alias("warc_ts"),
+            F.encode(
+                F.concat(F.lit("<html><body>"), anchors, F.lit("</body></html>")),
+                "UTF-8",
+            ).alias("html"),
+            "text",
+        )
+        wat = cdx_index(wat_records(planted), n_shards=8, shard_ext=".warc.wat")
+        return wet.unionByName(wat)
 
     q["cdx_wet_index"] = cdx_wet_index
 
@@ -3879,12 +3917,14 @@ SELECT 'jsonl' AS part,
 FROM documents
 """
 
-    # cdx_wet_index: full byte-layout replay. The WET record is pure
-    # arithmetic over (url, wdate, text) — the oracle rebuilds the exact
-    # header string, adds payload + closing CRLFCRLF bytes, re-derives
-    # the md5-long shard assignment, and reproduces the cumulative
-    # within-shard offsets with the same window aggregate. urlkey is the
-    # SURT transform applied to the synthetic url shape.
+    # cdx_wet_index: full byte-layout replay of BOTH companion shard
+    # families. WET and WAT records are pure arithmetic over (url,
+    # wdate, text, planted links) — the oracle rebuilds the exact header
+    # strings (WAT additionally the full JSON metadata payload including
+    # the extracted-and-unescaped link list), adds payload + closing
+    # CRLFCRLF bytes, re-derives the md5-long shard assignment, and
+    # reproduces the cumulative within-file offsets with the same window
+    # aggregate. urlkey is the SURT transform of the synthetic url shape.
     o["cdx_wet_index"] = f"""
 WITH recs AS (
   SELECT 'https://' || source || '.example.com/doc/' || doc_id AS url,
@@ -3893,8 +3933,19 @@ WITH recs AS (
              '%Y%m%d%H%M%S') AS cdx_ts,
     strftime(make_timestamp((1704067200 + doc_id) * 1000000),
              '%Y-%m-%dT%H:%M:%SZ') AS wdate,
-    text
+    text, doc_id
   FROM documents WHERE text IS NOT NULL
+), wat_payload AS (
+  SELECT url, urlkey, cdx_ts, wdate,
+    '{{"url":"' || url || '","date":"' || wdate ||
+    '","text_digest":"' || md5(text) ||
+    '","text_bytes":' || octet_length(encode(text)) ||
+    ',"n_links":' || (doc_id % 3 + 1) ||
+    ',"links":[' || array_to_string(
+      list_transform(generate_series(0, doc_id % 3),
+        i -> '"https://ref' || ((doc_id + i) % 20) || '.example.com/d/'
+             || (doc_id * 7 + i) || '?a=1&b=2"'), ',') || ']}}' AS payload
+  FROM recs
 ), sized AS (
   SELECT urlkey, cdx_ts, url, md5(text) AS digest,
     (octet_length(encode(
@@ -3907,13 +3958,29 @@ WITH recs AS (
        'Content-Length: ' || octet_length(encode(text))
          || chr(13) || chr(10) || chr(13) || chr(10)
      )) + octet_length(encode(text)) + 4)::BIGINT AS length,
-    ({_dd_hexlong('url')}) % 8 AS shard
+    ({_dd_hexlong('url')}) % 8 AS shard, '.warc.wet' AS ext
   FROM recs
+  UNION ALL
+  SELECT urlkey, cdx_ts, url, md5(payload) AS digest,
+    (octet_length(encode(
+       'WARC/1.0' || chr(13) || chr(10) ||
+       'WARC-Type: metadata' || chr(13) || chr(10) ||
+       'WARC-Target-URI: ' || url || chr(13) || chr(10) ||
+       'WARC-Date: ' || wdate || chr(13) || chr(10) ||
+       'WARC-Record-ID: <urn:md5:' || md5(url || '#wat') || '>'
+         || chr(13) || chr(10) ||
+       'WARC-Refers-To: <urn:md5:' || md5(url) || '>' || chr(13) || chr(10) ||
+       'Content-Type: application/json' || chr(13) || chr(10) ||
+       'Content-Length: ' || octet_length(encode(payload))
+         || chr(13) || chr(10) || chr(13) || chr(10)
+     )) + octet_length(encode(payload)) + 4)::BIGINT AS length,
+    ({_dd_hexlong('url')}) % 8 AS shard, '.warc.wat' AS ext
+  FROM wat_payload
 )
 SELECT urlkey, cdx_ts, url, digest, length,
-  coalesce(sum(length) OVER (PARTITION BY shard ORDER BY url
+  coalesce(sum(length) OVER (PARTITION BY shard, ext ORDER BY url
     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS "offset",
-  'shard-' || shard || '.warc.wet' AS filename
+  'shard-' || shard || ext AS filename
 FROM sized
 """
 

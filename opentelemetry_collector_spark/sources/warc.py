@@ -135,6 +135,95 @@ def wet_records(pages: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _json_esc(col: Column) -> Column:
+    """Minimal JSON string escape for header-safe values (backslash then
+    quote — the only characters that can appear in a URL/date that would
+    break a JSON string literal; control chars were already stripped by
+    :func:`_clean_header_value` on the paths that feed this)."""
+    return F.replace(
+        F.replace(col, F.lit("\\"), F.lit("\\\\")), F.lit('"'), F.lit('\\"')
+    )
+
+
+def wat_records(pages: DataFrame, text_col: str = "text") -> DataFrame:
+    """pages → one WARC **metadata** record per page — the WAT companion
+    artifact (Common Crawl's third shard family, next to WARC + WET):
+    ISO 28500 framing, ``WARC-Type: metadata``, ``Content-Type:
+    application/json``, ``WARC-Refers-To`` naming the response record,
+    payload = one JSON object of per-page metadata.
+
+    The JSON payload is built by EXPLICIT string concatenation (never
+    ``to_json``) so its bytes are pure arithmetic over the page row —
+    an independent engine can replay payload bytes, record sizes, and
+    therefore CDX offsets exactly. Fields::
+
+        {"url": .., "date": .., "text_digest": md5(text bytes),
+         "text_bytes": N, "n_links": K, "links": [..]}
+
+    ``links`` is the REAL link-graph extraction boundary
+    (:func:`operators.htmltext.extract_links` over the html column —
+    anchor hrefs in document order, ``&amp;``-unescaped), which is what
+    makes WAT the input to the url/pagerank side of the engine without
+    re-scanning page bodies.
+
+    Output shape matches :func:`wet_records` — ``(url, warc_date,
+    digest, record)`` with ``digest`` = md5 of the payload bytes — so
+    :func:`cdx_index` and :func:`warc_chunks` apply unchanged.
+
+    Pure columnar concat/encode + one vectorized regexp extract — scan
+    speed, zero Python, zero shuffle.
+    """
+    from ..operators.htmltext import extract_links
+
+    url = _clean_header_value(F.col("url"))
+    wdate = F.date_format(F.col("warc_ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    text_bytes = F.encode(F.col(text_col), "UTF-8")
+    links = extract_links(F.col("html"))
+    payload = F.encode(
+        F.concat(
+            F.lit('{"url":"'), _json_esc(url),
+            F.lit('","date":"'), wdate,
+            F.lit('","text_digest":"'), F.md5(text_bytes),
+            F.lit('","text_bytes":'), F.octet_length(text_bytes).cast("string"),
+            F.lit(',"n_links":'), F.size(links).cast("string"),
+            F.lit(',"links":['),
+            F.array_join(
+                F.transform(
+                    links, lambda u: F.concat(F.lit('"'), _json_esc(u), F.lit('"'))
+                ),
+                ",",
+            ),
+            F.lit("]}"),
+        ),
+        "UTF-8",
+    )
+    header = F.concat(
+        F.lit("WARC/1.0" + _CRLF),
+        F.lit("WARC-Type: metadata" + _CRLF),
+        F.lit("WARC-Target-URI: "), url, F.lit(_CRLF),
+        F.lit("WARC-Date: "), wdate, F.lit(_CRLF),
+        F.lit("WARC-Record-ID: <urn:md5:"),
+        F.md5(F.concat(url, F.lit("#wat"))),
+        F.lit(">" + _CRLF),
+        F.lit("WARC-Refers-To: <urn:md5:"), F.md5(url), F.lit(">" + _CRLF),
+        F.lit("Content-Type: application/json" + _CRLF),
+        F.lit("Content-Length: "),
+        F.octet_length(payload).cast("string"),
+        F.lit(_CRLF + _CRLF),
+    )
+    record = F.concat(
+        F.encode(header, "UTF-8"), payload, F.encode(F.lit(_CRLF + _CRLF), "UTF-8")
+    )
+    return pages.where(
+        F.col(text_col).isNotNull() & F.col("html").isNotNull()
+    ).select(
+        F.col("url"),
+        wdate.alias("warc_date"),
+        F.md5(payload).alias("digest"),
+        record.alias("record"),
+    )
+
+
 def cdx_shard_id(url: Column, n_shards: int) -> Column:
     """Deterministic shard assignment for the CDX/WET writer: the 60-bit
     integer bridge of the url's md5 (``operators/dedup.md5_long`` form —

@@ -219,7 +219,7 @@ _PLAN_SHUFFLE_BUDGET = {
     "bpe_tokenize": 1,  # merge table folds into the expression tree + fan-out
     "winnowing_fingerprints": 1,  # narrow gram scan + small-scan fan-out
     "html_extract_text": 0,  # decode→extract→unescape, narrow scan speed
-    "cdx_wet_index": 1,  # ONE shard-keyed offset window (the writer's shuffle, reused)
+    "cdx_wet_index": 2,  # one shard-keyed offset window per family (wet, wat)
     "nb_classifier": 3,  # train bucket agg + totals/bias; scoring is
     # broadcast join + per-doc agg (corpus never shuffles on the token key)
 }

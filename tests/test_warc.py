@@ -205,3 +205,96 @@ def test_cdx_urlkey_is_surt(spark):
         path = "/" + r["url"].split("/", 3)[3]
         expect = ",".join(reversed(host.split("."))) + ")" + path.lower()
         assert r["urlkey"] == expect
+
+
+# ---------------------------------------------------------------------------
+# WAT (metadata records): JSON payload, link extraction, CDX addressing
+# ---------------------------------------------------------------------------
+
+
+def _planted_link_pages(spark, n):
+    """Pages whose html carries 1 + doc%3 anchors (one &amp;-escaped query
+    each) so the WAT payload exercises real link extraction."""
+    pages = synthesize_pages(spark, n, partitions=2)
+    i = F.xxhash64("url") % 3 + F.lit(3)  # 3..5 anchors, deterministic per url
+    anchors = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), i.cast("int")),
+            lambda k: F.concat(
+                F.lit('<p><a href="https://out'),
+                k.cast("string"),
+                F.lit('.example.org/x?a=1&amp;b=2">t</a></p>'),
+            ),
+        ),
+        "",
+    )
+    return pages.withColumn(
+        "html",
+        F.encode(
+            F.concat(F.lit("<html><body>"), anchors, F.lit("</body></html>")),
+            "UTF-8",
+        ),
+    )
+
+
+def test_wat_record_payload_and_links(spark):
+    import json
+
+    from opentelemetry_collector_spark.operators.htmltext import extract_links
+    from opentelemetry_collector_spark.sources.warc import wat_records
+
+    pages = _planted_link_pages(spark, 6)
+    row = wat_records(pages).first()
+    b = bytes(row["record"])
+    url, date, clen, payload = _parse_blob(b)[0]
+    assert url == row["url"] and date == row["warc_date"]
+    assert clen == len(payload)
+    assert b"WARC-Type: metadata\r\n" in b
+    assert b"Content-Type: application/json\r\n" in b
+    # Refers-To names the response record's id (md5 of the url)
+    import hashlib
+
+    assert (
+        f"WARC-Refers-To: <urn:md5:{hashlib.md5(url.encode()).hexdigest()}>".encode()
+        in b
+    )
+    meta = json.loads(payload)
+    src = pages.where(F.col("url") == url).select(
+        "text", extract_links(F.col("html")).alias("links")
+    ).first()
+    assert meta["url"] == url and meta["date"] == date
+    assert meta["links"] == src["links"] and meta["n_links"] == len(src["links"])
+    assert all("?a=1&b=2" in l for l in meta["links"])  # &amp; unescaped
+    assert meta["text_digest"] == hashlib.md5(src["text"].encode()).hexdigest()
+    assert meta["text_bytes"] == len(src["text"].encode())
+
+
+def test_wat_cdx_offsets_tile_shards(spark):
+    """WAT records address through cdx_index exactly like WET: every
+    [offset, offset+length) slice of an assembled shard parses alone."""
+    from opentelemetry_collector_spark.sources.warc import (
+        cdx_index,
+        cdx_shard_id,
+        warc_chunks,
+        wat_records,
+    )
+
+    recs = wat_records(_planted_link_pages(spark, 40))
+    idx = cdx_index(recs, n_shards=3, shard_ext=".warc.wat").collect()
+    shards = {
+        r["chunk_id"]: bytes(r["warc"])
+        for r in warc_chunks(
+            recs.withColumn("shard", cdx_shard_id(F.col("url"), 3)),
+            key_col="shard",
+        ).collect()
+    }
+    assert len(idx) == 40
+    for row in idx:
+        assert row["filename"].endswith(".warc.wat")
+        blob = shards[int(row["filename"].removeprefix("shard-").split(".")[0])]
+        slice_ = blob[row["offset"] : row["offset"] + row["length"]]
+        (purl, _, clen, payload) = _parse_blob(slice_)[0]
+        assert purl == row["url"] and clen == len(payload)
+    for shard_no, blob in shards.items():
+        rows = [r for r in idx if r["filename"] == f"shard-{shard_no}.warc.wat"]
+        assert sum(r["length"] for r in rows) == len(blob)
