@@ -1763,8 +1763,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pack_sequences"] = pack_sequences_q
 
-    def tfidf_q(spark, sf):  # tf-idf keyword extraction per source
-        return ts_ops.tfidf_top_terms(_t(spark, sf, "documents"), k=3)
+    def tfidf_q(spark, sf):
+        # lexical relevance suite, 2-part union: 'tfidf' = per-source
+        # keyword extraction; 'bm25' = Okapi BM25 top-k retrieval for a
+        # fixed query bag (one single-row stats aggregate broadcast back,
+        # zero explode, TakeOrderedAndProject top-k)
+        docs = _t(spark, sf, "documents")
+        _S = F.lit(None).cast("string")
+        tfidf = ts_ops.tfidf_top_terms(docs, k=3).select(
+            F.lit("tfidf").alias("part"),
+            F.col("source").alias("s1"),
+            F.col("term").alias("s2"),
+            F.col("tf").cast("long").alias("k1"),
+            F.col("score").alias("d1"),
+            F.col("rank").cast("long").alias("k2"),
+        )
+        bm25 = ts_ops.bm25_topk(docs, ["spark", "window", "join"], k=10).select(
+            F.lit("bm25").alias("part"),
+            _S.alias("s1"),
+            _S.alias("s2"),
+            F.col("doc_id").cast("long").alias("k1"),
+            F.col("score").alias("d1"),
+            F.col("rank").cast("long").alias("k2"),
+        )
+        return tfidf.unionByName(bm25)
 
     q["tfidf_top_terms"] = tfidf_q
 
@@ -3590,6 +3612,12 @@ GROUP BY k % 16
 
     # tf-idf keywords: ln + tf*idf both ranked on the 9-dp rounding
     # (term ASC tiebreak) exactly like the Spark window
+    # tfidf part unchanged; bm25 part replays the exact float recipe:
+    # idf rounded to 9 dp (absorbs 1-ulp libm ln drift), then
+    # ((idf·tf)·(k1+1))/denom summed in written term order, total rounded
+    # to 9 dp for ranking and 4 dp for reporting — constants written as
+    # the same arithmetic Spark folds ((1.2+1.0), (1-0.75)) so both
+    # engines bind identical doubles.
     o["tfidf_top_terms"] = """
 WITH docs AS (
   SELECT doc_id, source, text FROM documents WHERE text IS NOT NULL
@@ -3611,8 +3639,43 @@ WITH docs AS (
     row_number() OVER (PARTITION BY source ORDER BY s9 DESC, term ASC)::INT AS rank
   FROM scored
 )
-SELECT source, term, tf, round(s9, 4) AS score, rank
+SELECT 'tfidf' AS part, source AS s1, term AS s2, tf AS k1,
+  round(s9, 4)::DOUBLE AS d1, rank::BIGINT AS k2
 FROM ranked WHERE rank <= 3
+UNION ALL
+SELECT 'bm25' AS part, NULL::VARCHAR AS s1, NULL::VARCHAR AS s2, k1, d1, k2
+FROM (
+  WITH w AS (
+    SELECT doc_id, string_split_regex(trim(text), ' +') AS w FROM documents
+    WHERE text IS NOT NULL
+  ), stats AS (
+    SELECT count(*)::DOUBLE AS n, avg(len(w))::DOUBLE AS avgdl,
+      sum(CASE WHEN list_contains(w, 'spark') THEN 1 ELSE 0 END)::DOUBLE AS df0,
+      sum(CASE WHEN list_contains(w, 'window') THEN 1 ELSE 0 END)::DOUBLE AS df1,
+      sum(CASE WHEN list_contains(w, 'join') THEN 1 ELSE 0 END)::DOUBLE AS df2
+    FROM w
+  ), tfs AS (
+    SELECT doc_id, len(w)::DOUBLE AS dl,
+      len(list_filter(w, x -> x = 'spark'))::DOUBLE AS tf0,
+      len(list_filter(w, x -> x = 'window'))::DOUBLE AS tf1,
+      len(list_filter(w, x -> x = 'join'))::DOUBLE AS tf2
+    FROM w
+  ), bscore AS (
+    SELECT doc_id, round(
+        round(ln(1 + (n - df0 + 0.5) / (df0 + 0.5)), 9)
+          * tf0 * (1.2 + 1.0) / (tf0 + 1.2 * ((1 - 0.75) + 0.75 * dl / avgdl))
+      + round(ln(1 + (n - df1 + 0.5) / (df1 + 0.5)), 9)
+          * tf1 * (1.2 + 1.0) / (tf1 + 1.2 * ((1 - 0.75) + 0.75 * dl / avgdl))
+      + round(ln(1 + (n - df2 + 0.5) / (df2 + 0.5)), 9)
+          * tf2 * (1.2 + 1.0) / (tf2 + 1.2 * ((1 - 0.75) + 0.75 * dl / avgdl)),
+      9) AS s9
+    FROM tfs, stats
+  )
+  SELECT doc_id::BIGINT AS k1, round(s9, 4)::DOUBLE AS d1,
+    (row_number() OVER (ORDER BY s9 DESC, doc_id ASC))::BIGINT AS k2
+  FROM bscore WHERE s9 > 0
+  ORDER BY s9 DESC, doc_id ASC LIMIT 10
+)
 """
 
     # decontamination: 8-gram shingle overlap vs the doc_id%50 benchmark

@@ -1097,6 +1097,89 @@ def tfidf_top_terms(
     )
 
 
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 retrieval: the ``k`` documents most relevant to a bag
+    of ``query_terms`` — the standard lexical scorer (Robertson/Sparck
+    Jones probabilistic idf, tf saturation ``k1``, length normalization
+    ``b``) behind benchmark-decontamination lookups and seed-document
+    expansion in corpus curation.
+
+    score(d) = Σ_t idf(t) · tf(t,d)·(k1+1) / (tf(t,d) + k1·(1−b+b·|d|/avgdl)),
+    idf(t) = ln(1 + (N − df(t) + 0.5)/(df(t) + 0.5)).
+
+    Scale shape: corpus statistics (N, avgdl, per-term df) fold into ONE
+    map-side-combined aggregate producing a SINGLE row — df per term is a
+    conditional sum over ``array_contains``, so adding terms widens the
+    aggregate, never adds passes. That row broadcasts back; per-document
+    tf is a fixed set of ``size(filter(tokens,...))`` expressions over
+    one bound token array — scan speed, zero explode, zero token-keyed
+    shuffle (contrast: an exploded inverted-index join would shuffle the
+    corpus on the hottest keys in the vocabulary). Top-k is
+    ``orderBy(...).limit(k)`` — TakeOrderedAndProject's per-partition
+    heaps, no global sort exchange. Ranking compares the 9-dp-rounded
+    score (ties → ``id_col`` ASC) so 1-ulp libm ``ln`` divergence cannot
+    flip ranks across engines; the reported score is 4-dp. Zero-score
+    documents (no query term present) are excluded, matching the
+    inverted-index contract that a document sharing no term is not a
+    result. Raises on an empty term list rather than scoring nothing.
+    """
+    if not query_terms:
+        raise ValueError("bm25_topk: query_terms must be non-empty")
+    if len(set(query_terms)) != len(query_terms):
+        raise ValueError("bm25_topk: query_terms must be distinct")
+    docs = df.where(F.col(text_col).isNotNull())
+    toks = tokenize(F.col(text_col))
+    stats = docs.agg(
+        F.count("*").cast("double").alias("__n"),
+        F.avg(F.size(toks)).alias("__avgdl"),
+        *[
+            F.sum(F.array_contains(toks, t).cast("long"))
+            .cast("double")
+            .alias(f"__df{i}")
+            for i, t in enumerate(query_terms)
+        ],
+    )
+    kL, bL = F.lit(float(k1)), F.lit(float(b))
+    dl = F.size(toks).cast("double")
+
+    def term_score(i: int, t: str) -> Column:
+        tf = F.size(F.filter(toks, lambda x: x == F.lit(t))).cast("double")
+        idf = F.round(
+            F.log(
+                F.lit(1.0)
+                + (F.col("__n") - F.col(f"__df{i}") + 0.5) / (F.col(f"__df{i}") + 0.5)
+            ),
+            9,
+        )
+        denom = tf + kL * (F.lit(1.0) - bL + bL * dl / F.col("__avgdl"))
+        return idf * tf * (kL + F.lit(1.0)) / denom
+
+    total = term_score(0, query_terms[0])
+    for i, t in enumerate(query_terms[1:], start=1):
+        total = total + term_score(i, t)
+    scored = (
+        docs.crossJoin(F.broadcast(stats))
+        .select(F.col(id_col), F.round(total, 9).alias("__s9"))
+        .where(F.col("__s9") > 0)
+        .orderBy(F.col("__s9").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("__s9").desc(), F.col(id_col).asc())
+    return scored.select(
+        F.col(id_col),
+        F.round(F.col("__s9"), 4).alias("score"),
+        F.row_number().over(w).cast("int").alias("rank"),
+    )
+
+
 def char_entropy(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -1071,3 +1071,62 @@ def test_chunk_documents_sliding_windows(spark):
     ]
     with _pytest.raises(ValueError, match="overlap"):
         chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+def test_bm25_topk_hand_computed(spark):
+    import math
+
+    import pytest as _pytest
+
+    from opentelemetry_collector_spark.operators.textstats import bm25_topk
+
+    df = spark.createDataFrame(
+        [
+            (0, "spark join spark"),          # tf(spark)=2, tf(join)=1, dl=3
+            (1, "window window window join"),  # tf(window)=3, tf(join)=1, dl=4
+            (2, "other words only here"),      # no query term → excluded
+            (3, "spark"),                      # tf(spark)=1, dl=1
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in
+            bm25_topk(df, ["spark", "window", "join"], k=10).collect()}
+    assert 2 not in rows  # zero-score docs excluded
+    n, avgdl, k1, b = 4.0, (3 + 4 + 4 + 1) / 4.0, 1.2, 0.75
+
+    def idf(dfreq):
+        return round(math.log(1.0 + (n - dfreq + 0.5) / (dfreq + 0.5)), 9)
+
+    def ts(tf, dl, dfreq):
+        return idf(dfreq) * tf * (k1 + 1.0) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    # df: spark→2 docs, window→1, join→2
+    exp = {
+        0: ts(2, 3, 2) + ts(1, 3, 2),
+        1: ts(3, 4, 1) + ts(1, 4, 2),
+        3: ts(1, 1, 2),
+    }
+    for d, s in exp.items():
+        assert rows[d]["score"] == round(round(s, 9), 4)
+    # ranks follow the 9-dp score ordering, contiguous from 1
+    got = sorted(rows.values(), key=lambda r: r["rank"])
+    assert [r["rank"] for r in got] == [1, 2, 3]
+    assert sorted((r["score"] for r in got), reverse=True) == [r["score"] for r in got]
+    with _pytest.raises(ValueError):
+        bm25_topk(df, [])
+    with _pytest.raises(ValueError):
+        bm25_topk(df, ["spark", "spark"])
+
+
+def test_bm25_topk_limits_and_ties(spark):
+    from opentelemetry_collector_spark.operators.textstats import bm25_topk
+
+    # 12 identical docs: identical scores, rank ties broken by doc_id ASC,
+    # k caps the result
+    df = spark.createDataFrame(
+        [(i, "alpha beta") for i in range(12)], "doc_id long, text string"
+    )
+    got = bm25_topk(df, ["alpha"], k=5).collect()
+    assert [r["doc_id"] for r in got] == [0, 1, 2, 3, 4]
+    assert len({r["score"] for r in got}) == 1
+    assert [r["rank"] for r in got] == [1, 2, 3, 4, 5]
