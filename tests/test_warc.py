@@ -298,3 +298,23 @@ def test_wat_cdx_offsets_tile_shards(spark):
     for shard_no, blob in shards.items():
         rows = [r for r in idx if r["filename"] == f"shard-{shard_no}.warc.wat"]
         assert sum(r["length"] for r in rows) == len(blob)
+
+
+def test_parse_warc_ingests_wet_shards(spark):
+    """The read side is family-agnostic: WET (conversion) shards parse
+    through the same strict content-length framing, and the recovered
+    payload IS the original text byte-identically."""
+    from opentelemetry_collector_spark.sources.warc import (
+        parse_warc,
+        warc_chunks,
+        wet_records,
+    )
+
+    pages = synthesize_pages(spark, 60, partitions=3)
+    parsed = parse_warc(warc_chunks(wet_records(pages), n_chunks=4))
+    joined = pages.alias("p").join(parsed.alias("w"), "url", "inner")
+    bad = joined.where(
+        F.decode(F.col("w.html"), "UTF-8") != F.col("p.text")
+    ).count()
+    assert bad == 0
+    assert parsed.count() == pages.where(F.col("text").isNotNull()).count()
