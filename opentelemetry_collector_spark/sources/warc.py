@@ -136,13 +136,16 @@ def wet_records(pages: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def _json_esc(col: Column) -> Column:
-    """Minimal JSON string escape for header-safe values (backslash then
-    quote — the only characters that can appear in a URL/date that would
-    break a JSON string literal; control chars were already stripped by
-    :func:`_clean_header_value` on the paths that feed this)."""
-    return F.replace(
+    """JSON string escape for values embedded in the WAT payload:
+    backslash then quote escaped, then every remaining C0 control
+    stripped (RFC 8259 forbids raw controls inside a JSON string, and a
+    hostile href CAN carry a tab/BEL — urls legally cannot, so dropping
+    beats emitting an unparseable payload). Order matters: the strip
+    runs last so an escaped pair is never re-split."""
+    esc = F.replace(
         F.replace(col, F.lit("\\"), F.lit("\\\\")), F.lit('"'), F.lit('\\"')
     )
+    return F.regexp_replace(esc, "[\\x00-\\x1f]", "")
 
 
 def wat_records(pages: DataFrame, text_col: str = "text") -> DataFrame:

@@ -318,3 +318,30 @@ def test_parse_warc_ingests_wet_shards(spark):
     ).count()
     assert bad == 0
     assert parsed.count() == pages.where(F.col("text").isNotNull()).count()
+
+
+def test_wat_payload_survives_hostile_urls_and_links(spark):
+    """WAT payloads must stay valid JSON when urls/hrefs carry quotes,
+    backslashes, or raw control characters (hostile foreign HTML)."""
+    import json
+    from datetime import datetime
+
+    from opentelemetry_collector_spark.sources.warc import wat_records
+
+    hostile = [
+        ('https://a.example.com/x?q="quoted"', '<a href="https://t/1?v=\\"x\\"">l</a>'),
+        ("https://b.example.com/back\\slash", '<a href="https://t/2\\raw">l</a>'),
+        ("https://c.example.com/tab", '<a href="https://t/3\tbell\x07">l</a>'),
+    ]
+    rows = spark.createDataFrame(
+        [
+            (u, datetime(2024, 1, 1, 0, 0, i), h.encode(), "text %d" % i)
+            for i, (u, h) in enumerate(hostile)
+        ],
+        "url string, warc_ts timestamp, html binary, text string",
+    )
+    for r in wat_records(rows).collect():
+        _, _, clen, payload = _parse_blob(bytes(r["record"]))[0]
+        meta = json.loads(payload)  # must parse — that IS the contract
+        assert meta["n_links"] == len(meta["links"]) == 1
+        assert "\t" not in meta["links"][0] and "\x07" not in meta["links"][0]
