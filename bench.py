@@ -162,6 +162,8 @@ BENCH_QUERIES = [
     "cleanup_suite",  # pii scrub + c4 line filter
     "sampling_suite",  # incl. the DSIR fit/score/Gumbel-top-k part
     "nb_classifier",
+    "cdx_wet_index",  # WET+WAT byte-layout index (round-5 families)
+    "tfidf_top_terms",  # lexical relevance incl. the BM25 part
 ]
 
 
