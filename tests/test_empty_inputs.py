@@ -227,3 +227,25 @@ def test_c4_line_filter_empty_and_null(spark, empty_docs):
     )
     rows = ts.c4_line_filter(nulls).collect()
     assert [r["doc_id"] for r in rows] == [2]
+
+
+def test_round5_wet_wat_cdx_bm25_empty(spark):
+    from opentelemetry_collector_spark.sources.warc import (
+        cdx_index,
+        wat_records,
+        wet_records,
+    )
+
+    empty_pages = spark.createDataFrame(
+        [], "url string, warc_ts timestamp, html binary, text string"
+    )
+    assert wet_records(empty_pages).count() == 0
+    assert wat_records(empty_pages).count() == 0
+    assert cdx_index(wet_records(empty_pages), n_shards=4).count() == 0
+    empty_docs2 = spark.createDataFrame([], "doc_id long, text string")
+    assert ts.bm25_topk(empty_docs2, ["spark"], k=5).count() == 0
+    # null text rows are filtered, never scored or framed
+    nulls = spark.createDataFrame(
+        [(1, None)], "doc_id long, text string"
+    )
+    assert ts.bm25_topk(nulls, ["spark"], k=5).count() == 0

@@ -26,3 +26,33 @@ def test_host_sketches_gates_hold(spark):
 def test_host_sketches_empty(spark):
     pages = spark.createDataFrame([], "url string, text string")
     assert host_sketches(pages).count() == 0
+
+
+def test_surt_key_collapses_cosmetic_variants(spark):
+    """All cosmetic variants of one logical URL (scheme/host case, www,
+    default port, fragment, query order) produce ONE SURT key, and the
+    key has the archival shape com,example,...)/path?query."""
+    from opentelemetry_collector_spark.operators.urls import surt_key
+
+    base = "https://news.example.com/A/b?z=1&a=2"
+    variants = [
+        base,
+        "HTTPS://news.Example.COM/A/b?z=1&a=2",
+        "https://www.news.example.com/A/b?z=1&a=2",
+        "https://news.example.com:443/A/b?z=1&a=2",
+        "https://news.example.com/A/b?a=2&z=1",
+        "https://news.example.com/A/b?z=1&a=2#frag",
+    ]
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(u,) for u in variants], "url string")
+    keys = {r[0] for r in df.select(surt_key(F.col("url"))).collect()}
+    assert keys == {"com,example,news)/A/b?a=2&z=1"}
+    # non-default port survives; different path → different key
+    extra = spark.createDataFrame(
+        [("https://news.example.com:8080/A/b",), ("https://news.example.com/A/c",)],
+        "url string",
+    )
+    got = [r[0] for r in extra.select(surt_key(F.col("url"))).collect()]
+    assert got[0] == "com,example,news:8080)/A/b"
+    assert got[1] == "com,example,news)/A/c"
