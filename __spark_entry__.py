@@ -1352,6 +1352,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                F.col("start_time_unix_nano"), F.col("time_unix_nano")),
             d=(F.col("value_double"),),
         )
+        # 'mexemplar': pdata Exemplar rows ride the NumberDataPoint on
+        # the BINARY wire too (metrics.proto Exemplar — time/value/
+        # span_id/trace_id/filtered_attributes; ids are raw bytes on the
+        # wire, hex in the flat frame) — same max-value-event exemplar
+        # the JSON round-trip proves, now proven on the proto encoding
+        mex_back = otlp_pb.otlp_pb_to_sum_points(
+            otlp_pb.sum_points_to_otlp_pb(
+                met_ops.sum_points_with_exemplars(_t(spark, sf, "events")),
+                salt_buckets=16,
+            )
+        )
+        mex = F.try_element_at(F.col("exemplars"), F.lit(1))
+        p_mex = packed(
+            "mexemplar", mex_back,
+            s=(F.col("metric_name"),
+               F.concat_ws(
+                   "/",
+                   mex.getField("trace_id"),
+                   mex.getField("span_id"),
+                   F.element_at(mex.getField("filtered_attributes"), "event_id"),
+               ),
+               F.element_at("attributes", "event_type")),
+            k=(F.col("start_time_unix_nano"), F.col("time_unix_nano"),
+               mex.getField("time_unix_nano")),
+            d=(F.col("value_double"), mex.getField("value_double")),
+        )
         bounds = met_ops.DEFAULT_HIST_BOUNDS
         hist_back = met_ops.histogram_buckets_long(
             otlp_pb.otlp_pb_to_histogram_points(
@@ -1406,7 +1432,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             k=(F.col("event_id"),),
         )
         out = p_logs
-        for part in (p_spans, p_msum, p_mhist, p_mexph, p_msummary, p_typed):
+        for part in (
+            p_spans, p_msum, p_mex, p_mhist, p_mexph, p_msummary, p_typed
+        ):
             out = out.unionAll(part)
         return out
 
@@ -3080,6 +3108,20 @@ SELECT 'msum' AS part,
   value_double::DOUBLE AS d1, CAST(NULL AS DOUBLE) AS d2,
   CAST(NULL AS DOUBLE) AS d3, CAST(NULL AS DOUBLE) AS d4
 FROM ({sql_sum})
+UNION ALL
+SELECT 'mexemplar' AS part,
+  metric_name AS s1,
+  exemplar_trace_id || '/' || exemplar_span_id || '/' || exemplar_event_id AS s2,
+  event_type AS s3,
+  CAST(NULL AS VARCHAR) AS s4, CAST(NULL AS VARCHAR) AS s5,
+  CAST(NULL AS VARCHAR) AS s6, CAST(NULL AS VARCHAR) AS s7,
+  CAST(NULL AS VARCHAR) AS s8,
+  start_time_unix_nano::BIGINT AS k1, time_unix_nano::BIGINT AS k2,
+  exemplar_ts::BIGINT AS k3, CAST(NULL AS BIGINT) AS k4,
+  CAST(NULL AS BIGINT) AS k5, CAST(NULL AS BIGINT) AS k6,
+  value_double::DOUBLE AS d1, exemplar_value::DOUBLE AS d2,
+  CAST(NULL AS DOUBLE) AS d3, CAST(NULL AS DOUBLE) AS d4
+FROM ({sql_exemplar})
 UNION ALL
 SELECT 'mhist' AS part,
   CAST(NULL AS VARCHAR) AS s1, CAST(NULL AS VARCHAR) AS s2,

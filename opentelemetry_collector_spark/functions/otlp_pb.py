@@ -908,13 +908,64 @@ def _f_packed_double(field: int, vals: list[float]) -> bytes:
     return _tag(field, 2) + _varint(len(payload)) + payload
 
 
+def _enc_exemplar(e: dict) -> bytes:
+    # Exemplar (metrics.proto, same numbers the reference's generated
+    # marshal uses — pdata/internal/data/protogen/metrics/v1/
+    # metrics.pb.go Exemplar): time_unix_nano=2 fixed64, as_double=3
+    # (value oneof member — always emitted), span_id=4 bytes,
+    # trace_id=5 bytes, filtered_attributes=7 repeated KeyValue. The
+    # flat frame carries ids as hex strings (the pdata text form);
+    # the wire carries raw bytes, so hex↔bytes at this boundary only.
+    return (
+        _f_fixed64(2, int(e.get("time_unix_nano") or 0))
+        + _f_double(3, float(e.get("value_double") or 0.0), always=True)
+        + _f_bytes(4, bytes.fromhex(e.get("span_id") or ""))
+        + _f_bytes(5, bytes.fromhex(e.get("trace_id") or ""))
+        + b"".join(
+            _f_msg(7, _enc_kv(k, v))
+            for k, v in (e.get("filtered_attributes") or {}).items()
+        )
+    )
+
+
+def _dec_exemplar(buf: bytes) -> dict:
+    e = {
+        "time_unix_nano": 0,
+        "value_double": 0.0,
+        "trace_id": None,
+        "span_id": None,
+        "filtered_attributes": {},
+    }
+    for field, _w, v in _fields(buf):
+        if field == 2:
+            e["time_unix_nano"] = int(v)
+        elif field == 3:
+            e["value_double"] = struct.unpack("<d", struct.pack("<Q", int(v)))[0]
+        elif field == 4:
+            e["span_id"] = bytes(v).hex()
+        elif field == 5:
+            e["trace_id"] = bytes(v).hex()
+        elif field == 6:
+            # as_int (sfixed64): a FOREIGN payload's value-union member —
+            # the flat frame's single numeric column takes the AsDouble
+            # view of it (same normalization the JSON boundary applies)
+            e["value_double"] = float(
+                struct.unpack("<q", struct.pack("<Q", int(v)))[0]
+            )
+        elif field == 7:
+            k, val = _dec_kv(bytes(v))
+            e["filtered_attributes"][k] = val
+    return e
+
+
 def _enc_number_dp(p: dict) -> bytes:
     # NumberDataPoint: start=2 fixed64, time=3 fixed64, as_double=4
-    # (oneof member — always emitted), attributes=7
+    # (oneof member — always emitted), exemplars=5, attributes=7
     return (
         _f_fixed64(2, int(p.get("start_time_unix_nano") or 0))
         + _f_fixed64(3, int(p.get("time_unix_nano") or 0))
         + _f_double(4, float(p.get("value_double") or 0.0), always=True)
+        + b"".join(_f_msg(5, _enc_exemplar(e)) for e in _aslist(p.get("exemplars")))
         + b"".join(
             _f_msg(7, _enc_kv(k, v)) for k, v in (p.get("attributes") or {}).items()
         )
@@ -987,6 +1038,7 @@ def _dec_number_dp(buf: bytes) -> dict:
         "value_double": 0.0,
         "value_int": None,
         "attributes": {},
+        "exemplars": None,
     }
     for field, _w, v in _fields(buf):
         if field == 2:
@@ -995,6 +1047,8 @@ def _dec_number_dp(buf: bytes) -> dict:
             p["time_unix_nano"] = int(v)
         elif field == 4:
             p["value_double"] = struct.unpack("<d", struct.pack("<Q", int(v)))[0]
+        elif field == 5:
+            p["exemplars"] = (p["exemplars"] or []) + [_dec_exemplar(bytes(v))]
         elif field == 6:
             p["value_int"] = struct.unpack("<q", struct.pack("<Q", int(v)))[0]
         elif field == 7:
@@ -1091,6 +1145,18 @@ def _dec_metrics_request(buf: bytes) -> list[dict]:
     return out
 
 
+_EXEMPLAR_PB_SCHEMA = T.StructType(
+    [
+        T.StructField("time_unix_nano", T.LongType(), True),
+        T.StructField("value_double", T.DoubleType(), True),
+        T.StructField("trace_id", T.StringType(), True),
+        T.StructField("span_id", T.StringType(), True),
+        T.StructField(
+            "filtered_attributes", T.MapType(T.StringType(), T.StringType()), True
+        ),
+    ]
+)
+
 _SUM_PB_SCHEMA = T.StructType(
     [
         T.StructField("metric_name", T.StringType(), True),
@@ -1101,6 +1167,9 @@ _SUM_PB_SCHEMA = T.StructType(
         T.StructField("time_unix_nano", T.LongType(), True),
         T.StructField("attributes", T.MapType(T.StringType(), T.StringType()), True),
         T.StructField("value_double", T.DoubleType(), True),
+        # pdata Exemplar rows riding the point (same flat struct the JSON
+        # codec round-trips; NULL when the wire carried none)
+        T.StructField("exemplars", T.ArrayType(_EXEMPLAR_PB_SCHEMA), True),
     ]
 )
 
@@ -1108,9 +1177,10 @@ _SUM_PB_SCHEMA = T.StructType(
 def sum_points_to_otlp_pb(points: DataFrame, salt_buckets: int | None = None) -> DataFrame:
     """Delta-Sum points frame → OTLP proto wire bytes (one Metric per
     envelope; salt bounds per-envelope point counts)."""
-    dp = F.struct(
-        "start_time_unix_nano", "time_unix_nano", "attributes", "value_double"
-    )
+    dp_cols = ["start_time_unix_nano", "time_unix_nano", "attributes", "value_double"]
+    if "exemplars" in points.columns:
+        dp_cols.append("exemplars")
+    dp = F.struct(*dp_cols)
     keys = [
         F.col("metric_name"),
         F.col("aggregation_temporality"),

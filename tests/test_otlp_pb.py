@@ -301,3 +301,93 @@ def test_pb_asstring_matches_json_boundary_es6():
         assert _any_as_string(x) == es6_float_str(x)
     # nested doubles in compound values render ES6 too
     assert _any_as_string([1e21]) == f"[{es6_float_str(1e21)}]"
+
+
+def test_pb_exemplar_roundtrip_identity():
+    # Exemplar rides the NumberDataPoint (metrics.proto field 5): time,
+    # value, span/trace ids (bytes on the wire, hex in the flat frame),
+    # filtered attributes — all survive the binary round trip
+    from opentelemetry_collector_spark.functions.otlp_pb import (
+        _dec_metrics_request,
+        _enc_metrics_request,
+        _enc_sum_metric,
+    )
+
+    ex = dict(
+        time_unix_nano=1581452773_000000789,
+        value_double=4.25,
+        trace_id="0af7651916cd43dd8448eb211c80319c",
+        span_id="b7ad6b7169203331",
+        filtered_attributes={"event_id": "42"},
+    )
+    dps = [
+        dict(start_time_unix_nano=10**9, time_unix_nano=2 * 10**9,
+             attributes={"event_type": "view"}, value_double=9.5,
+             exemplars=[ex]),
+        dict(start_time_unix_nano=0, time_unix_nano=3 * 10**9,
+             attributes={"event_type": "error"}, value_double=0.0),
+    ]
+    back = _dec_metrics_request(
+        _enc_metrics_request(_enc_sum_metric("m.sum", 1, True, dps))
+    )
+    assert back[0]["exemplars"] == [ex]
+    # a point that carried none decodes to None, not [] (absence is
+    # distinguishable from an empty list, like the JSON boundary's null)
+    assert back[1]["exemplars"] is None
+
+
+def test_pb_exemplar_foreign_as_int_coerces_to_double():
+    # a FOREIGN payload using the value union's as_int member (sfixed64,
+    # field 6) lands in the flat frame's single numeric column as its
+    # AsDouble view — same normalization the JSON boundary applies
+    import struct as st
+
+    from opentelemetry_collector_spark.functions.otlp_pb import (
+        _dec_exemplar,
+        _tag,
+    )
+
+    raw = _tag(2, 1) + st.pack("<Q", 7) + _tag(6, 1) + st.pack("<q", -12)
+    e = _dec_exemplar(raw)
+    assert e["time_unix_nano"] == 7
+    assert e["value_double"] == -12.0
+    assert e["trace_id"] is None and e["filtered_attributes"] == {}
+
+
+def test_pb_exemplar_spark_roundtrip(spark):
+    # the full Arrow surface: sum_points_with_exemplars → pb encode →
+    # pb decode keeps every exemplar field and pairs it with its point
+    import datetime as dt
+
+    from opentelemetry_collector_spark.functions import otlp_pb
+    from opentelemetry_collector_spark.operators import metrics as met
+
+    events = spark.createDataFrame(
+        [
+            (0, dt.datetime(2024, 1, 1, 0, 0, 30), 1, "view", 1.5, "{}"),
+            (1, dt.datetime(2024, 1, 1, 0, 1, 0), 1, "view", 3.0, "{}"),
+            (2, dt.datetime(2024, 1, 1, 0, 7, 0), 1, "error", 60.0, "{}"),
+            (3, dt.datetime(2024, 1, 1, 0, 2, 0), 2, "view", 120.0, "{}"),
+        ],
+        ["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    pts = met.sum_points_with_exemplars(events)
+    back = otlp_pb.otlp_pb_to_sum_points(
+        otlp_pb.sum_points_to_otlp_pb(pts, salt_buckets=4)
+    )
+    want = {
+        (r["metric_name"], r["attributes"]["event_type"], r["time_unix_nano"]):
+            r["exemplars"][0]
+        for r in pts.collect()
+    }
+    got = back.collect()
+    assert len(got) == len(want)
+    for r in got:
+        ex = r["exemplars"][0]
+        w = want[(r["metric_name"], r["attributes"]["event_type"],
+                  r["time_unix_nano"])]
+        assert ex["trace_id"] == w["trace_id"]
+        assert ex["span_id"] == w["span_id"]
+        assert ex["time_unix_nano"] == w["time_unix_nano"]
+        assert ex["value_double"] == w["value_double"]
+        assert dict(ex["filtered_attributes"]) == dict(w["filtered_attributes"])
