@@ -169,11 +169,13 @@ def _enc_any(v) -> bytes:
     before int (Python bool ⊂ int)."""
     if v is None:
         return b""
+    # oneof members are emitted even at their zero value ('' / false /
+    # 0 / 0.0 / b'') — proto3 default-omission applies to PLAIN fields,
+    # not to a set oneof; omitting them here would decode as the EMPTY
+    # AnyValue (indistinguishable only at the flat AsString boundary)
     if isinstance(v, str):
-        return _enc_any_string(v)
-    # oneof members are emitted even at their zero value (false / 0 /
-    # 0.0) — proto3 default-omission applies to PLAIN fields, not to a
-    # set oneof; omitting them here would decode as the EMPTY AnyValue
+        payload = v.encode("utf-8")
+        return _tag(1, 2) + _varint(len(payload)) + payload
     if isinstance(v, bool):
         return _tag(2, 0) + _varint(1 if v else 0)
     if isinstance(v, int):

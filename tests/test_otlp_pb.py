@@ -234,7 +234,7 @@ def test_pb_anyvalue_typed_union_roundtrip():
 
     cases = [
         "plain",
-        "",                       # empty string (flat path omits; '' == empty)
+        "",                       # zero-value string_value: SET oneof, emitted
         True,
         False,                    # zero-value oneof must still be emitted
         0,
@@ -252,9 +252,7 @@ def test_pb_anyvalue_typed_union_roundtrip():
     ]
     for v in cases:
         back = _dec_any(_enc_any(v))
-        if v is None or (isinstance(v, str) and v == ""):
-            # the flat path encodes '' as the empty AnyValue (proto3
-            # string default); both decode to the empty value
+        if v is None:
             assert back is None, v
         else:
             assert back == v and type(back) is type(v), v
@@ -391,3 +389,97 @@ def test_pb_exemplar_spark_roundtrip(spark):
         assert ex["time_unix_nano"] == w["time_unix_nano"]
         assert ex["value_double"] == w["value_double"]
         assert dict(ex["filtered_attributes"]) == dict(w["filtered_attributes"])
+
+
+# ---------------------------------------------------------------------------
+# Property fuzz: the AnyValue wire union is total over its whole domain
+# (pdata/pcommon/value.go:31-40 — Empty|Str|Bool|Int|Double|Bytes|Slice|Map,
+# recursively nested). Encode→decode must be the identity for every value
+# the type system admits, including zero-value oneof members ('' / false /
+# 0 / 0.0 / b''), 64-bit int boundaries, NaN/±Inf bit patterns, and
+# arbitrarily nested array/kvlist shapes — not just the hand-picked cases.
+# ---------------------------------------------------------------------------
+
+import struct as _struct
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_any_scalars = st.one_of(
+    st.none(),
+    st.text(max_size=24),
+    st.booleans(),
+    st.integers(min_value=-(1 << 63), max_value=(1 << 63) - 1),
+    st.floats(allow_nan=True, allow_infinity=True),
+    st.binary(max_size=16),
+)
+
+_any_values = st.recursive(
+    _any_scalars,
+    lambda children: st.one_of(
+        st.lists(children, max_size=4),
+        st.dictionaries(st.text(max_size=8), children, max_size=4),
+    ),
+    max_leaves=12,
+)
+
+
+def _typed_eq(a, b) -> bool:
+    """Type-exact deep equality: bool is not int, 1 is not 1.0, and
+    doubles compare by their 64-bit pattern (so NaN == NaN and
+    -0.0 != 0.0 — the wire carries bits, not float semantics)."""
+    if isinstance(a, bool) or isinstance(b, bool):
+        return isinstance(a, bool) and isinstance(b, bool) and a == b
+    if isinstance(a, float) or isinstance(b, float):
+        return (
+            isinstance(a, float)
+            and isinstance(b, float)
+            and _struct.pack("<d", a) == _struct.pack("<d", b)
+        )
+    if isinstance(a, list):
+        return (
+            isinstance(b, list)
+            and len(a) == len(b)
+            and all(_typed_eq(x, y) for x, y in zip(a, b))
+        )
+    if isinstance(a, dict):
+        return (
+            isinstance(b, dict)
+            and a.keys() == b.keys()
+            and all(_typed_eq(a[k], b[k]) for k in a)
+        )
+    return a == b and type(a) is type(b)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_any_values)
+def test_pb_anyvalue_fuzz_encode_decode_identity(v):
+    from opentelemetry_collector_spark.functions.otlp_pb import (
+        _any_as_string,
+        _dec_any,
+        _enc_any,
+    )
+
+    back = _dec_any(bytes(_enc_any(v)))
+    assert _typed_eq(v, back), (v, back)
+    # the flat AsString boundary is total and stable across the wire:
+    # rendering the decoded value must equal rendering the original
+    assert _any_as_string(back) == _any_as_string(v)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.dictionaries(st.text(min_size=1, max_size=8), _any_values, max_size=5))
+def test_pb_typed_attr_map_fuzz_roundtrip(attrs):
+    from opentelemetry_collector_spark.functions.otlp_pb import (
+        _dec_kv_typed,
+        _enc_kv,
+        _fields,
+    )
+
+    for k, v in attrs.items():
+        k2, v2 = _dec_kv_typed(bytes(_enc_kv(k, v)))
+        assert k2 == k
+        assert _typed_eq(v, v2), (k, v, v2)
+    # and the encoded kv is structurally valid protobuf throughout
+    for k, v in attrs.items():
+        list(_fields(bytes(_enc_kv(k, v))))
