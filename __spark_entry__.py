@@ -998,7 +998,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _D.alias("sum_value"),
             F.col("value_double").alias("avg_value"),
         )
-        return p_span.unionByName(p_count).unionByName(p_points)
+        # metrics→logs cell: the alert connector — sum points crossing a
+        # data-derived threshold become plog records (WARN/ERROR tiers);
+        # n carries severity_number, avg_value the warn threshold
+        p_alert = met_ops.metrics_to_alert_logs(
+            met_ops.events_to_sum_points(ev)
+        ).select(
+            F.lit("alert").alias("part"),
+            F.lit("metric.alert").alias("metric_name"),
+            F.col("attr_key").alias("event_type"),
+            F.col("severity_text"),
+            F.col("severity_number").cast("long").alias("n"),
+            _D.alias("min_value"),
+            _D.alias("max_value"),
+            F.col("value_double").alias("sum_value"),
+            F.col("threshold").alias("avg_value"),
+        )
+        return (
+            p_span.unionByName(p_count)
+            .unionByName(p_points)
+            .unionByName(p_alert)
+        )
 
     q["spanmetrics_connector"] = spanmetrics
 
@@ -2806,6 +2826,28 @@ SELECT 'count_points' AS part, 'metric.point.count' AS metric_name,
   CAST(count(*) AS DOUBLE) AS avg_value
 FROM (SELECT DISTINCT event_type, floor(epoch(ts) / 300) AS w FROM events)
 GROUP BY event_type
+UNION ALL
+SELECT 'alert' AS part, 'metric.alert' AS metric_name,
+  event_type,
+  CASE WHEN v >= round(mean_v * 3.0, 4) THEN 'ERROR' ELSE 'WARN' END
+    AS severity_text,
+  CAST(CASE WHEN v >= round(mean_v * 3.0, 4) THEN 17 ELSE 13 END AS BIGINT)
+    AS n,
+  CAST(NULL AS DOUBLE) AS min_value,
+  CAST(NULL AS DOUBLE) AS max_value,
+  v AS sum_value,
+  round(mean_v * 1.5, 4) AS avg_value
+FROM (
+  SELECT event_type, round(sum(value), 4) AS v
+  FROM events GROUP BY event_type, floor(epoch(ts) / 300)
+) pts
+CROSS JOIN (
+  SELECT round(avg(v), 2) AS mean_v FROM (
+    SELECT round(sum(value), 4) AS v
+    FROM events GROUP BY event_type, floor(epoch(ts) / 300)
+  ) t
+) m
+WHERE v >= round(mean_v * 1.5, 4)
 """
 
     o["sessionize_users"] = """

@@ -141,6 +141,57 @@ def count_connector(
     )
 
 
+def metrics_to_alert_logs(
+    points: DataFrame,
+    warn_factor: float = 1.5,
+    error_factor: float = 3.0,
+    value_col: str = "value_double",
+    key_col: str = "attr_key",
+) -> DataFrame:
+    """Connector matrix metrics→logs cell (connector/connector.go:324-391)
+    — the alerting shape, the inverse of the count connector's
+    logs→metrics: metric data points crossing a threshold become plog
+    records (severity_number.go:26-46: WARN=13, ERROR=17).
+
+    The threshold derives from the data itself: ONE 1-row global
+    aggregate (``round(avg(value), 2)``) broadcast back as a constant
+    join — the points frame never shuffles; the alert predicate is a
+    scan-speed filter under it. Severity tiers at
+    ``warn_factor × mean`` / ``error_factor × mean`` (both rounded to
+    4 dp so the cut is reproducible cross-engine). The record body is a
+    deterministic string without floats so byte parity never rides
+    printf behavior.
+    """
+    from ..schemas import SEVERITY_NUMBER
+
+    mean = points.agg(F.round(F.avg(value_col), 2).alias("_mean_v"))
+    v = F.col(value_col)
+    warn_thr = F.round(F.col("_mean_v") * F.lit(warn_factor), 4)
+    err_thr = F.round(F.col("_mean_v") * F.lit(error_factor), 4)
+    is_err = v >= err_thr
+    return (
+        points.join(F.broadcast(mean))
+        .where(v >= warn_thr)
+        .select(
+            F.col("time_unix_nano"),
+            F.when(is_err, F.lit("ERROR")).otherwise(F.lit("WARN")).alias(
+                "severity_text"
+            ),
+            F.when(is_err, F.lit(SEVERITY_NUMBER["ERROR"]))
+            .otherwise(F.lit(SEVERITY_NUMBER["WARN"]))
+            .cast("int")
+            .alias("severity_number"),
+            F.format_string(
+                "alert: %s %s above threshold", F.col("metric_name"), F.col(key_col)
+            ).alias("body"),
+            F.col("metric_name"),
+            F.col(key_col),
+            v.alias("value_double"),
+            warn_thr.alias("threshold"),
+        )
+    )
+
+
 def _sum_points(
     events: DataFrame,
     key_col: str,
