@@ -122,9 +122,12 @@ _PLAN_SHUFFLE_BUDGET = {
     "ottl_suite": 0,  # three narrow OTTL projections unioned, scan speed
     "batch_split_head": 1,  # per-partition candidates (balanced)
     "window_tumbling": 1,
-    # 3-part connector union: spanmetrics agg + count-connector agg +
-    # the datapoint-count cell (window agg feeding a second tiny agg)
-    "spanmetrics_connector": 4,
+    # 4-part connector union: spanmetrics agg + count-connector agg +
+    # the datapoint-count cell (window agg feeding a second tiny agg) +
+    # the alert cell: its sum-points agg is plan-identical to the
+    # datapoint cell's (AQE reuses the exchange at runtime) + the 1-row
+    # threshold mean (SinglePartition agg, broadcast back)
+    "spanmetrics_connector": 6,
     "sessionize_users": 1,
     "metrics_temporality": 2,  # windowed agg + series window
     # merged 7-part pmetric JSON round-trip: sum(2) + gauge(2) +
