@@ -1022,19 +1022,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["spanmetrics_connector"] = spanmetrics
 
-    def sessionize(spark, sf):  # P11 session_window (stateful grouping)
+    def sessionize(spark, sf):
+        # P11 session_window (stateful grouping) + the two remaining
+        # connector-matrix cells (connector/connector.go:324-391):
+        # logs→traces (sessions become synthetic SERVER spans) and
+        # metrics→traces (threshold-crossing points become INTERNAL
+        # anomaly spans) — closing the 9-cell matrix. Both span parts
+        # derive from the SAME aggregates the rollup parts already pay
+        # (AQE reuses the session_window exchange at runtime).
         ev = _t(spark, sf, "events")
-        return (
-            ev.groupBy(
-                F.session_window(F.col("ts"), "30 minutes").alias("w"), F.col("user_id")
-            )
-            .agg(F.count("*").alias("n_events"))
-            .select(
-                F.col("user_id"),
-                F.unix_timestamp(F.col("w.start")).alias("session_start"),
-                "n_events",
-            )
+        _S = F.lit(None).cast("string")
+        _I = F.lit(None).cast("int")
+        _L = F.lit(None).cast("long")
+        spans = tr_ops.logs_to_session_spans(ev)
+        p_sessions = spans.select(
+            F.lit("sessions").alias("part"),
+            "user_id",
+            "session_start",
+            "n_events",
+            _S.alias("trace_id"),
+            _S.alias("span_id"),
+            _S.alias("name"),
+            _I.alias("kind"),
+            _L.alias("start_unix_nano"),
+            _L.alias("end_unix_nano"),
+            _I.alias("status_code"),
         )
+        p_spans = spans.select(
+            F.lit("session_spans").alias("part"),
+            "user_id",
+            "session_start",
+            "n_events",
+            "trace_id",
+            "span_id",
+            "name",
+            "kind",
+            F.col("start_time_unix_nano").alias("start_unix_nano"),
+            F.col("end_time_unix_nano").alias("end_unix_nano"),
+            "status_code",
+        )
+        p_anom = tr_ops.metrics_to_anomaly_spans(
+            met_ops.events_to_sum_points(ev)
+        ).select(
+            F.lit("anomaly_spans").alias("part"),
+            _L.alias("user_id"),
+            F.col("window_start").alias("session_start"),
+            "n_events",
+            "trace_id",
+            "span_id",
+            "name",
+            "kind",
+            F.col("start_time_unix_nano").alias("start_unix_nano"),
+            F.col("end_time_unix_nano").alias("end_unix_nano"),
+            "status_code",
+        )
+        return p_sessions.unionByName(p_spans).unionByName(p_anom)
 
     q["sessionize_users"] = sessionize
 
@@ -2852,20 +2894,52 @@ WHERE v >= round(mean_v * 1.5, 4)
 
     o["sessionize_users"] = """
 WITH ordered AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_type,
     CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
               > INTERVAL 30 MINUTE OR
               lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
          THEN 1 ELSE 0 END AS new_session
   FROM events
 ), islands AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_type,
     sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
                            ROWS UNBOUNDED PRECEDING) AS session_id
   FROM ordered
-)
-SELECT user_id, floor(epoch(min(ts)))::BIGINT AS session_start, count(*) AS n_events
-FROM islands GROUP BY user_id, session_id
+), sess AS (
+  SELECT user_id,
+    floor(epoch(min(ts)))::BIGINT AS session_start,
+    count(*) AS n_events,
+    (epoch_us(min(ts)) * 1000)::BIGINT AS t0_ns,
+    (epoch_us(max(ts)) * 1000)::BIGINT AS t1_ns,
+    max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS has_err
+  FROM islands GROUP BY user_id, session_id
+), pts AS (
+  SELECT event_type, (floor(epoch(ts)/300)*300)::BIGINT AS ws,
+    count(*) AS n, round(sum(value), 4) AS v
+  FROM events GROUP BY 1, 2
+), m AS (SELECT round(avg(v), 2) AS mean_v FROM pts)
+SELECT 'sessions' AS part, user_id, session_start, n_events,
+  NULL::VARCHAR AS trace_id, NULL::VARCHAR AS span_id,
+  NULL::VARCHAR AS name, NULL::INTEGER AS kind,
+  NULL::BIGINT AS start_unix_nano, NULL::BIGINT AS end_unix_nano,
+  NULL::INTEGER AS status_code
+FROM sess
+UNION ALL
+SELECT 'session_spans', user_id, session_start, n_events,
+  md5(user_id::VARCHAR || ':' || session_start::VARCHAR),
+  substr(md5('s:' || user_id::VARCHAR || ':' || session_start::VARCHAR), 1, 16),
+  'session', 2::INTEGER, t0_ns, t1_ns,
+  (CASE WHEN has_err = 1 THEN 2 ELSE 1 END)::INTEGER
+FROM sess
+UNION ALL
+SELECT 'anomaly_spans', NULL::BIGINT, ws, n,
+  md5(event_type || '@' || ws::VARCHAR),
+  substr(md5('s:' || event_type || '@' || ws::VARCHAR), 1, 16),
+  'anomaly', 1::INTEGER,
+  ws * 1000000000, (ws + 300) * 1000000000,
+  (CASE WHEN v >= round(mean_v * 3.0, 4) THEN 2 ELSE 1 END)::INTEGER
+FROM pts CROSS JOIN m
+WHERE v >= round(mean_v * 1.5, 4)
 """
 
     o["salted_rollup"] = """

@@ -229,3 +229,107 @@ def spanmetrics(spans: DataFrame) -> DataFrame:
             F.round(F.avg("duration_ms"), 4).alias("avg_ms"),
         )
     )
+
+
+def logs_to_session_spans(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    error_type: str = "error",
+) -> DataFrame:
+    """Connector matrix logs→traces cell (connector/connector.go:324-391):
+    each user session (gap-bounded, the reference's groupbytrace shape)
+    becomes ONE synthetic SERVER span on the ptrace frame — trace/span ids
+    derived deterministically from (user, session_start) via md5 so an
+    independent engine replays them byte-identically; Status is Error
+    when the session saw an error record, else Ok
+    (pdata/ptrace/status_code.go:26-28).
+
+    Scale: one ``session_window`` aggregate — the identical shuffle the
+    sessionize rollup already pays; ids/status are scan-speed expressions
+    over the aggregated (tiny) frame.
+    """
+    agg = (
+        events.groupBy(
+            F.session_window(F.col(ts_col), gap).alias("w"), F.col(user_col)
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min(ts_col).alias("_t0"),
+            F.max(ts_col).alias("_t1"),
+            F.max((F.col("event_type") == error_type).cast("int")).alias("_err"),
+        )
+    )
+    start_s = F.unix_timestamp(F.col("w.start"))
+    tid_src = F.concat(
+        F.col(user_col).cast("string"), F.lit(":"), start_s.cast("string")
+    )
+    return agg.select(
+        F.col(user_col),
+        start_s.alias("session_start"),
+        F.md5(tid_src).alias("trace_id"),
+        F.substring(F.md5(F.concat(F.lit("s:"), tid_src)), 1, 16).alias("span_id"),
+        F.lit("session").alias("name"),
+        F.lit(SPAN_KIND["Server"]).cast("int").alias("kind"),
+        (F.unix_micros(F.col("_t0").cast("timestamp")) * 1000).alias(
+            "start_time_unix_nano"
+        ),
+        (F.unix_micros(F.col("_t1").cast("timestamp")) * 1000).alias(
+            "end_time_unix_nano"
+        ),
+        F.when(F.col("_err") == 1, F.lit(STATUS_CODE["Error"]))
+        .otherwise(F.lit(STATUS_CODE["Ok"]))
+        .cast("int")
+        .alias("status_code"),
+        F.col("n_events"),
+    )
+
+
+def metrics_to_anomaly_spans(
+    points: DataFrame,
+    warn_factor: float = 1.5,
+    error_factor: float = 3.0,
+    value_col: str = "value_double",
+    key_col: str = "attr_key",
+) -> DataFrame:
+    """Connector matrix metrics→traces cell (connector/connector.go:324-391),
+    closing the 9-cell matrix: metric data points crossing a data-derived
+    threshold become synthetic INTERNAL spans covering their window —
+    the span twin of :func:`metrics.metrics_to_alert_logs` (same 1-row
+    mean broadcast, same rounded tier cuts), with deterministic md5 ids
+    from (series key, window start) and Status Error above the
+    ``error_factor`` cut, Ok between the cuts.
+
+    Scale: ONE 1-row global aggregate broadcast back as a constant join;
+    the points frame never shuffles and the predicate + id derivation are
+    scan-speed under it.
+    """
+    mean = points.agg(F.round(F.avg(value_col), 2).alias("_mean_v"))
+    v = F.col(value_col)
+    warn_thr = F.round(F.col("_mean_v") * F.lit(warn_factor), 4)
+    err_thr = F.round(F.col("_mean_v") * F.lit(error_factor), 4)
+    ws = (F.col("start_time_unix_nano") / F.lit(1_000_000_000)).cast("long")
+    tid_src = F.concat(F.col(key_col), F.lit("@"), ws.cast("string"))
+    return (
+        points.join(F.broadcast(mean))
+        .where(v >= warn_thr)
+        .select(
+            F.col(key_col),
+            ws.alias("window_start"),
+            F.md5(tid_src).alias("trace_id"),
+            F.substring(
+                F.md5(F.concat(F.lit("s:"), tid_src)), 1, 16
+            ).alias("span_id"),
+            F.lit("anomaly").alias("name"),
+            F.lit(SPAN_KIND["Internal"]).cast("int").alias("kind"),
+            F.col("start_time_unix_nano"),
+            F.col("time_unix_nano").alias("end_time_unix_nano"),
+            F.when(v >= err_thr, F.lit(STATUS_CODE["Error"]))
+            .otherwise(F.lit(STATUS_CODE["Ok"]))
+            .cast("int")
+            .alias("status_code"),
+            F.col("point_count").alias("n_events"),
+            v.alias("value_double"),
+        )
+    )

@@ -128,7 +128,11 @@ _PLAN_SHUFFLE_BUDGET = {
     # datapoint cell's (AQE reuses the exchange at runtime) + the 1-row
     # threshold mean (SinglePartition agg, broadcast back)
     "spanmetrics_connector": 6,
-    "sessionize_users": 1,
+    # 3-part union: the session rollup + logs→traces session-span cells
+    # share ONE session_window aggregate subtree (it appears twice in the
+    # static plan; AQE reuses the exchange) + the metrics→traces anomaly
+    # cell's sum-points agg and its 1-row threshold mean
+    "sessionize_users": 4,
     "metrics_temporality": 2,  # windowed agg + series window
     # merged 7-part pmetric JSON round-trip: sum(2) + gauge(2) +
     # sum_int(2) + exemplar(2) + hist(2) + exphist(3) + summary(2) —
