@@ -192,7 +192,10 @@ def _enc_any(v) -> bytes:
         return _f_msg(
             6, b"".join(_f_msg(1, _enc_kv(k, x)) for k, x in v.items())
         )
-    return _enc_any_string(str(v))
+    # recurse through the str branch (set-oneof semantics): _enc_any_string
+    # is plain-field and would OMIT a value whose str() is '' — decoding
+    # as the empty AnyValue instead of string_value ''
+    return _enc_any(str(v))
 
 
 def _dec_any(buf: bytes):
@@ -1050,7 +1053,11 @@ def _dec_number_dp(buf: bytes) -> dict:
         elif field == 4:
             p["value_double"] = struct.unpack("<d", struct.pack("<Q", int(v)))[0]
         elif field == 5:
-            p["exemplars"] = (p["exemplars"] or []) + [_dec_exemplar(bytes(v))]
+            # create-once + append: rebuilding the list per occurrence is
+            # O(n^2) over an unbounded repeated field on a foreign payload
+            if p["exemplars"] is None:
+                p["exemplars"] = []
+            p["exemplars"].append(_dec_exemplar(bytes(v)))
         elif field == 6:
             p["value_int"] = struct.unpack("<q", struct.pack("<Q", int(v)))[0]
         elif field == 7:

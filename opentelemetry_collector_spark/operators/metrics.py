@@ -141,6 +141,33 @@ def count_connector(
     )
 
 
+def threshold_filtered_points(
+    points: DataFrame,
+    warn_factor: float,
+    error_factor: float,
+    value_col: str,
+):
+    """Shared data-derived tier derivation for the two alerting connector
+    cells — metrics→logs (:func:`metrics_to_alert_logs`) and
+    metrics→traces (``traces.metrics_to_anomaly_spans``). Both DuckDB
+    oracles replay the SAME constants, so the recipe lives in exactly one
+    place: a 1-row ``round(avg(value), 2)`` global mean broadcast back as
+    a constant join (the points frame never shuffles), tier cuts at
+    ``warn_factor × mean`` / ``error_factor × mean`` rounded to 4 dp for
+    cross-engine reproducibility, rows filtered at ``>= warn``.
+
+    Returns ``(filtered_points, warn_thr, is_err)`` — the filtered frame
+    plus the warn-threshold column and the error-tier predicate for the
+    caller's projection.
+    """
+    mean = points.agg(F.round(F.avg(value_col), 2).alias("_mean_v"))
+    v = F.col(value_col)
+    warn_thr = F.round(F.col("_mean_v") * F.lit(warn_factor), 4)
+    err_thr = F.round(F.col("_mean_v") * F.lit(error_factor), 4)
+    filtered = points.join(F.broadcast(mean)).where(v >= warn_thr)
+    return filtered, warn_thr, (v >= err_thr)
+
+
 def metrics_to_alert_logs(
     points: DataFrame,
     warn_factor: float = 1.5,
@@ -164,14 +191,12 @@ def metrics_to_alert_logs(
     """
     from ..schemas import SEVERITY_NUMBER
 
-    mean = points.agg(F.round(F.avg(value_col), 2).alias("_mean_v"))
+    filtered, warn_thr, is_err = threshold_filtered_points(
+        points, warn_factor, error_factor, value_col
+    )
     v = F.col(value_col)
-    warn_thr = F.round(F.col("_mean_v") * F.lit(warn_factor), 4)
-    err_thr = F.round(F.col("_mean_v") * F.lit(error_factor), 4)
-    is_err = v >= err_thr
     return (
-        points.join(F.broadcast(mean))
-        .where(v >= warn_thr)
+        filtered
         .select(
             F.col("time_unix_nano"),
             F.when(is_err, F.lit("ERROR")).otherwise(F.lit("WARN")).alias(

@@ -305,15 +305,19 @@ def metrics_to_anomaly_spans(
     the points frame never shuffles and the predicate + id derivation are
     scan-speed under it.
     """
-    mean = points.agg(F.round(F.avg(value_col), 2).alias("_mean_v"))
+    from .metrics import threshold_filtered_points
+
+    filtered, _warn_thr, is_err = threshold_filtered_points(
+        points, warn_factor, error_factor, value_col
+    )
     v = F.col(value_col)
-    warn_thr = F.round(F.col("_mean_v") * F.lit(warn_factor), 4)
-    err_thr = F.round(F.col("_mean_v") * F.lit(error_factor), 4)
-    ws = (F.col("start_time_unix_nano") / F.lit(1_000_000_000)).cast("long")
+    # integral div, not `/`: double division misrounds nanos > 2^53 that
+    # are not whole-second aligned (1699999999999999999/1e9 rounds UP to
+    # 1700000000), shifting the md5 id seed to the wrong window
+    ws = F.expr("start_time_unix_nano div 1000000000")
     tid_src = F.concat(F.col(key_col), F.lit("@"), ws.cast("string"))
     return (
-        points.join(F.broadcast(mean))
-        .where(v >= warn_thr)
+        filtered
         .select(
             F.col(key_col),
             ws.alias("window_start"),
@@ -325,7 +329,7 @@ def metrics_to_anomaly_spans(
             F.lit(SPAN_KIND["Internal"]).cast("int").alias("kind"),
             F.col("start_time_unix_nano"),
             F.col("time_unix_nano").alias("end_time_unix_nano"),
-            F.when(v >= err_thr, F.lit(STATUS_CODE["Error"]))
+            F.when(is_err, F.lit(STATUS_CODE["Error"]))
             .otherwise(F.lit(STATUS_CODE["Ok"]))
             .cast("int")
             .alias("status_code"),

@@ -483,3 +483,25 @@ def test_pb_typed_attr_map_fuzz_roundtrip(attrs):
     # and the encoded kv is structurally valid protobuf throughout
     for k, v in attrs.items():
         list(_fields(bytes(_enc_kv(k, v))))
+
+
+def test_pb_anyvalue_fallback_empty_str_is_set_oneof():
+    from opentelemetry_collector_spark.functions import otlp_pb as pb
+
+    # the non-standard-object fallback routes through str(); a value whose
+    # str() is '' must still encode as a SET string_value oneof (decoding
+    # to ''), not the empty AnyValue (decoding to None) — same invariant
+    # the zero-value fuzz test pins for plain '' inputs
+    class EmptyStr:
+        def __str__(self):
+            return ""
+
+    enc = pb._enc_any(EmptyStr())
+    assert enc != b""
+    assert pb._dec_any(enc) == ""
+    # non-empty fallback still coerces through str()
+    class Weird:
+        def __str__(self):
+            return "w"
+
+    assert pb._dec_any(pb._enc_any(Weird())) == "w"

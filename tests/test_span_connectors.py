@@ -85,3 +85,36 @@ def test_span_connectors_empty_inputs(events):
     assert tr.logs_to_session_spans(events.where(F.lit(False))).count() == 0
     pts = met.events_to_sum_points(events.where(F.lit(False)))
     assert tr.metrics_to_anomaly_spans(pts).count() == 0
+
+
+def test_anomaly_spans_window_start_exact_past_2_53(spark):
+    # window_start must use INTEGRAL division: 1699999999999999999 ns is
+    # 1 ns before a second boundary and > 2^53, so double division rounds
+    # UP to 1700000000 and the md5 id seeds shift to the wrong window
+    n = 1699999999999999999
+    pts = spark.createDataFrame(
+        [("k", n, n + 300 * 10**9, 100.0, 1)],
+        "attr_key string, start_time_unix_nano long, time_unix_nano long,"
+        " value_double double, point_count long",
+    )
+    r = tr.metrics_to_anomaly_spans(pts, warn_factor=0.5).collect()[0]
+    assert r["window_start"] == n // 10**9 == 1699999999
+    import hashlib
+
+    src = f"k@{n // 10**9}"
+    assert r["trace_id"] == hashlib.md5(src.encode()).hexdigest()
+
+
+def test_alert_and_anomaly_share_one_threshold_recipe(events):
+    # the twin contract both oracles replay: the two connector cells must
+    # select the SAME points at the SAME tiers from the same input
+    pts = met.events_to_sum_points(events)
+    alerts = {
+        (r["attr_key"], r["severity_text"] == "ERROR")
+        for r in met.metrics_to_alert_logs(pts).collect()
+    }
+    spans = {
+        (r["attr_key"], r["status_code"] == tr.STATUS_CODE["Error"])
+        for r in tr.metrics_to_anomaly_spans(pts).collect()
+    }
+    assert alerts == spans
