@@ -3954,7 +3954,7 @@ LEFT JOIN (
     SELECT host, count(DISTINCT doc_id) AS n_pages FROM bkeys GROUP BY host
   ), boiler AS (
     SELECT l.host, l.dg FROM line_counts l JOIN host_counts h USING (host)
-    WHERE h.n_pages >= 2 AND l.n_with >= h.n_pages * 0.5
+    WHERE h.n_pages >= 2 AND l.n_with >= 2 AND l.n_with >= h.n_pages * 0.5
   )
   SELECT k.doc_id, count(*) AS n_kept,
     string_agg(k.line, chr(10) ORDER BY k.pos) AS clean_text

@@ -37,6 +37,7 @@ import hashlib
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..pins import free as pins_free
 from ..pins import register as pins_register
 
 HEX_DIGITS = "0123456789abcdef"
@@ -459,40 +460,51 @@ def connected_components(
     # reaching it (the final round's labels are correct but the change
     # check that confirms it runs in the next iteration) — a caller
     # sizing max_iters to the known component diameter must not get a
-    # spurious non-convergence error
-    for _ in range(max_iters + 1):
-        neighbor = edges.join(
-            labels, edges["dst"] == labels["node"]
-        ).select(edges["src"].alias("node"), "label")
-        new_labels = (
-            labels.unionAll(neighbor).groupBy("node").agg(F.min("label").alias("label"))
-        ).localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        # the convergence count was the last consumer of the PREVIOUS
-        # round's checkpoint, and new_labels is self-contained (its
-        # lineage was truncated) — free the superseded blocks now, or a
-        # long-diameter graph pins one node-sized frame per round
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            break
-    if changed != 0:
-        # returning last-round labels silently would yield WRONG cluster ids
-        # for any component with diameter > max_iters (ADVICE r2) — refuse
-        raise RuntimeError(
-            f"connected_components did not converge within {max_iters} rounds "
-            "(component diameter exceeds max_iters); raise max_iters"
-        )
-    # the loop freed every superseded round; the edge pin is done too.
+    # spurious non-convergence error. try/finally: the non-convergence
+    # raise below must not strand the edge pin and the last rounds'
+    # label blocks (a harness that catches and retries with a larger
+    # max_iters would stack the orphans on top of its retry's own)
+    try:
+        for _ in range(max_iters + 1):
+            neighbor = edges.join(
+                labels, edges["dst"] == labels["node"]
+            ).select(edges["src"].alias("node"), "label")
+            new_labels = (
+                labels.unionAll(neighbor)
+                .groupBy("node")
+                .agg(F.min("label").alias("label"))
+            ).localCheckpoint()
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .where(F.col("n.label") != F.col("o.label"))
+                .limit(1)
+                .count()
+            )
+            # the convergence count was the last consumer of the PREVIOUS
+            # round's checkpoint, and new_labels is self-contained (its
+            # lineage was truncated) — free the superseded blocks now, or
+            # a long-diameter graph pins one node-sized frame per round
+            pins_free(labels)
+            labels = new_labels
+            if changed == 0:
+                break
+        if changed != 0:
+            # returning last-round labels silently would yield WRONG
+            # cluster ids for any component with diameter > max_iters
+            # (ADVICE r2) — refuse, and free the doomed final labels too
+            pins_free(labels)
+            raise RuntimeError(
+                f"connected_components did not converge within {max_iters} "
+                "rounds (component diameter exceeds max_iters); raise "
+                "max_iters"
+            )
+    finally:
+        # the loop freed every superseded round; the edge pin is done in
+        # every exit path (converged, non-converged, per-round error)
+        pins_free(edges)
     # The RESULT stays pinned (callers consume it lazily) but registered,
     # so a harness can release it at its next quiescent point.
-    edges.unpersist()
     return pins_register(labels)
 
 

@@ -632,6 +632,12 @@ def boilerplate_lines(
         per_line.join(per_host, "__h")
         .where(
             (F.col("__n_pages") >= F.lit(min_pages))
+            # floor at 2 SHARED pages: on an exactly-2-page host the
+            # fraction threshold alone is n_pages*0.5 = 1.0, which a line
+            # appearing on a single page satisfies — stripping every
+            # unique line of every 2-page host. A line on one page can
+            # never be template chrome.
+            & (F.col("__n_with") >= F.lit(2))
             & (F.col("__n_with") >= F.col("__n_pages") * F.lit(min_frac))
         )
         .select("__h", "__d")

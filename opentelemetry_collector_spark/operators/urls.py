@@ -21,6 +21,9 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..pins import free as pins_free
+from ..pins import register as pins_register
+
 
 def url_host(url: Column) -> Column:
     """Lower-cased host of a URL (parse_url(url, 'HOST'); the oracle twin
@@ -400,6 +403,7 @@ def pagerank(
     ranks = nodes.crossJoin(F.broadcast(n_row)).select(
         "nid", F.round(F.lit(1.0) / F.col("__n"), round_dp).alias("rank")
     )
+    prev_ckpt = None
     for i in range(n_iter):
         contribs = (
             e.join(ranks.withColumnRenamed("nid", "src"), "src")
@@ -423,7 +427,18 @@ def pagerank(
             )
         )
         if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
-            prev, ranks = ranks, ranks.localCheckpoint(eager=True)
-            if prev.is_cached:  # free the superseded checkpoint's blocks
-                prev.unpersist()
+            ranks = ranks.localCheckpoint(eager=True)
+            # free the SUPERSEDED checkpoint's blocks: eager=True just
+            # materialized the new one, so the old is no longer part of
+            # any live lineage. (Tracking the checkpointed frame itself
+            # is load-bearing — the derived `ranks` of later rounds is
+            # never is_cached, and plain unpersist() can't free a
+            # checkpoint RDD anyway; pins.free reaches the JVM-side RDD.)
+            if prev_ckpt is not None:
+                pins_free(prev_ckpt)
+            prev_ckpt = ranks
+    if prev_ckpt is not None:
+        # the final checkpoint underpins the returned (derived) frame —
+        # register it so a harness can free it at its quiescent point
+        pins_register(prev_ckpt)
     return ranks

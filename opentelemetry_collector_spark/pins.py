@@ -41,17 +41,43 @@ def register(df: DataFrame) -> DataFrame:
     return df
 
 
+def free(df: DataFrame) -> bool:
+    """Immediately free ONE frame's checkpoint blocks; True if freed.
+
+    ``DataFrame.unpersist()`` is a NO-OP for ``localCheckpoint`` frames
+    — it only drops CacheManager entries, never the checkpoint RDD
+    (verified on PySpark 4.1.2: the RDD stays in
+    ``sc.getPersistentRDDs`` after ``unpersist(True)``). The real
+    release is JVM-side: a checkpointed Dataset's analyzed plan is a
+    ``LogicalRDD`` wrapping the persisted RDD, and unpersisting THAT
+    frees exactly this frame's blocks, leaving other pins intact. The
+    frame is unusable afterwards (lineage was truncated) — callers must
+    know every consumer has run, which is why this is explicit.
+
+    Falls back to plain ``unpersist()`` for frames registered here that
+    are cached rather than checkpointed."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getName().endswith("LogicalRDD"):
+            plan.rdd().unpersist(False)
+            return True
+    except Exception:
+        pass  # session stopped / non-checkpoint plan — fall through
+    try:
+        df.unpersist()
+    except Exception:
+        pass
+    return False
+
+
 def release_pins() -> int:
-    """Unpersist every registered pin; returns how many were released.
+    """Free every registered pin's blocks; returns how many were released.
 
     Call only at a quiescent point: after the actions that consume the
     pinned frames have completed (end of a bench rep, end of a
     selfcheck query, a committed streaming epoch)."""
     n = len(_PINNED)
     for df in _PINNED:
-        try:
-            df.unpersist()
-        except Exception:
-            pass  # session already stopped — nothing to free
+        free(df)
     _PINNED.clear()
     return n

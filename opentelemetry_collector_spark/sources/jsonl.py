@@ -51,7 +51,10 @@ def from_jsonl(
     nullness alone cannot distinguish "malformed" from "all fields
     absent"."""
     if isinstance(schema, StructType):
-        aug = schema.add("_corrupt", "string")
+        # copy, don't .add(): StructType.add mutates the caller's object
+        # in place, so reusing one schema across calls would stack
+        # duplicate _corrupt fields (and corrupt it for other uses)
+        aug = StructType(list(schema.fields)).add("_corrupt", "string")
     else:
         aug = f"{schema}, _corrupt string"
     parsed = F.from_json(

@@ -279,10 +279,16 @@ def cdx_index(
         "digest",
         F.octet_length(F.col("record")).cast("long").alias("length"),
         shard.alias("__shard"),
+        # tie-break column: duplicate-URL captures (re-crawls — the case
+        # a capture index exists for) land in the same shard, and the
+        # writer's sort_array(struct(url, record)) breaks url ties on
+        # the record BYTES — the offset window must order identically or
+        # a range fetch returns the other capture's bytes
+        F.col("record").alias("__rec"),
     )
     w = (
         Window.partitionBy("__shard")
-        .orderBy("url")
+        .orderBy("url", "__rec")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     return sized.select(

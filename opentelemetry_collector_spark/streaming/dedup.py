@@ -41,6 +41,7 @@ from ..operators.dedup import (
     dedup_incremental,
     dedup_incremental_bloom,
 )
+from ..pins import free as pins_free
 from .sinks import IdempotentParquetSink
 
 
@@ -175,6 +176,9 @@ class StreamingDeduper:
             if bloom_m_bits
             else None
         )
+        # the previous micro-batch's accumulated-bloom checkpoint,
+        # freed on the next _bloom_before call (see there)
+        self._bloom_pin: DataFrame | None = None
 
     def _digest_paths_before(self, epoch_id: int) -> tuple[list[str], list[int]]:
         return _paths_before(self.sink, epoch_id)
@@ -242,8 +246,15 @@ class StreamingDeduper:
         # ALWAYS reduce to one row — the per-epoch read yields one row
         # per epoch, and a multi-row frame would fan out the gate's
         # cross join. One tiny row consumed by the gate's broadcast —
-        # pin it so the union/build runs once.
-        return bloom_union(rows).localCheckpoint(eager=True)
+        # pin it so the union/build runs once. The PREVIOUS call's pin is
+        # dead by now (its epoch's consuming action committed before this
+        # one started), so free it here — a long-running stream would
+        # otherwise accumulate one ~m_bits/64-word checkpoint row per
+        # micro-batch for the session lifetime.
+        if self._bloom_pin is not None:
+            pins_free(self._bloom_pin)
+        self._bloom_pin = bloom_union(rows).localCheckpoint(eager=True)
+        return self._bloom_pin
 
     def _sinks(self) -> list:
         return [x for x in (self.sink, self.bloom_sink) if x is not None]
@@ -462,11 +473,23 @@ class StreamingNearDeduper:
     def _sig_cols(self) -> list[str]:
         return [f"h{i}" for i in range(self.num_hashes)]
 
-    def _seen_sigs(self, spark: SparkSession, epoch_id: int) -> DataFrame:
+    def _seen_sigs(
+        self, spark: SparkSession, epoch_id: int, like: DataFrame | None = None
+    ) -> DataFrame:
         paths, _ = _paths_before(self.sink, epoch_id)
         if not paths:
+            # derive the id column's type from the live batch frame — the
+            # streaming default id_col is 'url' (string), and a hardcoded
+            # 'long' would type-mismatch any union/write/schema-compare
+            # against the real parquet slices
+            id_type = (
+                like.schema[self.id_col].dataType.simpleString()
+                if like is not None and self.id_col in like.columns
+                else "long"
+            )
             schema = ", ".join(
-                [f"{self.id_col} long"] + [f"{c} long" for c in self._sig_cols()]
+                [f"{self.id_col} {id_type}"]
+                + [f"{c} long" for c in self._sig_cols()]
             )
             return spark.createDataFrame([], schema)
         return spark.read.parquet(*paths)
@@ -518,7 +541,7 @@ class StreamingNearDeduper:
             df, self.id_col, self.text_col, self.n, self.num_hashes
         ).persist()
         try:
-            seen = self._seen_sigs(spark, int(epoch_id))
+            seen = self._seen_sigs(spark, int(epoch_id), like=sigs)
             cand = (
                 banded_keys(sigs, self.id_col, self.num_hashes, self.bands)
                 .alias("nb")

@@ -4,6 +4,7 @@ real-file write/read through plain .jsonl text."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from opentelemetry_collector_spark.sources.jsonl import (
     DOCUMENTS_JSONL_SCHEMA,
@@ -58,3 +59,23 @@ def test_jsonl_file_write_read(spark, tmp_path):
     assert sorted(
         map(tuple, back.select("doc_id", "text").collect())
     ) == sorted((i, f"text {i}\nsecond line") for i in range(50))
+
+
+def test_from_jsonl_does_not_mutate_caller_schema(spark):
+    # StructType.add mutates in place — reusing one schema object across
+    # calls used to stack duplicate _corrupt fields and corrupt the
+    # caller's schema for any other use
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from opentelemetry_collector_spark.sources.jsonl import from_jsonl, to_jsonl
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    df = spark.createDataFrame([(1, "a"), (2, "b")], schema)
+    lines = to_jsonl(df)
+    first = from_jsonl(lines, schema)
+    second = from_jsonl(lines, schema)  # same OBJECT, second use
+    assert [f.name for f in schema.fields] == ["doc_id", "text"]
+    assert first.columns == second.columns
+    assert second.where(F.col("_ok")).count() == 2

@@ -975,3 +975,29 @@ service:
     f = files[0]
     assert "severity_text" not in pq.read_schema(f).names
     assert pq.ParquetFile(f).metadata.row_group(0).column(0).compression == "GZIP"
+
+
+def test_near_deduper_empty_snapshot_matches_string_id_type(spark, tmp_path):
+    # the empty seen-signatures frame must derive the id column's type
+    # from the live batch (streaming default id_col 'url' is a STRING);
+    # the old hardcoded 'long' only worked because zero rows flowed
+    from opentelemetry_collector_spark.streaming.dedup import StreamingNearDeduper
+
+    dd = StreamingNearDeduper(
+        str(tmp_path / "sig_url"), id_col="url", text_col="body", threshold=0.5
+    )
+    b0 = spark.createDataFrame(
+        [("https://a.example/x", "one shared body of text right here")],
+        "url string, body string",
+    )
+    s0 = dd.dedupe_batch_rows(b0, 0)
+    assert s0.count() == 1
+    s0.unpersist()
+    # the empty frame's schema itself must agree with the persisted slices
+    from opentelemetry_collector_spark.operators.dedup import minhash_signatures
+
+    sigs = minhash_signatures(b0, "url", "body", dd.n, dd.num_hashes)
+    empty = dd._seen_sigs(spark, 0, like=sigs)
+    persisted = dd._seen_sigs(spark, 1)  # epoch 0 committed above
+    assert dict(empty.dtypes)["url"] == dict(persisted.dtypes)["url"] == "string"
+    empty.unionByName(persisted)  # must not raise on type mismatch

@@ -571,6 +571,20 @@ def test_boilerplate_lines_host_scoped(spark):
         ).collect()
     }
     assert got2[10]["clean_text"] == "" and got2[10]["n_boiler_lines"] == 1
+    # exactly-2-page host with UNIQUE content: the fraction threshold
+    # alone is n_pages*0.5 = 1.0, which every single-page line meets —
+    # the ≥2-shared-pages floor must keep unique lines out of the
+    # boilerplate set (regression: both pages used to come back empty)
+    rows3 = [("h4", 20, "alpha\nbravo"), ("h4", 21, "charlie\ndelta")]
+    got3 = {
+        r["doc_id"]: r
+        for r in boilerplate_lines(
+            spark.createDataFrame(rows3, "host string, doc_id long, text string")
+        ).collect()
+    }
+    assert got3[20]["clean_text"] == "alpha\nbravo"
+    assert got3[20]["n_boiler_lines"] == 0
+    assert got3[21]["clean_text"] == "charlie\ndelta"
 
 
 def test_encoding_signals_hand_computed(spark):

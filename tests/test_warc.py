@@ -345,3 +345,45 @@ def test_wat_payload_survives_hostile_urls_and_links(spark):
         meta = json.loads(payload)  # must parse — that IS the contract
         assert meta["n_links"] == len(meta["links"]) == 1
         assert "\t" not in meta["links"][0] and "\x07" not in meta["links"][0]
+
+
+def test_cdx_offsets_correct_for_duplicate_url_captures(spark):
+    """Re-captures of the SAME url (the case a capture index exists for)
+    must still address real bytes: the offset window's tie-break has to
+    match the writer's sort_array(struct(url, record)) byte order, or a
+    range fetch returns the other capture's bytes."""
+    import hashlib
+
+    from opentelemetry_collector_spark.sources.warc import (
+        cdx_index,
+        cdx_shard_id,
+        warc_chunks,
+        wet_records,
+    )
+
+    import datetime as _dt
+
+    url = "https://dup.example.com/page"
+    pages = spark.createDataFrame(
+        [
+            (url, _dt.datetime(2024, 1, 1), "first capture body"),
+            (url, _dt.datetime(2024, 2, 1), "second capture rather longer body"),
+            (url, _dt.datetime(2024, 3, 1), "third"),
+        ],
+        "url string, warc_ts timestamp, text string",
+    )
+    recs = wet_records(pages)
+    rows = cdx_index(recs, n_shards=1).collect()
+    assert len(rows) == 3 and len({r["offset"] for r in rows}) == 3
+    blob = bytes(
+        warc_chunks(
+            recs.withColumn("shard", cdx_shard_id(F.col("url"), 1)),
+            key_col="shard",
+        ).collect()[0]["warc"]
+    )
+    for row in rows:
+        slice_ = blob[row["offset"] : row["offset"] + row["length"]]
+        (purl, pdate, _clen, payload) = _parse_blob(slice_)[0]
+        assert purl == url
+        assert hashlib.md5(payload).hexdigest() == row["digest"]
+    assert sum(r["length"] for r in rows) == len(blob)
