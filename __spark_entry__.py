@@ -1085,10 +1085,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         cum = met_ops.delta_to_cumulative(pts)
         return cum.select(
             F.col("attr_key").alias("event_type"),
-            (F.col("time_unix_nano") / F.lit(1_000_000_000)).cast("long").alias("window_end"),
-            (F.col("start_time_unix_nano") / F.lit(1_000_000_000))
-            .cast("long")
-            .alias("series_start"),
+            # integral div (not `/` + cast): exact for any nano value,
+            # incl. non-second-aligned ones past 2^53 — same hygiene as
+            # metrics_to_anomaly_spans' window_start
+            F.expr("time_unix_nano div 1000000000").alias("window_end"),
+            F.expr("start_time_unix_nano div 1000000000").alias("series_start"),
             F.col("point_count").alias("delta_count"),
             F.col("cum_point_count").cast("long").alias("cum_count"),
             F.col("value_double").alias("delta_sum"),
