@@ -300,8 +300,17 @@ def scaling_run(cpus: int, sf_dir: str, n_pages: int) -> dict:
         env=env,
         timeout=1800,
     )
-    line = proc.stdout.strip().splitlines()[-1]
-    return json.loads(line)
+    lines = proc.stdout.strip().splitlines()
+    if proc.returncode != 0 or not lines:
+        # surface the child's actual failure — a bare IndexError on empty
+        # stdout would discard the diagnostics (OOM, import error, bad SF
+        # dir) and abort the scaling phase with no cause
+        raise RuntimeError(
+            f"scaling child (cpus={cpus}) exited rc={proc.returncode} with "
+            f"{'no stdout' if not lines else 'stdout'}; stderr tail: "
+            f"{proc.stderr.strip()[-500:]}"
+        )
+    return json.loads(lines[-1])
 
 
 _T0 = time.monotonic()
@@ -512,7 +521,12 @@ def main() -> None:
             ):
                 best = cand
         if best is None:  # no prior evidence and SPARK_GRAFT_SCALE_ROUNDS=0
-            print(json.dumps(result))
+            # 'no scaling data' must not silently drop the query slice —
+            # it has its own flag and its own consumers
+            if os.environ.get("SPARK_GRAFT_QUERIES", "1") == "1":
+                spark = get_spark("bench")
+                result["queries"] = run_queries(spark, SF_DIR)
+            print(_compact_line(result))
             return
         # median over sane rounds only (all rounds as a last resort):
         # corrupted super-linear samples are noise, not evidence
@@ -602,10 +616,16 @@ def main() -> None:
             "degraded_probes": [round(p, 3) for p in probes[:6]],
         }
         if os.environ.get("SPARK_GRAFT_SCALING_FULL") == "1":
+            # pair the 8→32 ratio inside ONE window: dividing a fresh
+            # local32 by a possibly days-old historical best round's
+            # local8 would measure host drift, not the engine — the same
+            # back-to-back rule every 2→8 round follows
+            v8 = scaling_run(8, SF_DIR, best["n_pages"])
             vhi = scaling_run(32, SF_DIR, best["n_pages"])
+            result["scaling"]["local8_fresh_docs_per_sec"] = v8["docs_per_sec"]
             result["scaling"]["local32_docs_per_sec"] = vhi["docs_per_sec"]
             result["scaling"]["efficiency_8_32"] = round(
-                (vhi["docs_per_sec"] / best["local8"]) / 4.0, 3
+                (vhi["docs_per_sec"] / v8["docs_per_sec"]) / 4.0, 3
             )
 
     # query slice LAST — informative, but never allowed to starve the
@@ -633,7 +653,7 @@ def _compact_line(result: dict) -> str:
     for key in (
         "degraded_probes",
         "host_cpu_ceiling_after",
-        "membw_gb_per_sec_2",
+        "host_membw_gb_per_sec_2",
         "efficiency_vs_host_effective",
         "efficiency_vs_host",
     ):

@@ -286,8 +286,12 @@ class BatchPipelineRunner:
                     # still applies; only the counters disappear
                     df = df.where(F.col(AUTH_OK_COL)).drop(AUTH_OK_COL)
                 else:
+                    # own namespace: a receiver and a pipeline may share a
+                    # name, and the pipeline boundary observes under
+                    # 'receiver/<pipeline>' — a colliding key would
+                    # silently overwrite these refused counters
                     df = self.telemetry.observe_auth(
-                        df, f"receiver/{name}", AUTH_OK_COL
+                        df, f"receiver_auth/{name}", AUTH_OK_COL
                     ).drop(AUTH_OK_COL)
             if n > 1:
                 # shared receiver read once; persist so each consuming
@@ -497,6 +501,10 @@ class BatchPipelineRunner:
     def read_sink(self, pipeline: str, sink_name: str) -> DataFrame:
         sink = self._epoch_sinks[pipeline]
         epochs = sink.committed_epochs()
+        if not epochs:
+            # same guard as FanoutRouter.read_sink — a zero-path parquet
+            # read fails with an opaque schema-inference error instead
+            raise FileNotFoundError(f"no committed epochs under {sink.root}")
         df = self.spark.read.option("basePath", sink.data_dir).parquet(
             *[f"{sink.data_dir}/epoch={e}" for e in epochs]
         )

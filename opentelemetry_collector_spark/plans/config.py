@@ -500,6 +500,16 @@ def load_config(
     if yaml is None:
         raise ConfigError("pyyaml not available; pass a dict")
     raw = resolve_config(source, env=env, strict_env=strict_env)
+    return config_from_resolved(raw)
+
+
+def config_from_resolved(raw: dict) -> CollectorConfig:
+    """Parse + validate an ALREADY-RESOLVED config mapping — no
+    ``${...}`` expansion. The hot-reload loop hands the exact dict the
+    watcher's digest saw straight in here: re-resolving from the sources
+    would double the I/O and open a TOCTOU window where the file changes
+    between the digest and the build (and would re-expand ``${...}``
+    sequences the first resolution legitimately produced)."""
     if not isinstance(raw, dict):
         raise ConfigError("config root must be a mapping")
 

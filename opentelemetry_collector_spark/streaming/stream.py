@@ -88,6 +88,11 @@ class StreamingPipeline:
     # STREAMING write honors the same per-write contracts as the batch
     # runner — partitionBy(*keys) per epoch, per-write parquet codec
     partition_keys: list | None = None
+    # the batch runner errors past this many metadata-key combinations
+    # (config.go:51-56); the streaming epoch enforces the SAME cap —
+    # a high-cardinality key would otherwise silently write unbounded
+    # partition directories per epoch instead of failing
+    metadata_cardinality_limit: int | None = None
     compression: str | None = None
     # parse engine from the pipeline's parse processor (from_config) —
     # start() falls back to this when the caller doesn't pass one
@@ -116,6 +121,21 @@ class StreamingPipeline:
             records = self.transform(records)
         assigned = self.router.assign(records).persist()
         try:
+            if self.partition_keys and self.metadata_cardinality_limit:
+                # one bounded count-distinct on the already-persisted
+                # frame, same as the batch runner's enforcement
+                n_combos = assigned.select(
+                    F.count_distinct(F.struct(*self.partition_keys)).alias("n")
+                ).collect()[0]["n"]
+                if n_combos > self.metadata_cardinality_limit:
+                    from ..plans.config import ConfigError
+
+                    raise ConfigError(
+                        f"batch metadata_keys {self.partition_keys}: "
+                        f"{n_combos} metadata-value combinations exceed "
+                        "metadata_cardinality_limit="
+                        f"{self.metadata_cardinality_limit}"
+                    )
             for name, sink in self.sinks.items():
                 subset = assigned.where(
                     F.array_contains(F.col(SINKS_COL), name)
@@ -209,12 +229,16 @@ class StreamingPipeline:
         p = config.pipelines[pipeline]
         write_cap = None
         md_keys: list[str] = []
+        md_limit: int | None = None
         for proc_name in p.processors:
             c = config.processors[proc_name]
             if c.kind == "batch" and c.options.get("send_batch_max_size"):
                 write_cap = int(c.options["send_batch_max_size"])
             if c.kind == "batch" and c.options.get("metadata_keys"):
                 md_keys = list(c.options["metadata_keys"])
+                md_limit = int(
+                    c.options.get("metadata_cardinality_limit", 1000)
+                )
         # per-exporter codec; validate() guaranteed agreement per pipeline
         compression = None
         for e in p.exporters:
@@ -307,6 +331,18 @@ class StreamingPipeline:
 
         routes: list[Route] = []
         for e in p.exporters:
+            if e not in config.exporters:
+                # validate() permits a connector in the exporter slot
+                # (the batch runner handles it); the streaming runner
+                # does not — say so instead of a raw KeyError
+                from ..plans.config import ConfigError
+
+                raise ConfigError(
+                    f"pipeline {pipeline!r}: exporter {e!r} is a "
+                    "connector — connector exporters are not supported "
+                    "in the streaming runner; use the batch runner or "
+                    "export to a table the downstream pipeline reads"
+                )
             c = config.exporters[e]
             if c.options.get("all"):
                 routes.append(Route(e, kind="all"))
@@ -324,6 +360,7 @@ class StreamingPipeline:
             source=source,
             max_records_per_file=write_cap,
             partition_keys=md_keys or None,
+            metadata_cardinality_limit=md_limit,
             compression=compression,
             parse_engine=parse_engine,
             deduper=deduper,
@@ -368,15 +405,26 @@ def watch_and_run(
     import threading
     import time
 
-    from ..plans.config import ConfigError, ConfigWatcher, load_config
+    from ..plans.config import (
+        ConfigError,
+        ConfigWatcher,
+        config_from_resolved,
+        load_config,
+    )
 
     if stop_event is None:
         stop_event = threading.Event()
     watcher = ConfigWatcher(config_sources, env=env)
     generations: list[StreamingPipeline] = []
 
-    def build_and_start():
-        cfg = load_config(config_sources, env=env)
+    def build_and_start(resolved: dict | None = None):
+        # on reload, build from the EXACT dict the watcher's digest saw —
+        # re-resolving the sources would double the I/O and race the file
+        cfg = (
+            config_from_resolved(resolved)
+            if resolved is not None
+            else load_config(config_sources, env=env)
+        )
         if pipeline not in cfg.pipelines:
             # a reload that renames/removes the watched pipeline is a
             # validation failure, not an invitation to run a different
@@ -406,7 +454,7 @@ def watch_and_run(
             if changed is not None:
                 query.stop()
                 query.awaitTermination()
-                query = build_and_start()
+                query = build_and_start(changed)
             time.sleep(poll_interval)
     finally:
         query.stop()

@@ -86,7 +86,17 @@ def test_oversized_line_sheds_to_bounded_length():
     assert len(json.dumps(result)) > bench._LINE_BUDGET  # premise
     line = bench._compact_line(result)
     assert len(line) <= bench._LINE_BUDGET + 400
-    json.loads(line)  # still one valid JSON object
+    parsed = json.loads(line)  # still one valid JSON object
+    # every informational tier actually shed before queries were cut —
+    # a key-name typo in the shed list would silently no-op one tier
+    for k in (
+        "degraded_probes",
+        "host_cpu_ceiling_after",
+        "host_membw_gb_per_sec_2",
+        "efficiency_vs_host_effective",
+        "efficiency_vs_host",
+    ):
+        assert k not in parsed["scaling"], k
 
 
 def test_shedding_keeps_graded_fields_and_slowest_queries():

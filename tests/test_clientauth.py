@@ -156,7 +156,9 @@ def test_e2e_auth_gate_with_refused_counters(spark, tmp_path):
     assert rows[1]["subject"] == "svc-a" and rows[2]["subject"] == "svc-b"
     # obsreport receiver accepted/refused split rides the same job
     runner.telemetry.harvest()
-    c = runner.telemetry.counters("receiver/records_parquet")
+    # auth counters live in their own namespace so a pipeline named like
+    # the receiver cannot overwrite the refused split
+    c = runner.telemetry.counters("receiver_auth/records_parquet")
     assert (c.accepted, c.refused) == (2, 3)
 
 

@@ -1001,3 +1001,74 @@ def test_near_deduper_empty_snapshot_matches_string_id_type(spark, tmp_path):
     persisted = dd._seen_sigs(spark, 1)  # epoch 0 committed above
     assert dict(empty.dtypes)["url"] == dict(persisted.dtypes)["url"] == "string"
     empty.unionByName(persisted)  # must not raise on type mismatch
+
+
+def test_streaming_enforces_metadata_cardinality_limit(spark, pages_dir, tmp_path):
+    """Streaming epochs enforce the batch runner's
+    metadata_cardinality_limit (config.go:51-56): a high-cardinality key
+    (url) must FAIL loudly instead of silently writing unbounded
+    partition directories per epoch."""
+    from opentelemetry_collector_spark.plans.config import load_config
+
+    cfg = f"""
+receivers:
+  pages:
+    kind: pages_parquet
+    path: {pages_dir}
+processors:
+  batch/md:
+    kind: batch
+    metadata_keys: [url]
+    metadata_cardinality_limit: 3
+exporters:
+  audit:
+    kind: parquet
+    all: true
+service:
+  pipelines:
+    logs:
+      receivers: [pages]
+      processors: [batch/md]
+      exporters: [audit]
+"""
+    pipe = StreamingPipeline.from_config(
+        spark, load_config(cfg), "logs", str(tmp_path / "sinks")
+    )
+    assert pipe.metadata_cardinality_limit == 3
+    q = pipe.start(checkpoint_dir=str(tmp_path / "ckpt"))
+    # the limit breach surfaces as the stream's terminal exception
+    with pytest.raises(Exception, match="metadata_cardinality_limit"):
+        q.awaitTermination(120)
+
+
+def test_streaming_rejects_connector_exporter(spark, pages_dir, tmp_path):
+    """config.validate() permits a connector in the exporter slot (the
+    batch runner bridges it); the streaming runner must say so in a
+    ConfigError instead of dying with a raw KeyError."""
+    from opentelemetry_collector_spark.plans.config import ConfigError, load_config
+
+    cfg = f"""
+receivers:
+  pages:
+    kind: pages_parquet
+    path: {pages_dir}
+connectors:
+  fwd:
+    kind: forward
+exporters:
+  audit:
+    kind: parquet
+    all: true
+service:
+  pipelines:
+    logs:
+      receivers: [pages]
+      exporters: [fwd]
+    logs/out:
+      receivers: [fwd]
+      exporters: [audit]
+"""
+    with pytest.raises(ConfigError, match="connector"):
+        StreamingPipeline.from_config(
+            spark, load_config(cfg), "logs", str(tmp_path / "sinks")
+        )

@@ -35,6 +35,12 @@ def norm_cell(v):
         return bytes(v).hex()
     if isinstance(v, list):
         return tuple(norm_cell(x) for x in v)
+    if isinstance(v, dict):
+        # MapType cells must normalize to something hashable — the
+        # rowcount-mismatch diagnostic builds set(rows), and a raw dict
+        # would abort the whole selfcheck with TypeError instead of
+        # printing one FAIL line
+        return tuple(sorted((k, norm_cell(x)) for k, x in v.items()))
     return v
 
 
