@@ -1555,6 +1555,195 @@ def bpe_encode_arrow(
     return docs.mapInPandas(encode_batches, out_schema)
 
 
+def bpe_learn_from_counts(
+    word_counts,
+    n_merges: int,
+    min_pair_count: int = 2,
+) -> tuple[tuple[str, str], ...]:
+    """Learn a merge table from a ``(word, count)`` frequency table —
+    the canonical BPE training loop (Sennrich et al. 2016, ACL;
+    subword-nmt's ``learn_bpe``): repeatedly take the highest-count
+    adjacent symbol pair and merge it everywhere, ``n_merges`` times or
+    until the best pair's count drops below ``min_pair_count``.
+
+    Incremental, not recount-per-merge: a pair→words index confines each
+    round's bookkeeping to the words that actually CONTAIN the merged
+    pair (per-word pair multisets are diffed before/after the merge), so
+    a round costs O(words-affected · word-length), not O(vocab). A naive
+    full-recount twin in tests/test_bpe_train.py pins equivalence by
+    property test.
+
+    Deterministic by construction: ties on count break to the
+    lexicographically smallest pair, and the input order of
+    ``word_counts`` never matters (counts for a repeated word
+    accumulate). The table that comes out is valid MONOTONE BPE —
+    every merge's constituents are base characters or outputs of earlier
+    merges — i.e. exactly what :func:`bpe_encode` consumes.
+
+    Pure Python over a bounded table; driver-side by design (see
+    :func:`bpe_train` for why training state is metadata-sized at any
+    corpus scale).
+    """
+    if n_merges < 0:
+        raise ValueError(f"n_merges must be >= 0 (got {n_merges})")
+    if min_pair_count < 1:
+        raise ValueError(f"min_pair_count must be >= 1 (got {min_pair_count})")
+    from collections import Counter
+
+    # accumulate duplicate words so caller input order can't matter
+    acc: dict[str, int] = {}
+    for w, c in word_counts:
+        if w and c > 0:
+            acc[w] = acc.get(w, 0) + int(c)
+    words: list[tuple[list[str], int]] = [(list(w), c) for w, c in acc.items()]
+
+    pair_counts: Counter = Counter()
+    pair_words: dict[tuple[str, str], set[int]] = {}
+    for idx, (syms, c) in enumerate(words):
+        for p in zip(syms, syms[1:]):
+            pair_counts[p] += c
+            pair_words.setdefault(p, set()).add(idx)
+
+    def merge_word(syms: list[str], a: str, b: str) -> list[str]:
+        # left-to-right greedy, non-overlapping — the same scan the
+        # encoders use, so trained tables replay identically at encode
+        out: list[str] = []
+        i = 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    merges: list[tuple[str, str]] = []
+    while len(merges) < n_merges and pair_counts:
+        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if pair_counts[best] < min_pair_count:
+            break
+        merges.append(best)
+        a, b = best
+        for idx in sorted(pair_words.get(best, ())):
+            syms, c = words[idx]
+            before = Counter(zip(syms, syms[1:]))
+            new_syms = merge_word(syms, a, b)
+            after = Counter(zip(new_syms, new_syms[1:]))
+            words[idx] = (new_syms, c)
+            for p, k in (before - after).items():
+                pair_counts[p] -= k * c
+                if pair_counts[p] <= 0:
+                    del pair_counts[p]
+                if after[p] == 0:
+                    s = pair_words.get(p)
+                    if s is not None:
+                        s.discard(idx)
+                        if not s:
+                            del pair_words[p]
+            for p, k in (after - before).items():
+                pair_counts[p] += k * c
+                pair_words.setdefault(p, set()).add(idx)
+        # the merged pair is gone from every affected word by the greedy
+        # scan; drop any residue defensively (e.g. all-zero counts)
+        pair_counts.pop(best, None)
+        pair_words.pop(best, None)
+    return tuple(merges)
+
+
+def bpe_word_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    max_words: int = 65536,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    doc_mod: int | None = None,
+) -> list[tuple[str, int]]:
+    """The distributed half of BPE training: ONE word-count aggregate
+    over the corpus (classic map-side-combine wordcount — the shuffle
+    carries distinct words per partition, not occurrences; the same
+    once-at-train-time pass :func:`unigram_logperplexity` already pays),
+    then the top ``max_words`` by (count desc, word) via
+    ``orderBy().limit()`` — Spark plans that as TakeOrderedAndProject:
+    per-partition heaps, partitions×K rows merge at the driver, no
+    global sort exchange.
+
+    The returned table is a SUFFICIENT STATISTIC for whitespace-
+    pretokenized BPE: merges depend on the corpus only through word
+    frequencies. Truncation to ``max_words`` (plus the ``min_count``
+    floor) is the standard practice bound — tail words contribute
+    negligibly to pair counts under Zipf, and it caps driver state at
+    K rows regardless of corpus size. ``doc_mod`` adds the same
+    hash-mod document sampling the IVF trainer uses
+    (``xxhash64(doc_id) % doc_mod == 0``) for when even one full
+    wordcount pass is unwanted.
+    """
+    if max_words < 1:
+        raise ValueError(f"max_words must be >= 1 (got {max_words})")
+    docs = df.where(F.col(text_col).isNotNull())
+    if doc_mod is not None:
+        if doc_mod < 1:
+            raise ValueError(f"doc_mod must be >= 1 (got {doc_mod})")
+        docs = docs.where(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(doc_mod)) == 0
+        )
+    rows = (
+        docs.select(F.explode(tokenize(F.col(text_col))).alias("word"))
+        .where(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= min_count)
+        .orderBy(F.col("cnt").desc(), F.col("word"))
+        .limit(max_words)
+        .collect()
+    )
+    return [(r["word"], r["cnt"]) for r in rows]
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int = 256,
+    text_col: str = "text",
+    max_words: int = 65536,
+    min_count: int = 2,
+    min_pair_count: int = 2,
+    id_col: str = "doc_id",
+    doc_mod: int | None = None,
+) -> tuple[tuple[str, str], ...]:
+    """Learn a BPE merge table FROM the corpus — the producing end of
+    the :func:`bpe_encode` consuming end, closing the tokenizer loop
+    (learn merges → encode at scale).
+
+    Scale shape — the faiss-IVF training posture: the cluster does
+    exactly ONE bounded-output aggregate (wordcount → top-K,
+    :func:`bpe_word_counts`); the iterative merge learning runs
+    driver-side over that K-row table (:func:`bpe_learn_from_counts`),
+    because training state is metadata-sized at ANY corpus scale and a
+    cluster-side iteration per merge would be n_merges scheduler-bound
+    jobs for no added statistics. The learned table feeds either encode
+    path (columnar ≤64 merges, Arrow above) unchanged.
+
+    Raises on an empty corpus (nothing to learn from) rather than
+    returning an empty table a caller could silently encode with.
+    """
+    counts = bpe_word_counts(
+        df,
+        text_col=text_col,
+        max_words=max_words,
+        min_count=min_count,
+        id_col=id_col,
+        doc_mod=doc_mod,
+    )
+    if not counts:
+        raise ValueError(
+            "bpe_train: word-count table is empty (empty corpus, or "
+            "min_count/doc_mod filtered everything) — no merges to learn"
+        )
+    return bpe_learn_from_counts(
+        counts, n_merges, min_pair_count=min_pair_count
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     budget: int,

@@ -1,0 +1,205 @@
+"""BPE merge-table TRAINING (the producing end of bpe_encode).
+
+Pins the incremental trainer against a naive full-recount twin by
+property test, hand-checks a worked example, and runs the distributed
+bpe_train end-to-end: learned table -> both encode paths -> compression.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from opentelemetry_collector_spark.operators.textstats import (
+    bpe_canonical_word,
+    bpe_encode,
+    bpe_learn_from_counts,
+    bpe_train,
+    bpe_word_counts,
+)
+
+
+def _naive_learn(word_counts, n_merges, min_pair_count=2):
+    """Full-recount reference trainer: each round, recount every pair
+    from scratch over the whole table and pick (-count, pair)-min.
+    O(n_merges * corpus) — the semantics oracle for the incremental one."""
+    acc: dict[str, int] = {}
+    for w, c in word_counts:
+        if w and c > 0:
+            acc[w] = acc.get(w, 0) + int(c)
+    words = [(list(w), c) for w, c in acc.items()]
+
+    def merge_word(syms, a, b):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    merges = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for syms, c in words:
+            for p in zip(syms, syms[1:]):
+                pairs[p] += c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if pairs[best] < min_pair_count:
+            break
+        merges.append(best)
+        words = [(merge_word(s, *best), c) for s, c in words]
+    return tuple(merges)
+
+
+def test_learn_worked_example():
+    # the/then: (t,h)=13 and (h,e)=13 tie -> lexicographic picks (h,e);
+    # then (t,he)=13; then (the,n)=3
+    got = bpe_learn_from_counts([("the", 10), ("then", 3)], n_merges=5)
+    assert got == (("h", "e"), ("t", "he"), ("the", "n"))
+
+
+def test_learn_min_pair_count_floor_stops_early():
+    got = bpe_learn_from_counts(
+        [("ab", 5), ("cd", 1)], n_merges=10, min_pair_count=2
+    )
+    assert got == (("a", "b"),)  # (c,d) count 1 is below the floor
+
+
+def test_learn_duplicate_words_accumulate_and_order_is_irrelevant():
+    a = bpe_learn_from_counts([("ab", 2), ("ab", 3), ("ac", 4)], 3)
+    b = bpe_learn_from_counts([("ac", 4), ("ab", 5)], 3)
+    assert a == b
+
+
+def test_learn_empty_and_zero_merges():
+    assert bpe_learn_from_counts([], 5) == ()
+    assert bpe_learn_from_counts([("abc", 9)], 0) == ()
+
+
+def test_learned_table_is_monotone():
+    # every merge's constituents are base chars or earlier outputs —
+    # exactly the contract bpe_encode's pass-per-merge proof needs
+    merges = bpe_learn_from_counts(
+        [("banana", 7), ("bandana", 5), ("anagram", 3)], 10, min_pair_count=1
+    )
+    produced = set()
+    for a, b in merges:
+        for part in (a, b):
+            assert len(part) == 1 or part in produced, (part, merges)
+        produced.add(a + b)
+
+
+_WORDS = st.lists(
+    st.tuples(
+        st.text(alphabet="abcde", min_size=1, max_size=7),
+        st.integers(min_value=1, max_value=9),
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+
+@settings(max_examples=150, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(wc=_WORDS, n=st.integers(min_value=0, max_value=12))
+def test_incremental_matches_naive_recount(wc, n):
+    assert bpe_learn_from_counts(wc, n, min_pair_count=1) == _naive_learn(
+        wc, n, min_pair_count=1
+    )
+
+
+@settings(max_examples=60, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(wc=_WORDS, n=st.integers(min_value=0, max_value=10))
+def test_trained_table_replays_through_the_canonical_encoder(wc, n):
+    # a learned table must be directly consumable by the encoder:
+    # lossless round-trip, monotone constituents, and every merge output
+    # actually occurs in the training corpus
+    merges = bpe_learn_from_counts(wc, n, min_pair_count=1)
+    ranks = {p: i for i, p in enumerate(merges)}
+    train_words = sorted({w for w, c in wc if w and c > 0})
+    produced: set[str] = set()
+    for a, b in merges:
+        for part in (a, b):
+            assert len(part) == 1 or part in produced, (part, merges)
+        produced.add(a + b)
+        assert any((a + b) in w for w in train_words), (a, b, train_words)
+    for w in train_words:
+        toks = bpe_canonical_word(w, ranks)
+        assert "".join(toks) == w
+
+
+def test_learn_rejects_bad_params():
+    import pytest
+
+    with pytest.raises(ValueError):
+        bpe_learn_from_counts([("ab", 1)], -1)
+    with pytest.raises(ValueError):
+        bpe_learn_from_counts([("ab", 1)], 1, min_pair_count=0)
+
+
+# --------------------------------------------------------------------------
+# distributed half
+# --------------------------------------------------------------------------
+
+
+def _corpus(spark):
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cats sat on the mats"),
+        (3, "then the cat ran and ran"),
+        (4, "a cat and a mat and a rat"),
+        (5, None),
+        (6, "the the the rat sat"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_word_counts_top_k_and_floor(spark):
+    wc = dict(bpe_word_counts(_corpus(spark), min_count=2, max_words=100))
+    assert wc["the"] == 8
+    assert wc["cat"] == 3
+    assert "cats" not in wc  # count 1, under the floor
+    top2 = bpe_word_counts(_corpus(spark), min_count=1, max_words=2)
+    # 'the'=8; then 'a'/'and'/'cat'/'sat' tie at 3 -> lexicographic 'a'
+    assert [w for w, _ in top2] == ["the", "a"]
+
+
+def test_bpe_train_end_to_end_feeds_both_encoders(spark):
+    df = _corpus(spark)
+    merges = bpe_train(df, n_merges=12, min_count=1, min_pair_count=2)
+    assert 0 < len(merges) <= 12
+    # same corpus, same knobs -> identical table (determinism)
+    assert merges == bpe_train(df, n_merges=12, min_count=1, min_pair_count=2)
+    # the learned table must equal driver-side learning over the same counts
+    counts = bpe_word_counts(df, min_count=1)
+    assert merges == bpe_learn_from_counts(counts, 12, min_pair_count=2)
+    # and feed both encode paths with identical results
+    col = {r["doc_id"]: r.asDict() for r in bpe_encode(df, merges).collect()}
+    arr = {
+        r["doc_id"]: r.asDict()
+        for r in bpe_encode(df, merges, engine="arrow").collect()
+    }
+    assert col == arr
+    # learned merges compress: fewer tokens than characters for a doc
+    # made of trained words
+    chars = len("the cat sat on the mat".replace(" ", ""))
+    assert col[1]["bpe_tokens"] < chars
+
+
+def test_bpe_train_doc_mod_sampling_and_empty_raise(spark):
+    import pytest
+
+    df = _corpus(spark)
+    # doc_mod=1 keeps everything -> same table as unsampled
+    assert bpe_train(df, 8, min_count=1, doc_mod=1) == bpe_train(
+        df, 8, min_count=1
+    )
+    empty = df.where("doc_id < 0")
+    with pytest.raises(ValueError, match="empty"):
+        bpe_train(empty, 8)
