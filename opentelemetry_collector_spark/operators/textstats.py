@@ -1744,6 +1744,47 @@ def bpe_train(
     )
 
 
+def bpe_merges_to_text(merges) -> str:
+    """Serialize a merge table in the standard ``merges.txt`` interchange
+    form (GPT-2 / Hugging Face tokenizers): a ``#version`` comment line,
+    then one space-separated pair per line, rank = line order. This is
+    the artifact a trained table ships as — the encode side of any
+    BPE-compatible tokenizer stack can consume it directly.
+
+    Refuses pairs the format cannot represent (embedded space/newline in
+    a symbol would silently corrupt ranks on re-read).
+    """
+    lines = ["#version: 0.2"]
+    for a, b in merges:
+        for part in (a, b):
+            if (" " in part) or ("\n" in part) or not part:
+                raise ValueError(
+                    f"merge pair {(a, b)!r} is not representable in "
+                    "merges.txt (empty symbol or embedded space/newline)"
+                )
+        lines.append(f"{a} {b}")
+    return "\n".join(lines) + "\n"
+
+
+def bpe_merges_from_text(text: str) -> tuple[tuple[str, str], ...]:
+    """Parse a ``merges.txt`` artifact back into a merge table.
+    Tolerates ``#``-comment lines and blank lines anywhere (HF writers
+    vary); raises on a data line that is not exactly two symbols —
+    truncated artifacts must fail loudly, not train-adjacent silently."""
+    merges: list[tuple[str, str]] = []
+    for ln, raw in enumerate(text.split("\n"), 1):
+        line = raw.strip("\r")
+        if not line or line.startswith("#"):
+            continue
+        parts = line.split(" ")
+        if len(parts) != 2 or not parts[0] or not parts[1]:
+            raise ValueError(
+                f"merges.txt line {ln} is not a pair: {line!r}"
+            )
+        merges.append((parts[0], parts[1]))
+    return tuple(merges)
+
+
 def pack_sequences(
     df: DataFrame,
     budget: int,

@@ -203,3 +203,48 @@ def test_bpe_train_doc_mod_sampling_and_empty_raise(spark):
     empty = df.where("doc_id < 0")
     with pytest.raises(ValueError, match="empty"):
         bpe_train(empty, 8)
+
+
+# --------------------------------------------------------------------------
+# merges.txt interchange
+# --------------------------------------------------------------------------
+
+
+def test_merges_txt_roundtrip_and_format():
+    from opentelemetry_collector_spark.operators.textstats import (
+        bpe_merges_from_text,
+        bpe_merges_to_text,
+    )
+
+    table = (("h", "e"), ("t", "he"), ("the", "n"))
+    text = bpe_merges_to_text(table)
+    assert text.startswith("#version")
+    assert bpe_merges_from_text(text) == table
+    # comment/blank tolerance, CRLF tolerance
+    assert bpe_merges_from_text("#x\r\n\nh e\r\n") == (("h", "e"),)
+
+
+def test_merges_txt_rejects_unrepresentable_and_truncated():
+    import pytest
+
+    from opentelemetry_collector_spark.operators.textstats import (
+        bpe_merges_from_text,
+        bpe_merges_to_text,
+    )
+
+    with pytest.raises(ValueError, match="not representable"):
+        bpe_merges_to_text((("a b", "c"),))
+    with pytest.raises(ValueError, match="not a pair"):
+        bpe_merges_from_text("#v\na b c\n")
+    with pytest.raises(ValueError, match="not a pair"):
+        bpe_merges_from_text("a\n")
+
+
+def test_trained_table_ships_as_merges_txt(spark):
+    from opentelemetry_collector_spark.operators.textstats import (
+        bpe_merges_from_text,
+        bpe_merges_to_text,
+    )
+
+    merges = bpe_train(_corpus(spark), n_merges=10, min_count=1)
+    assert bpe_merges_from_text(bpe_merges_to_text(merges)) == merges
