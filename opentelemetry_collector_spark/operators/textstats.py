@@ -1486,6 +1486,7 @@ def bpe_encode_arrow(
     merges: tuple[tuple[str, str], ...] = DEFAULT_BPE_MERGES,
     id_col: str = "doc_id",
     text_col: str = "text",
+    vocab: dict[str, int] | None = None,
 ) -> DataFrame:
     """Production-vocabulary BPE: the canonical encoder over Arrow
     batches (``mapInPandas``). A DECLARED Arrow surface — same boundary
@@ -1505,21 +1506,34 @@ def bpe_encode_arrow(
     raw word ('' text → '' head, matching the columnar form), counts
     cover non-empty words only. NULL text rows are dropped like the
     columnar path.
+
+    With ``vocab`` (a symbol→id table, :func:`bpe_vocab`), the output
+    additionally carries ``token_ids: array<int>`` — the per-doc id
+    sequence (words concatenated in order; add word-boundary symbols to
+    the merge table itself if the downstream wants them), which is what
+    a training-export consumer actually feeds a model. Symbols outside
+    the vocab emit the reserved UNK id ``len(vocab)``. The id map ships
+    in the task closure alongside the rank table and the per-task word
+    cache covers it too (hot words map to ids once per task).
     """
     import re as _re
 
     from pyspark.sql import types as T
 
     ranks = {(a, b): i for i, (a, b) in enumerate(merges)}
+    unk = len(vocab) if vocab is not None else None
     id_field = df.schema[id_col]
-    out_schema = T.StructType(
-        [
-            T.StructField(id_col, id_field.dataType, id_field.nullable),
-            T.StructField("n_words", T.LongType(), False),
-            T.StructField("bpe_tokens", T.LongType(), False),
-            T.StructField("enc_head", T.StringType(), True),
-        ]
-    )
+    fields = [
+        T.StructField(id_col, id_field.dataType, id_field.nullable),
+        T.StructField("n_words", T.LongType(), False),
+        T.StructField("bpe_tokens", T.LongType(), False),
+        T.StructField("enc_head", T.StringType(), True),
+    ]
+    if vocab is not None:
+        fields.append(
+            T.StructField("token_ids", T.ArrayType(T.IntegerType(), False), False)
+        )
+    out_schema = T.StructType(fields)
     docs = df.where(F.col(text_col).isNotNull()).select(id_col, text_col)
 
     def encode_batches(batches):
@@ -1534,8 +1548,18 @@ def bpe_encode_arrow(
                 cache[w] = got
             return got
 
+        id_cache: dict[str, list[int]] = {}
+
+        def ids_of(w: str) -> list[int]:
+            got = id_cache.get(w)
+            if got is None:
+                got = [vocab.get(t, unk) for t in enc(w)]
+                id_cache[w] = got
+            return got
+
         for pdf in batches:
             ids, n_words, n_toks, heads = [], [], [], []
+            tok_ids: list[list[int]] = []
             for i, t in zip(pdf[id_col], pdf[text_col]):
                 raw = _re.split(" +", t.strip(" "))
                 encs = [enc(w) for w in raw if w]
@@ -1543,14 +1567,21 @@ def bpe_encode_arrow(
                 n_words.append(len(encs))
                 n_toks.append(sum(len(e) for e in encs))
                 heads.append("|".join(enc(raw[0])))
-            yield pd.DataFrame(
-                {
-                    id_col: ids,
-                    "n_words": n_words,
-                    "bpe_tokens": n_toks,
-                    "enc_head": heads,
-                }
-            )
+                if vocab is not None:
+                    doc_ids: list[int] = []
+                    for w in raw:
+                        if w:
+                            doc_ids.extend(ids_of(w))
+                    tok_ids.append(doc_ids)
+            out = {
+                id_col: ids,
+                "n_words": n_words,
+                "bpe_tokens": n_toks,
+                "enc_head": heads,
+            }
+            if vocab is not None:
+                out["token_ids"] = tok_ids
+            yield pd.DataFrame(out)
 
     return docs.mapInPandas(encode_batches, out_schema)
 
@@ -1742,6 +1773,53 @@ def bpe_train(
     return bpe_learn_from_counts(
         counts, n_merges, min_pair_count=min_pair_count
     )
+
+
+def bpe_alphabet_from_counts(word_counts) -> tuple[str, ...]:
+    """The base-symbol alphabet implied by a word-frequency table:
+    sorted distinct characters of the words. Derived from the SAME
+    bounded table training uses, so it costs nothing extra — corpus
+    characters outside the top-K words' charset map to the UNK id at
+    encode time (the standard open-vocabulary trade: accept UNK or
+    widen max_words)."""
+    chars: set[str] = set()
+    for w, c in word_counts:
+        if w and c > 0:
+            chars.update(w)
+    return tuple(sorted(chars))
+
+
+def bpe_vocab(
+    merges,
+    base_alphabet=None,
+) -> dict[str, int]:
+    """Deterministic id table for a merge table: base symbols first
+    (sorted), then each merge's OUTPUT in rank order — the GPT-2 layout
+    (bytes 0..255, then merges) generalized to an explicit character
+    alphabet. ``len(vocab)`` is reserved as the UNK id for symbols
+    outside the table (:func:`bpe_encode_arrow` emits it for
+    out-of-alphabet characters).
+
+    ``base_alphabet`` defaults to the characters appearing in the
+    merges' constituents — complete for any corpus the table was
+    trained on only if every trained word's charset reached a merge,
+    so callers with the word-count table at hand should pass
+    :func:`bpe_alphabet_from_counts` explicitly.
+    """
+    if base_alphabet is None:
+        chars: set[str] = set()
+        for a, b in merges:
+            chars.update(a)
+            chars.update(b)
+        base_alphabet = sorted(chars)
+    vocab: dict[str, int] = {}
+    for ch in sorted(set(base_alphabet)):
+        vocab[ch] = len(vocab)
+    for a, b in merges:
+        tok = a + b
+        if tok not in vocab:
+            vocab[tok] = len(vocab)
+    return vocab
 
 
 def bpe_merges_to_text(merges) -> str:

@@ -248,3 +248,66 @@ def test_trained_table_ships_as_merges_txt(spark):
 
     merges = bpe_train(_corpus(spark), n_merges=10, min_count=1)
     assert bpe_merges_from_text(bpe_merges_to_text(merges)) == merges
+
+
+# --------------------------------------------------------------------------
+# vocab / token ids
+# --------------------------------------------------------------------------
+
+
+def test_bpe_vocab_layout_and_alphabet_from_counts():
+    from opentelemetry_collector_spark.operators.textstats import (
+        bpe_alphabet_from_counts,
+        bpe_vocab,
+    )
+
+    merges = (("h", "e"), ("t", "he"))
+    v = bpe_vocab(merges)
+    # base chars sorted first (e,h,t), then merge outputs in rank order
+    assert v == {"e": 0, "h": 1, "t": 2, "he": 3, "the": 4}
+    # explicit alphabet widens the base block and shifts merge ids
+    alpha = bpe_alphabet_from_counts([("the", 2), ("cat", 1)])
+    assert alpha == ("a", "c", "e", "h", "t")
+    v2 = bpe_vocab(merges, alpha)
+    assert v2["a"] == 0 and v2["the"] == len(alpha) + 1
+
+
+def test_arrow_encoder_emits_token_ids_decodable_to_text(spark):
+    from opentelemetry_collector_spark.operators.textstats import (
+        bpe_alphabet_from_counts,
+        bpe_encode_arrow,
+        bpe_vocab,
+    )
+
+    df = _corpus(spark)
+    counts = bpe_word_counts(df, min_count=1)
+    merges = bpe_learn_from_counts(counts, 12, min_pair_count=2)
+    vocab = bpe_vocab(merges, bpe_alphabet_from_counts(counts))
+    inv = {i: s for s, i in vocab.items()}
+    rows = {
+        r["doc_id"]: r
+        for r in bpe_encode_arrow(df, merges, vocab=vocab).collect()
+    }
+    src = {r["doc_id"]: r["text"] for r in df.collect() if r["text"]}
+    for doc_id, text in src.items():
+        r = rows[doc_id]
+        assert len(r["token_ids"]) == r["bpe_tokens"]
+        # ids decode back to the doc's words with spaces removed —
+        # lossless through the id table (no UNK on the training corpus)
+        assert "".join(inv[i] for i in r["token_ids"]) == text.replace(" ", "")
+    # without a vocab the column is absent (schema unchanged)
+    assert "token_ids" not in bpe_encode_arrow(df, merges).columns
+
+
+def test_arrow_encoder_unk_id_for_out_of_alphabet(spark):
+    from opentelemetry_collector_spark.operators.textstats import (
+        bpe_encode_arrow,
+        bpe_vocab,
+    )
+
+    merges = (("a", "b"),)
+    vocab = bpe_vocab(merges)  # alphabet {a, b}, ab
+    df = spark.createDataFrame([(1, "ab zq")], "doc_id long, text string")
+    row = bpe_encode_arrow(df, merges, vocab=vocab).collect()[0]
+    unk = len(vocab)
+    assert row["token_ids"] == [vocab["ab"], unk, unk]
