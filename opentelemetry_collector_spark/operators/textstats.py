@@ -1333,6 +1333,10 @@ DEFAULT_BPE_MERGES: tuple[tuple[str, str], ...] = (
 _COLUMNAR_MAX_MERGES = 64
 
 
+def _merges_contain_sep(merges) -> bool:
+    return any(BPE_SEP in a or BPE_SEP in b for a, b in merges)
+
+
 def bpe_word_expr(
     word: Column, merges: tuple[tuple[str, str], ...] = DEFAULT_BPE_MERGES
 ) -> Column:
@@ -1359,6 +1363,16 @@ def bpe_word_expr(
             f"(got {len(merges)}): a pass-per-merge replace chain at "
             "production vocab size blows past the JVM codegen method "
             "limit — use bpe_encode_arrow / bpe_encode(engine='auto')"
+        )
+    if _merges_contain_sep(merges):
+        # a symbol containing the separator would collide with the
+        # wrapped representation and misfire the literal replace
+        # patterns — silently wrong counts, not an error. Reachable now
+        # that bpe_train learns tables from arbitrary corpus bytes.
+        raise ValueError(
+            "columnar BPE cannot encode a merge table whose symbols "
+            f"contain the separator byte {BPE_SEP!r} — use "
+            "bpe_encode_arrow / bpe_encode(engine='auto')"
         )
     s = F.regexp_replace(word, "(.)", BPE_SEP + "$1" + BPE_SEP)
     for a, b in merges:
@@ -1414,8 +1428,14 @@ def bpe_encode(
     if engine not in ("auto", "columnar", "arrow"):
         raise ValueError(f"unknown bpe engine {engine!r}")
     if engine == "arrow" or (
-        engine == "auto" and len(merges) > _COLUMNAR_MAX_MERGES
+        engine == "auto"
+        and (len(merges) > _COLUMNAR_MAX_MERGES or _merges_contain_sep(merges))
     ):
+        # separator-bearing symbols (reachable via bpe_train on corpora
+        # containing \x1f) would corrupt the columnar replace chain —
+        # auto routes them to the canonical Arrow encoder, which treats
+        # symbols opaquely. (Columnar also assumes the TEXT is free of
+        # \x1f — true post clean_text, which strips C0 controls.)
         return bpe_encode_arrow(df, merges, id_col=id_col, text_col=text_col)
     docs = df.where(F.col(text_col).isNotNull())
     enc_arr = F.transform(
@@ -1599,10 +1619,13 @@ def bpe_learn_from_counts(
 
     Incremental, not recount-per-merge: a pair→words index confines each
     round's bookkeeping to the words that actually CONTAIN the merged
-    pair (per-word pair multisets are diffed before/after the merge), so
-    a round costs O(words-affected · word-length), not O(vocab). A naive
-    full-recount twin in tests/test_bpe_train.py pins equivalence by
-    property test.
+    pair (per-word pair multisets are diffed before/after the merge),
+    and the per-round argmax is a lazy max-heap with stale-entry
+    skipping (every count change pushes a fresh entry; pops that
+    disagree with the live count are discarded) — so a round costs
+    O(affected-words · word-length · log heap), never a scan of all
+    distinct pairs. A naive full-recount twin in
+    tests/test_bpe_train.py pins equivalence by property test.
 
     Deterministic by construction: ties on count break to the
     lexicographically smallest pair, and the input order of
@@ -1649,10 +1672,28 @@ def bpe_learn_from_counts(
                 i += 1
         return out
 
+    import heapq
+
+    # lazy max-heap over (-count, pair): ordering matches the
+    # deterministic (-count, lexicographic pair) argmax exactly. Entries
+    # go stale when a count changes; every change pushes the fresh
+    # state, and selection discards pops that disagree with the live
+    # pair_counts — the subword-nmt big-pairs posture without its
+    # rebuild threshold.
+    heap: list[tuple[int, tuple[str, str]]] = [
+        (-c, p) for p, c in pair_counts.items()
+    ]
+    heapq.heapify(heap)
+
     merges: list[tuple[str, str]] = []
-    while len(merges) < n_merges and pair_counts:
-        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
-        if pair_counts[best] < min_pair_count:
+    while len(merges) < n_merges:
+        best = None
+        while heap:
+            negc, p = heapq.heappop(heap)
+            if pair_counts.get(p) == -negc:
+                best = p
+                break
+        if best is None or pair_counts[best] < min_pair_count:
             break
         merges.append(best)
         a, b = best
@@ -1666,6 +1707,8 @@ def bpe_learn_from_counts(
                 pair_counts[p] -= k * c
                 if pair_counts[p] <= 0:
                     del pair_counts[p]
+                else:
+                    heapq.heappush(heap, (-pair_counts[p], p))
                 if after[p] == 0:
                     s = pair_words.get(p)
                     if s is not None:
@@ -1674,6 +1717,7 @@ def bpe_learn_from_counts(
                             del pair_words[p]
             for p, k in (after - before).items():
                 pair_counts[p] += k * c
+                heapq.heappush(heap, (-pair_counts[p], p))
                 pair_words.setdefault(p, set()).add(idx)
         # the merged pair is gone from every affected word by the greedy
         # scan; drop any residue defensively (e.g. all-zero counts)
@@ -1718,6 +1762,11 @@ def bpe_word_counts(
         docs = docs.where(
             F.pmod(F.xxhash64(F.col(id_col)), F.lit(doc_mod)) == 0
         )
+    # same deterministic top-K contract (count DESC, word ASC) as
+    # unigram_logperplexity's oracle-locked train branch — kept as two
+    # sites because the semantics differ beyond the tie-break (this one
+    # floors on min_count and collects; that one stays distributed with
+    # no floor and feeds MLE probabilities)
     rows = (
         docs.select(F.explode(tokenize(F.col(text_col))).alias("word"))
         .where(F.length("word") > 0)
@@ -1829,17 +1878,26 @@ def bpe_merges_to_text(merges) -> str:
     the artifact a trained table ships as — the encode side of any
     BPE-compatible tokenizer stack can consume it directly.
 
-    Refuses pairs the format cannot represent (embedded space/newline in
-    a symbol would silently corrupt ranks on re-read).
+    Refuses pairs the format cannot represent: embedded space/newline
+    splits the pair on re-read, an embedded carriage return is stripped
+    as a CRLF line ending, and a first symbol starting with ``#`` parses
+    back as a comment line — each would silently drop or alter merges
+    and shift every later rank, so they fail loudly here instead.
     """
     lines = ["#version: 0.2"]
     for a, b in merges:
         for part in (a, b):
-            if (" " in part) or ("\n" in part) or not part:
+            if (" " in part) or ("\n" in part) or ("\r" in part) or not part:
                 raise ValueError(
                     f"merge pair {(a, b)!r} is not representable in "
-                    "merges.txt (empty symbol or embedded space/newline)"
+                    "merges.txt (empty symbol or embedded space/CR/newline)"
                 )
+        if a.startswith("#"):
+            raise ValueError(
+                f"merge pair {(a, b)!r} is not representable in "
+                "merges.txt (a line starting with '#' re-reads as a "
+                "comment and the pair would be silently dropped)"
+            )
         lines.append(f"{a} {b}")
     return "\n".join(lines) + "\n"
 

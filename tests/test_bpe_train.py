@@ -311,3 +311,50 @@ def test_arrow_encoder_unk_id_for_out_of_alphabet(spark):
     row = bpe_encode_arrow(df, merges, vocab=vocab).collect()[0]
     unk = len(vocab)
     assert row["token_ids"] == [vocab["ab"], unk, unk]
+
+
+# --------------------------------------------------------------------------
+# review hardening: artifact faithfulness + separator collisions
+# --------------------------------------------------------------------------
+
+
+def test_merges_txt_rejects_comment_leading_and_cr_symbols():
+    import pytest
+
+    from opentelemetry_collector_spark.operators.textstats import (
+        bpe_merges_from_text,
+        bpe_merges_to_text,
+    )
+
+    # a table trained on '#'-leading words must not silently vanish on
+    # re-read as comment lines
+    trained = bpe_learn_from_counts([("#include", 50)], 3, min_pair_count=1)
+    assert trained  # the trainer itself is fine with such corpora
+    with pytest.raises(ValueError, match="comment"):
+        bpe_merges_to_text(trained)
+    # '#' NOT at line start is representable and round-trips
+    ok = (("a", "#"),)
+    assert bpe_merges_from_text(bpe_merges_to_text(ok)) == ok
+    # embedded CR would be stripped as a CRLF ending on re-read
+    with pytest.raises(ValueError, match="not representable"):
+        bpe_merges_to_text((("a", "b\r"),))
+
+
+def test_columnar_refuses_separator_bearing_merges_auto_routes_arrow(spark):
+    import pytest
+
+    from opentelemetry_collector_spark.operators.textstats import (
+        bpe_word_expr,
+    )
+    from pyspark.sql import functions as F
+
+    sep_merges = (("a", "\x1f"),)
+    with pytest.raises(ValueError, match="separator"):
+        bpe_word_expr(F.lit("x"), sep_merges)
+    df = spark.createDataFrame([(1, "a\x1fb ab")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="separator"):
+        bpe_encode(df, sep_merges, engine="columnar").collect()
+    # auto dispatches to the Arrow encoder, which treats symbols opaquely
+    row = bpe_encode(df, sep_merges, engine="auto").collect()[0]
+    assert row["enc_head"] == "a\x1f|b"  # ('a','\x1f') merged, b separate
+    assert row["bpe_tokens"] == 4  # [a\x1f, b] + [a, b] (no 'ab' merge)
