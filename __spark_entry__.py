@@ -450,7 +450,10 @@ def _bpe_tokenize_sql() -> str:
     representation (\\x1f boundaries, doubled between tokens) and the
     same literal replace() pass per merge in rank order — replace() is
     left-to-right non-overlapping in both engines, so the merged token
-    sequences are byte-identical."""
+    sequences are byte-identical. The 'wc' part replays the TRAINER's
+    distributed half (bpe_word_counts_df: wordcount → min_count floor →
+    deterministic top-K by count DESC, word ASC) — the frequency table
+    BPE training consumes, value-checked cross-engine."""
     sep = ts_ops.BPE_SEP
     chain = f"regexp_replace(w, '(.)', '{sep}\\1{sep}', 'g')"
     for a, b in ts_ops.DEFAULT_BPE_MERGES:
@@ -461,14 +464,24 @@ WITH e AS (
     list_transform(string_split_regex(trim(text), ' +'), w -> {chain}) AS enc
   FROM documents WHERE text IS NOT NULL
 )
-SELECT doc_id,
-  len(list_filter(enc, s -> length(s) > 0))::BIGINT AS n_words,
+SELECT 'enc' AS part, doc_id::VARCHAR AS key,
+  len(list_filter(enc, s -> length(s) > 0))::BIGINT AS n1,
   coalesce(list_sum(list_transform(enc,
     s -> CASE WHEN length(s) > 0
               THEN len(string_split(s, '{sep}{sep}')) ELSE 0 END)), 0)::BIGINT
-    AS bpe_tokens,
-  replace(replace(enc[1], '{sep}{sep}', '|'), '{sep}', '') AS enc_head
+    AS n2,
+  replace(replace(enc[1], '{sep}{sep}', '|'), '{sep}', '') AS s
 FROM e
+UNION ALL
+SELECT 'wc' AS part, word AS key, cnt AS n1, 0::BIGINT AS n2, '' AS s
+FROM (
+  SELECT w AS word, count(*)::BIGINT AS cnt
+  FROM (SELECT unnest(string_split_regex(trim(text), ' +')) AS w
+        FROM documents WHERE text IS NOT NULL)
+  WHERE length(w) > 0
+  GROUP BY w HAVING count(*) >= 2
+  ORDER BY cnt DESC, word LIMIT 256
+)
 """
 
 _COS_EXPR = (
@@ -2229,8 +2242,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_signals"] = text_signals_q
 
     def bpe_tokenize_q(spark, sf):  # merge-table BPE, fully columnar;
-        # compute-bound narrow scan → small-scan fan-out (no-op at scale)
-        return ts_ops.bpe_encode(fan_out_small_scan(_t(spark, sf, "documents")))
+        # compute-bound narrow scan → small-scan fan-out (no-op at scale).
+        # 'wc' part = the TRAINER's distributed half (bpe_word_counts_df):
+        # the deterministic word-frequency table bpe_train learns from.
+        docs = _t(spark, sf, "documents")
+        enc = ts_ops.bpe_encode(fan_out_small_scan(docs)).select(
+            F.lit("enc").alias("part"),
+            F.col("doc_id").cast("string").alias("key"),
+            F.col("n_words").alias("n1"),
+            F.col("bpe_tokens").alias("n2"),
+            F.col("enc_head").alias("s"),
+        )
+        wc = ts_ops.bpe_word_counts_df(docs, min_count=2, max_words=256).select(
+            F.lit("wc").alias("part"),
+            F.col("word").alias("key"),
+            F.col("cnt").alias("n1"),
+            F.lit(0).cast("long").alias("n2"),
+            F.lit("").alias("s"),
+        )
+        return enc.unionAll(wc)
 
     q["bpe_tokenize"] = bpe_tokenize_q
 

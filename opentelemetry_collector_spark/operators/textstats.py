@@ -1753,6 +1753,29 @@ def bpe_word_counts(
     (``xxhash64(doc_id) % doc_mod == 0``) for when even one full
     wordcount pass is unwanted.
     """
+    rows = bpe_word_counts_df(
+        df,
+        text_col=text_col,
+        max_words=max_words,
+        min_count=min_count,
+        id_col=id_col,
+        doc_mod=doc_mod,
+    ).collect()
+    return [(r["word"], r["cnt"]) for r in rows]
+
+
+def bpe_word_counts_df(
+    df: DataFrame,
+    text_col: str = "text",
+    max_words: int = 65536,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    doc_mod: int | None = None,
+) -> DataFrame:
+    """DataFrame form of :func:`bpe_word_counts` (``word, cnt``, at most
+    ``max_words`` rows) — the oracle-checkable surface of the trainer's
+    distributed half; the trainer collects it, other consumers (the
+    driver parity query) keep it as a frame."""
     if max_words < 1:
         raise ValueError(f"max_words must be >= 1 (got {max_words})")
     docs = df.where(F.col(text_col).isNotNull())
@@ -1765,9 +1788,10 @@ def bpe_word_counts(
     # same deterministic top-K contract (count DESC, word ASC) as
     # unigram_logperplexity's oracle-locked train branch — kept as two
     # sites because the semantics differ beyond the tie-break (this one
-    # floors on min_count and collects; that one stays distributed with
-    # no floor and feeds MLE probabilities)
-    rows = (
+    # floors on min_count; that one has no floor and feeds MLE
+    # probabilities). orderBy().limit() plans as TakeOrderedAndProject:
+    # per-partition heaps, no global sort exchange.
+    return (
         docs.select(F.explode(tokenize(F.col(text_col))).alias("word"))
         .where(F.length("word") > 0)
         .groupBy("word")
@@ -1775,9 +1799,7 @@ def bpe_word_counts(
         .where(F.col("cnt") >= min_count)
         .orderBy(F.col("cnt").desc(), F.col("word"))
         .limit(max_words)
-        .collect()
     )
-    return [(r["word"], r["cnt"]) for r in rows]
 
 
 def bpe_train(

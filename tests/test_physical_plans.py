@@ -223,7 +223,9 @@ _PLAN_SHUFFLE_BUDGET = {
     # fan-out round-robin PER emb consumer subtree (no-op at scale;
     # the plan printer repeats the reused exchange per consumer)
     "text_signals": 1,  # one narrow pass + small-scan fan-out (no-op at scale)
-    "bpe_tokenize": 1,  # merge table folds into the expression tree + fan-out
+    "bpe_tokenize": 2,  # merge table folds into the expression tree + fan-out;
+    # + the trainer-half wordcount groupBy (top-K itself is
+    # TakeOrderedAndProject — per-partition heaps, not an exchange)
     "winnowing_fingerprints": 1,  # narrow gram scan + small-scan fan-out
     "html_extract_text": 0,  # decode→extract→unescape, narrow scan speed
     "cdx_wet_index": 2,  # one shard-keyed offset window per family (wet, wat)
