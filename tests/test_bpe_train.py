@@ -358,3 +358,14 @@ def test_columnar_refuses_separator_bearing_merges_auto_routes_arrow(spark):
     row = bpe_encode(df, sep_merges, engine="auto").collect()[0]
     assert row["enc_head"] == "a\x1f|b"  # ('a','\x1f') merged, b separate
     assert row["bpe_tokens"] == 4  # [a\x1f, b] + [a, b] (no 'ab' merge)
+
+
+@settings(max_examples=80, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(wc=_WORDS, n=st.integers(min_value=0, max_value=12))
+def test_incremental_matches_naive_recount_with_floor(wc, n):
+    # the min_pair_count floor interacts with the lazy-heap selection
+    # (a popped-but-under-floor best must stop both trainers at the
+    # same merge); pin equivalence under the default floor too
+    assert bpe_learn_from_counts(wc, n, min_pair_count=2) == _naive_learn(
+        wc, n, min_pair_count=2
+    )
