@@ -16,6 +16,7 @@ Engine-parity conventions used throughout (see operator docstrings):
 
 from __future__ import annotations
 
+import math
 import os
 from collections.abc import Callable
 
@@ -104,6 +105,23 @@ _ROBOTS_TEMPLATE = (
     "User-agent: other\n"
     "Disallow: /\n"
 )
+
+
+# literal centroids for the sampling_suite 'cluster' part — shared
+# VERBATIM by the Spark call and the DuckDB oracle (the operator takes
+# any centers; the driver pair pins 4 deterministic 64-dim vectors)
+_CBS_CENTERS = [
+    [round(math.sin(0.7 * i + 1.3 * j), 6) for i in range(64)]
+    for j in range(4)
+]
+
+
+def _cbs_centers_values() -> str:
+    """The centers as a DuckDB VALUES list: (cell, ctr DOUBLE[])."""
+    return ", ".join(
+        "(" + str(j) + ", [" + ", ".join(repr(x) for x in c) + "]::DOUBLE[])"
+        for j, c in enumerate(_CBS_CENTERS)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1903,11 +1921,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["embedding_dedup_lsh"] = emb_dedup_lsh_q
 
     def sampling_suite(spark, sf):
-        # deterministic samplers, one 3-part union: 'stratified' =
+        # deterministic samplers, one 4-part union: 'stratified' =
         # per-group quota sampling rows; 'hash' = salted-md5 10% sample
         # rolled up per source; 'dsir' = importance resampling toward a
         # target slice (hashed-ngram density-ratio weights + Gumbel
-        # top-k, Xie et al. 2023 — operators/dsir.py).
+        # top-k, Xie et al. 2023 — operators/dsir.py); 'cluster' =
+        # cluster-balanced diversity selection over the embeddings
+        # (nearest literal centroid + per-cell md5-ordered quota — the
+        # DCLM/SemDeDup selection stage, operators/similarity.py).
         _D = F.lit(None).cast("double")
         strat = ts_ops.sample_stratified(
             _t(spark, sf, "documents"), group_col="lang", n_per_group=10
@@ -1950,7 +1971,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("rank").cast("long").alias("k2"),
             F.col("log_w").alias("d1"),
         )
-        return p_strat.unionAll(p_hash).unionAll(p_dsir)
+        picked_cells = sim_ops.cluster_balanced_sample(
+            _t(spark, sf, "embeddings"), _CBS_CENTERS, per_cell_k=8
+        )
+        p_cluster = picked_cells.select(
+            F.lit("cluster").alias("part"),
+            F.col("cell").cast("string").alias("s1"),
+            F.col("vec_id").cast("long").alias("k1"),
+            F.col("cell_rank").cast("long").alias("k2"),
+            _D.alias("d1"),
+        )
+        return p_strat.unionAll(p_hash).unionAll(p_dsir).unionAll(p_cluster)
 
     q["sampling_suite"] = sampling_suite
 
@@ -3612,6 +3643,25 @@ WITH r AS (
 ), ranked AS (
   SELECT doc_id, log_w, row_number() OVER (ORDER BY gk DESC, doc_id) AS rank
   FROM keyed
+), cbsv AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), cbsk AS (
+  SELECT * FROM (VALUES {_cbs_centers_values()}) AS t(cell, ctr)
+), cbsd AS (
+  SELECT v.vec_id, k.cell,
+    round(list_sum(list_transform(range(1, len(v.v) + 1),
+      i -> (v.v[i] - k.ctr[i]) * (v.v[i] - k.ctr[i]))), 6) AS d2
+  FROM cbsv v CROSS JOIN cbsk k
+), cbsc AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+      row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn
+    FROM cbsd) WHERE rn = 1
+), cbsr AS (
+  SELECT vec_id, cell,
+    row_number() OVER (PARTITION BY cell
+      ORDER BY {_dd_hexlong("'cbs:' || vec_id")} ASC, vec_id ASC) AS rk
+  FROM cbsc
 )
 SELECT 'stratified' AS part, lang AS s1, doc_id::BIGINT AS k1,
   rk::BIGINT AS k2, NULL::DOUBLE AS d1
@@ -3626,6 +3676,10 @@ UNION ALL
 SELECT 'dsir' AS part, NULL::VARCHAR AS s1, doc_id::BIGINT AS k1,
   rank::BIGINT AS k2, log_w AS d1
 FROM ranked WHERE rank <= 25
+UNION ALL
+SELECT 'cluster' AS part, cell::VARCHAR AS s1, vec_id::BIGINT AS k1,
+  rk::BIGINT AS k2, NULL::DOUBLE AS d1
+FROM cbsr WHERE rk <= 8
 """
 
     # CCNet head/middle/tail: unigram LM scoring (top-1000 vocab by

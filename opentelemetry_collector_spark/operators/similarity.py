@@ -515,6 +515,78 @@ def sq8_topk(
     )
 
 
+def assign_cells(
+    df: DataFrame,
+    centers,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Nearest-center assignment over LITERAL centers as a pure column
+    expression (the same argmin idiom :func:`ivf_topk` inlines): squared
+    distance to each center, lowest-index tie-break, zero shuffle —
+    assignment runs at full scan parallelism regardless of corpus size.
+    Distances are rounded to ``round_dp`` before the argmin so an
+    independent engine summing the 64 terms in a different order
+    reaches the same cell (the ANN oracles' round-before-rank rule).
+    Appends an int ``cell`` column."""
+    def _d2(center) -> Column:
+        cvec = F.array(*[F.lit(float(x)) for x in center])
+        return F.round(
+            F.aggregate(
+                F.zip_with(
+                    _dbl(F.col(vec_col)), cvec, lambda x, y: (x - y) * (x - y)
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            round_dp,
+        )
+
+    ds = F.array(*[_d2(c) for c in centers])
+    return df.withColumn(
+        "cell", (F.array_position(ds, F.array_min(ds)) - F.lit(1)).cast("int")
+    )
+
+
+def cluster_balanced_sample(
+    df: DataFrame,
+    centers,
+    per_cell_k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: str = "cbs",
+) -> DataFrame:
+    """Cluster-balanced diversity selection (the DCLM / SemDeDup
+    selection stage): assign every embedding to its nearest literal
+    centroid, then keep a deterministic ``per_cell_k`` quota per cell —
+    a uniform-without-replacement draw ordered by a salted md5 of the
+    id, so the selection replays identically on any engine and any
+    partitioning.
+
+    Scale shape: :func:`assign_cells` is zero-shuffle; the quota is ONE
+    window keyed by cell. Like :func:`lsh_cell_dedup`, per-cell work is
+    bounded by cell population, so centers should be numerous at scale
+    (n_cells ≈ corpus / target_cell_size — the SemDeDup posture), which
+    simultaneously bounds every window partition and keeps selection
+    balanced. Output: (id, cell, cell_rank ≤ per_cell_k).
+    """
+    if per_cell_k < 1:
+        raise ValueError(f"per_cell_k must be >= 1 (got {per_cell_k})")
+    from .dedup import md5_long
+
+    assigned = assign_cells(df, centers, id_col=id_col, vec_col=vec_col)
+    order = md5_long(
+        F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy("cell").orderBy(order.asc(), F.col(id_col).asc())
+    return (
+        assigned.withColumn("cell_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("cell_rank") <= per_cell_k)
+        .select(id_col, "cell", "cell_rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # SemDeDup-style semantic dedup in LSH cells
 # ---------------------------------------------------------------------------

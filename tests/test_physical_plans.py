@@ -177,7 +177,8 @@ _PLAN_SHUFFLE_BUDGET = {
     # totals/consts subtrees in the static plan (AQE reuses the exchange
     # at runtime) + per-doc score agg; Gumbel top-k is
     # TakeOrderedAndProject — no sort/range exchange
-    "sampling_suite": 6,
+    "sampling_suite": 7,  # + the cluster part's per-cell quota window
+    # (assign_cells itself is zero-shuffle: literal-center argmin)
     "contamination_overlap": 2,  # bench distinct agg + per-doc agg (bench broadcast)
     # unigram: per-doc score agg (inlined both sides of the cut join;
     # AQE reuses) + langs-row cut agg (3); bigram columns: ONE doc-keyed

@@ -272,3 +272,56 @@ def test_sq8_quantization_error_bound(spark):
         q = np.asarray(r["q"], dtype=np.float64)
         scale = np.abs(x).max() / 127.0
         assert np.all(np.abs(x - q * scale) <= scale / 2 + 1e-12)
+
+
+def test_assign_cells_nearest_center_with_tie_break(spark):
+    from opentelemetry_collector_spark.operators.similarity import assign_cells
+
+    centers = [[0.0, 0.0], [10.0, 0.0], [0.0, 10.0]]
+    df = spark.createDataFrame(
+        [(1, [1.0, 1.0]), (2, [9.0, 1.0]), (3, [1.0, 9.0]), (4, [5.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r["vec_id"]: r["cell"] for r in assign_cells(df, centers).collect()}
+    # vec 4 is equidistant from centers 0 and 1 -> lowest index wins
+    assert got == {1: 0, 2: 1, 3: 2, 4: 0}
+
+
+def test_cluster_balanced_sample_quota_and_determinism(spark):
+    from opentelemetry_collector_spark.operators.similarity import (
+        cluster_balanced_sample,
+    )
+
+    centers = [[0.0, 0.0], [10.0, 10.0]]
+    rows = [(i, [0.0 + i % 3, 0.0]) for i in range(20)] + [
+        (100 + i, [10.0, 10.0 - i % 2]) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = cluster_balanced_sample(df, centers, per_cell_k=4).collect()
+    by_cell = {}
+    for r in got:
+        by_cell.setdefault(r["cell"], []).append(r)
+    # full quota where the cell is big, whole cell where it is small
+    assert len(by_cell[0]) == 4
+    assert len(by_cell[1]) == 4
+    assert all(1 <= r["cell_rank"] <= 4 for r in got)
+    again = cluster_balanced_sample(df, centers, per_cell_k=4).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+    # quota larger than the cell returns the whole cell, ranks dense
+    allc = cluster_balanced_sample(df, centers, per_cell_k=100).collect()
+    assert len(allc) == 25
+    import pytest
+
+    with pytest.raises(ValueError):
+        cluster_balanced_sample(df, centers, per_cell_k=0)
+
+
+def test_cluster_balanced_sample_empty_input(spark):
+    from opentelemetry_collector_spark.operators.similarity import (
+        cluster_balanced_sample,
+    )
+
+    df = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>"
+    )
+    assert cluster_balanced_sample(df, [[0.0, 0.0]], per_cell_k=3).count() == 0
