@@ -515,10 +515,12 @@ def sq8_topk(
     )
 
 
+_ASSIGN_MAX_CENTERS = 1024
+
+
 def assign_cells(
     df: DataFrame,
     centers,
-    id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_dp: int = 6,
 ) -> DataFrame:
@@ -529,7 +531,37 @@ def assign_cells(
     Distances are rounded to ``round_dp`` before the argmin so an
     independent engine summing the 64 terms in a different order
     reaches the same cell (the ANN oracles' round-before-rank rule).
-    Appends an int ``cell`` column."""
+    Appends an int ``cell`` column.
+
+    Contract: rows whose vector is NULL or whose length differs from
+    the centers' dimension are DROPPED (Spark's ``zip_with`` would
+    null-pad them into a ``cell = NULL`` group that no independent
+    engine reproduces; silently wrong beats loudly absent here because
+    the id column names the dropped rows for any caller that cares).
+
+    The center list is folded into the expression tree, so its size is
+    a PLAN cost: past ~1k centers whole-stage codegen bails on the
+    generated method and driver-side tree construction dominates —
+    refused at ``_ASSIGN_MAX_CENTERS``. For finer grids, assign in two
+    levels (coarse cells with this operator, refine within each cell),
+    the IVF/faiss posture; a flat 10^5-center argmin is O(n_cells) per
+    row in ANY engine and is the wrong shape regardless of codegen."""
+    if len(centers) == 0:
+        raise ValueError("assign_cells: centers must be non-empty")
+    if len(centers) > _ASSIGN_MAX_CENTERS:
+        raise ValueError(
+            f"assign_cells caps at {_ASSIGN_MAX_CENTERS} literal centers "
+            f"(got {len(centers)}): the argmin is an expression-tree "
+            "constant — use two-level (coarse→refine) assignment for "
+            "finer grids"
+        )
+    dim = len(centers[0])
+    if any(len(c) != dim for c in centers):
+        raise ValueError("assign_cells: centers must share one dimension")
+    df = df.where(
+        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == F.lit(dim))
+    )
+
     def _d2(center) -> Column:
         cvec = F.array(*[F.lit(float(x)) for x in center])
         return F.round(
@@ -565,17 +597,20 @@ def cluster_balanced_sample(
     partitioning.
 
     Scale shape: :func:`assign_cells` is zero-shuffle; the quota is ONE
-    window keyed by cell. Like :func:`lsh_cell_dedup`, per-cell work is
-    bounded by cell population, so centers should be numerous at scale
-    (n_cells ≈ corpus / target_cell_size — the SemDeDup posture), which
-    simultaneously bounds every window partition and keeps selection
-    balanced. Output: (id, cell, cell_rank ≤ per_cell_k).
+    window keyed by cell, so each window partition is cell-sized. The
+    literal-center argmin caps at ``_ASSIGN_MAX_CENTERS`` (an
+    expression-tree cost); for SemDeDup-fine grids (n_cells ≈ corpus /
+    target_cell_size) compose TWO levels — coarse cells with this
+    operator, then this operator again within each coarse cell (or
+    :func:`lsh_cell_dedup`'s hyperplane cells, which need no centroids
+    at all) — the IVF coarse-quantizer posture. Output: (id, cell,
+    cell_rank ≤ per_cell_k).
     """
     if per_cell_k < 1:
         raise ValueError(f"per_cell_k must be >= 1 (got {per_cell_k})")
     from .dedup import md5_long
 
-    assigned = assign_cells(df, centers, id_col=id_col, vec_col=vec_col)
+    assigned = assign_cells(df, centers, vec_col=vec_col)
     order = md5_long(
         F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))
     )

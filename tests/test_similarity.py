@@ -325,3 +325,30 @@ def test_cluster_balanced_sample_empty_input(spark):
         [], "vec_id long, embedding array<float>"
     )
     assert cluster_balanced_sample(df, [[0.0, 0.0]], per_cell_k=3).count() == 0
+
+
+def test_assign_cells_contract_edges(spark):
+    import pytest
+
+    from opentelemetry_collector_spark.operators.similarity import (
+        assign_cells,
+        cluster_balanced_sample,
+    )
+
+    # null and dimension-mismatched vectors are DROPPED, never cell=NULL
+    df = spark.createDataFrame(
+        [(1, [1.0, 1.0]), (2, None), (3, [1.0, 2.0, 3.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = assign_cells(df, [[0.0, 0.0], [5.0, 5.0]]).collect()
+    assert [r["vec_id"] for r in got] == [1]
+    assert got[0]["cell"] == 0
+    sel = cluster_balanced_sample(df, [[0.0, 0.0], [5.0, 5.0]], per_cell_k=5)
+    assert [r["vec_id"] for r in sel.collect()] == [1]
+    # empty / ragged / oversized center lists are refused loudly
+    with pytest.raises(ValueError, match="non-empty"):
+        assign_cells(df, [])
+    with pytest.raises(ValueError, match="dimension"):
+        assign_cells(df, [[0.0, 0.0], [1.0]])
+    with pytest.raises(ValueError, match="caps at"):
+        assign_cells(df, [[0.0, 0.0]] * 2000)
